@@ -1,0 +1,59 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock seconds across all inventory queries
+(each executed once, fully materialized via a count+collect-free
+``write.format("noop")`` so measurement includes the full plan but not
+driver-side result transfer for large outputs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from typebus_spark import get_spark  # noqa: E402
+from typebus_spark import suite  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="typebus-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so per-query numbers reflect
+    # execution, not first-touch classloading.
+    suite.QUERIES["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, q in suite.QUERIES.items():
+        start = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "inventory_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` but every setting is
+chosen to survive a 1000-executor cluster at ~100 TB:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  dynamic broadcast conversion).
+- Shuffle partitions sized to cores locally; on a real cluster this is
+  overridden by AQE's coalescing from a high initial value.
+- Arrow enabled so any pandas-UDF escape hatch is batch-vectorized.
+- Session timezone pinned to UTC for deterministic timestamp semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "typebus-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the driver's parquet tables (TESTDATA.md).
+
+    Normalizes a data quirk: ``events.parquet`` stores ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright.
+    We read nanos as raw INT64 (legacy conf) and truncate to microsecond
+    timestamps — exactly what DuckDB does when it reads the same file, so
+    oracle comparisons stay bit-identical. Integer division (``DIV``) is
+    used because ns-since-epoch exceeds double's 2^53 mantissa.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
