@@ -1,0 +1,187 @@
+"""Dataflow-parity tests (SURVEY.md §5 item 2): envelope round-trip (D1-D3),
+routing incl. dead-letter (R1/O2), reply correlation (RPC2/RPC3), keyed
+publish (K1), trace loop-guard (O1), descriptor (C1), end-to-end streaming
+via FileBus + foreachBatch (O3)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from typebus_spark.codec.envelope import decode_envelope, encode_envelope
+from typebus_spark.registry import Service
+from typebus_spark.runtime import (
+    DEAD_LETTER_TOPIC,
+    TRACE_TOPIC,
+    FileBus,
+    run_batch,
+    start_service,
+)
+
+ORDER_SCHEMA = StructType(
+    [
+        StructField("order_id", StringType()),
+        StructField("customer_id", StringType()),
+        StructField("amount", DoubleType()),
+    ]
+)
+CONFIRM_SCHEMA = StructType(
+    [
+        StructField("order_id", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def svc():
+    s = Service("order-service")
+    s.declare_type("api.OrderPlaced", ORDER_SCHEMA)
+    s.declare_type("api.OrderConfirmed", CONFIRM_SCHEMA)
+
+    def confirm(df):
+        # keeps customer_id so the out-stream partition key (computed on
+        # the handler OUTPUT, as in bus/package.scala:36-39) can use it
+        return df.select(
+            "meta",
+            F.col("order_id"),
+            F.col("customer_id"),
+            F.when(F.col("amount") > 0, "confirmed")
+            .otherwise("rejected")
+            .alias("status"),
+        )
+
+    s.register_stream(
+        "api.OrderPlaced",
+        "api.OrderConfirmed",
+        confirm,
+        partition_key="customer_id",
+    )
+    return s
+
+
+def _orders(spark, with_reply=False):
+    df = spark.createDataFrame(
+        [("o1", "c1", 10.0), ("o2", "c2", -5.0)],
+        "order_id string, customer_id string, amount double",
+    )
+    meta = None
+    if with_reply:
+        from typebus_spark.codec.envelope import new_meta
+
+        meta = new_meta(
+            "api.OrderPlaced",
+            direct_reply_path=F.lit("/user/gather-1"),
+            direct_reply_service=F.lit("client-service"),
+        )
+    return encode_envelope(
+        df, "api.OrderPlaced", key=F.col("customer_id"), meta=meta
+    )
+
+
+def test_envelope_roundtrip(spark):
+    raw = _orders(spark)
+    decoded = decode_envelope(raw, ORDER_SCHEMA)
+    rows = {r["payload"]["order_id"]: r for r in decoded.collect()}
+    assert set(rows) == {"o1", "o2"}
+    m = rows["o1"]["meta"]
+    assert m["event_type"] == "api.OrderPlaced"
+    assert m["event_id"] and m["correlation_id"]
+    assert rows["o1"]["payload"]["amount"] == 10.0
+
+
+def test_keyed_publish_sets_kafka_key(spark):
+    raw = _orders(spark)
+    keys = {bytes(r["key"]).decode() for r in raw.collect()}
+    assert keys == {"c1", "c2"}
+
+
+def test_route_and_reply_correlation(spark, svc):
+    res = run_batch(svc, _orders(spark))
+    out = res.topic("api.OrderConfirmed")
+    assert out is not None
+    vals = [json.loads(bytes(r["value"]).decode()) for r in out.collect()]
+    statuses = {v["payload"]["order_id"]: v["payload"]["status"] for v in vals}
+    assert statuses == {"o1": "confirmed", "o2": "rejected"}
+    for v in vals:
+        assert v["meta"]["event_type"] == "api.OrderConfirmed"
+        assert v["meta"]["response_to"]  # RPC join key set to request eventId
+    # K1: partition key flows to the bus key column
+    keys = {bytes(r["key"]).decode() for r in out.collect()}
+    assert keys == {"c1", "c2"}
+
+
+def test_unhandled_topic_dead_letters(spark, svc):
+    df = spark.createDataFrame([("x",)], "order_id string")
+    raw = encode_envelope(df, "api.Unknown")
+    res = run_batch(svc, raw)
+    dl = res.topic(DEAD_LETTER_TOPIC)
+    assert dl is not None and dl.count() == 1
+    v = json.loads(bytes(dl.collect()[0]["value"]).decode())
+    assert v["payload"]["message"] == "no handler for topic"
+    assert v["payload"]["extra"]["topic"] == "api.Unknown"
+
+
+def test_undecodable_payload_dead_letters(spark, svc):
+    raw = spark.createDataFrame(
+        [(None, b"not json at all", "api.OrderPlaced")],
+        "key binary, value binary, topic string",
+    )
+    res = run_batch(svc, raw)
+    dl = res.topic(DEAD_LETTER_TOPIC)
+    assert dl is not None and dl.count() == 1
+
+
+def test_rpc_reply_also_published_to_caller_topic(spark, svc):
+    res = run_batch(svc, _orders(spark, with_reply=True))
+    rpc = res.topic("_rpc_replies")
+    assert rpc is not None
+    topics = {r["topic"] for r in rpc.collect()}
+    assert topics == {"client-service"}  # KafkaBus.scala:157-169 parity
+
+
+def test_trace_side_output_loop_guard(spark, svc):
+    res = run_batch(svc, _orders(spark), trace=True)
+    tr = res.topic(TRACE_TOPIC)
+    assert tr is not None and tr.count() == 2
+    # a trace event re-entering the bus must NOT be re-traced
+    svc.declare_type(TRACE_TOPIC, ORDER_SCHEMA)
+    svc.register_stream(TRACE_TOPIC, None, lambda df: None)
+    df = spark.createDataFrame([("t1", "c", 0.0)], ORDER_SCHEMA)
+    raw = encode_envelope(df, TRACE_TOPIC)
+    res2 = run_batch(svc, raw, trace=True)
+    assert res2.topic(TRACE_TOPIC) is None or res2.topic(TRACE_TOPIC).count() == 0
+
+
+def test_descriptor(svc):
+    d = svc.descriptor()
+    assert d["service"] == "order-service"
+    assert {"in": "api.OrderPlaced", "out": "api.OrderConfirmed"} in d[
+        "service_methods"
+    ]
+    assert "api.OrderPlaced" in d["types"]
+    assert svc.subscribed_topics() == sorted(
+        {"api.OrderPlaced", "order-service"}
+    )
+
+
+def test_streaming_end_to_end_filebus(spark, svc, tmp_path):
+    bus = FileBus(str(tmp_path / "bus"))
+    bus.publish(_orders(spark), "api.OrderPlaced")
+    q = start_service(svc, bus, spark, str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    out = bus.read(spark, ["api.OrderConfirmed"])
+    vals = [json.loads(bytes(r["value"]).decode()) for r in out.collect()]
+    assert {v["payload"]["status"] for v in vals} == {"confirmed", "rejected"}
+    # O3: re-running from the same checkpoint must not double-publish
+    q2 = start_service(svc, bus, spark, str(tmp_path / "ckpt"))
+    q2.awaitTermination(60)
+    assert bus.read(spark, ["api.OrderConfirmed"]).count() == 2

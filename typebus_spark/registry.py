@@ -1,0 +1,169 @@
+"""Stream registry — typebus's Service/Module runtime maps, Spark-style.
+
+Reference (/root/reference/typebus/src/main/scala/io/surfkit/typebus):
+- ``Module`` keeps five registries populated by ``registerStream``
+  (module/Module.scala:16-27): in→out type map (``listOfFunctions``),
+  handler chain, reader map, writer map, and per-stream
+  ``StreamBuilder`` config (partition key + retry policy,
+  bus/package.scala:32-46).
+- ``Service`` adds the type registry + entity registry + service-level
+  (hidden) streams (module/Service.scala:20-33, 82-83).
+
+Here a handler is a **DataFrame transform** ``DataFrame -> DataFrame``
+over the decoded payload struct — the vectorized upgrade of the per-record
+``(T, EventMeta) => Future[U]`` (SURVEY.md §2.1 T1). Handlers that need
+per-row Python run via pandas UDFs inside the transform; expression-based
+transforms stay fully JVM-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import StructType
+
+from typebus_spark.catalog.types import TypeCatalog
+
+
+class BackoffShape(str, Enum):
+    """RetryPolicy shapes (bus/package.scala:19-29): delay, attempt*delay,
+    attempt²*delay."""
+
+    NONE = "none"
+    LINEAR = "linear"
+    EXPONENTIAL = "exponential"
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    max_attempts: int = 0
+    delay_seconds: float = 0.0
+    shape: BackoffShape = BackoffShape.NONE
+
+    def backoff_seconds(self, attempt: int) -> float:
+        """Delay before re-injection attempt N (1-based), mirroring the
+        schedule at KafkaBus.scala:223-233."""
+        if self.shape == BackoffShape.LINEAR:
+            return attempt * self.delay_seconds
+        if self.shape == BackoffShape.EXPONENTIAL:
+            return (attempt**2) * self.delay_seconds
+        return self.delay_seconds
+
+
+@dataclass
+class StreamDef:
+    """One registered stream: typebus ``StreamBuilder`` + handler
+    (bus/package.scala:32-46; Module.scala:52-102)."""
+
+    in_type: str
+    out_type: str | None  # None == sink stream (op2Unit, Module.scala:72-80)
+    handler: Callable[[DataFrame], DataFrame]
+    partition_key: Column | str | None = None  # withPartitionKey analog
+    retry: RetryPolicy | None = None  # withRetryPolicy analog
+    service_level: bool = False  # hidden/control-plane stream (op2Service)
+
+
+@dataclass
+class EntityDef:
+    """Keyed entity registration (EntityDb.scala:12-25; Service.scala:29-33)."""
+
+    name: str
+    state_type: str
+    key_col: str = "id"
+    fold: Callable[..., Any] | None = None  # (state, event)->state for streaming
+
+
+class Service:
+    """A typebus service: declared types + registered streams + entities.
+
+    ``name`` doubles as the consumer-group id and the RPC reply topic
+    (KafkaBus.scala:116,184) — kept for transport parity.
+    """
+
+    def __init__(self, name: str, catalog: TypeCatalog | None = None):
+        self.name = name
+        self.catalog = catalog or TypeCatalog()
+        self.streams: dict[str, StreamDef] = {}  # in_fqn -> StreamDef
+        self.entities: dict[str, EntityDef] = {}
+        self.up_since: float | None = None
+
+    # -- declaration surface (G1/G3 analogs) --------------------------------
+
+    def declare_type(
+        self,
+        fqn: str,
+        schema: StructType,
+        defaults: dict[str, Any] | None = None,
+    ):
+        return self.catalog.declare_type(fqn, schema, defaults)
+
+    def register_stream(
+        self,
+        in_type: str,
+        out_type: str | None,
+        handler: Callable[[DataFrame], DataFrame],
+        partition_key: Column | str | None = None,
+        retry: RetryPolicy | None = None,
+        service_level: bool = False,
+    ) -> StreamDef:
+        """registerStream (Service.scala:53-64 → Module.scala:52-102).
+
+        ``handler`` receives the decoded DataFrame (columns ``meta`` struct
+        + payload fields) and returns the out-payload DataFrame. A stream
+        with ``out_type=None`` is terminal (T2).
+        """
+        if in_type not in self.catalog:
+            raise KeyError(f"in_type not declared: {in_type}")
+        if out_type is not None and out_type not in self.catalog:
+            raise KeyError(f"out_type not declared: {out_type}")
+        sd = StreamDef(
+            in_type=in_type,
+            out_type=out_type,
+            handler=handler,
+            partition_key=partition_key,
+            retry=retry,
+            service_level=service_level,
+        )
+        self.streams[in_type] = sd
+        return sd
+
+    def register_entity(
+        self,
+        name: str,
+        state_type: str,
+        key_col: str = "id",
+        fold: Callable[..., Any] | None = None,
+    ) -> EntityDef:
+        if state_type not in self.catalog:
+            raise KeyError(f"state_type not declared: {state_type}")
+        ed = EntityDef(name=name, state_type=state_type, key_col=key_col, fold=fold)
+        self.entities[name] = ed
+        return ed
+
+    # -- discovery (C1) ------------------------------------------------------
+
+    def descriptor(self) -> dict:
+        """ServiceDescriptor analog (Service.scala:105-120): service name,
+        registered methods (in→out FQNs), entities, and full schema JSON
+        per type — broadcast/queryable as the engine catalog."""
+        return {
+            "service": self.name,
+            "service_methods": [
+                {"in": s.in_type, "out": s.out_type}
+                for s in self.streams.values()
+                if not s.service_level
+            ],
+            "entities": sorted(self.entities),
+            "types": {
+                fqn: self.catalog.schema_for(fqn).json()
+                for fqn in self.catalog.fqns()
+            },
+        }
+
+    def subscribed_topics(self) -> list[str]:
+        """Topic set = registered in-type FQNs + own service name (RPC reply
+        channel) — KafkaBus.scala:184."""
+        return sorted(set(self.streams) | {self.name})
