@@ -1,0 +1,315 @@
+"""Parity tests for retry (ST1/ST2), RPC correlation (RPC1/RPC2), and
+entity state (E1/T4) — SURVEY.md §5 item 2."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from typebus_spark.codec.envelope import encode_envelope, new_meta
+from typebus_spark.registry import BackoffShape, RetryPolicy, Service
+from typebus_spark.runtime import DEAD_LETTER_TOPIC, run_batch
+from typebus_spark.streaming.entity import (
+    EntityDb,
+    fold_events,
+    fold_last_value,
+)
+from typebus_spark.streaming.retry import retry_topic, row_handler
+from typebus_spark.streaming.rpc import correlate_batch
+
+TASK_DDL = "task_id string, fail_times int, payload string"
+
+
+def test_retry_policy_backoff_shapes():
+    lin = RetryPolicy(3, 2.0, BackoffShape.LINEAR)
+    exp = RetryPolicy(3, 2.0, BackoffShape.EXPONENTIAL)
+    non = RetryPolicy(3, 2.0, BackoffShape.NONE)
+    assert [lin.backoff_seconds(a) for a in (1, 2, 3)] == [2.0, 4.0, 6.0]
+    assert [exp.backoff_seconds(a) for a in (1, 2, 3)] == [2.0, 8.0, 18.0]
+    assert [non.backoff_seconds(a) for a in (1, 2, 3)] == [2.0, 2.0, 2.0]
+
+
+@pytest.fixture()
+def flaky_service(spark):
+    """flaky_task fixture (FIXTURES.md §B): handler fails while
+    attempt < fail_times."""
+    s = Service("flaky-service")
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    task = StructType(
+        [
+            StructField("task_id", StringType()),
+            StructField("fail_times", IntegerType()),
+            StructField("payload", StringType()),
+        ]
+    )
+    done = StructType(
+        [
+            StructField("task_id", StringType()),
+            StructField("result", StringType()),
+        ]
+    )
+    s.declare_type("api.FlakyTask", task)
+    s.declare_type("api.TaskDone", done)
+
+    def handler(df):
+        attempt = F.coalesce(
+            F.col("meta.extra").getItem("attempt").cast("int"), F.lit(0)
+        )
+        return df.select(
+            "meta",
+            "task_id",
+            F.concat(F.lit("done:"), F.col("task_id")).alias("result"),
+            F.when(
+                attempt < F.col("fail_times"),
+                F.concat(F.lit("transient failure attempt "), attempt),
+            ).alias("_error"),
+        )
+
+    s.register_stream(
+        "api.FlakyTask",
+        "api.TaskDone",
+        handler,
+        retry=RetryPolicy(2, 10.0, BackoffShape.EXPONENTIAL),
+    )
+    return s
+
+
+def _tasks(spark):
+    df = spark.createDataFrame(
+        [("t-ok", 0, "p"), ("t-flaky", 1, "p"), ("t-dead", 9, "p")], TASK_DDL
+    )
+    return encode_envelope(df, "api.FlakyTask")
+
+
+def _drain(spark, service, raw, now0=1_000_000):
+    """Run batches, feeding the retry topic back in with the clock advanced
+    past every backoff — the batch-mode equivalent of the re-injection
+    queue, with simulated time."""
+    outputs: dict[str, list] = {}
+    now = now0
+    for _ in range(6):
+        res = run_batch(service, raw, now_epoch=now)
+        rt = None
+        for topic, df in res.outputs.items():
+            if topic.endswith(".retry"):
+                rt = df
+            else:
+                outputs.setdefault(topic, []).extend(df.collect())
+        if rt is None or rt.isEmpty():
+            break
+        raw = rt
+        now += 10_000  # beyond any exponential backoff in the test
+    return outputs
+
+
+def test_retry_success_after_backoff_and_give_up(spark, flaky_service):
+    outputs = _drain(spark, flaky_service, _tasks(spark))
+    done = [
+        json.loads(bytes(r["value"]).decode())
+        for r in outputs.get("api.TaskDone", [])
+    ]
+    done_ids = {d["payload"]["task_id"] for d in done}
+    # t-ok first try, t-flaky after 1 retry; t-dead exhausts 2 attempts
+    assert done_ids == {"t-ok", "t-flaky"}
+    dead = [
+        json.loads(bytes(r["value"]).decode())
+        for r in outputs.get(DEAD_LETTER_TOPIC, [])
+    ]
+    assert len(dead) == 1
+    assert dead[0]["payload"]["message"] == "handler failed"
+
+
+def test_retry_respects_not_before(spark, flaky_service):
+    raw = _tasks(spark)
+    res1 = run_batch(flaky_service, raw, now_epoch=1_000_000)
+    rt = res1.topic(retry_topic("api.FlakyTask"))
+    assert rt is not None
+    # attempt 1, exponential 10s → not_before = now + 10
+    metas = [
+        json.loads(bytes(r["value"]).decode())["meta"] for r in rt.collect()
+    ]
+    assert {m["extra"]["attempt"] for m in metas} == {"1"}
+    assert {m["extra"]["not_before_epoch"] for m in metas} == {"1000010"}
+    # clock NOT advanced → rows requeue untouched, nothing dispatched
+    res2 = run_batch(flaky_service, rt, now_epoch=1_000_005)
+    assert res2.topic("api.TaskDone") is None
+    requeued = res2.topic(retry_topic("api.FlakyTask"))
+    assert requeued is not None and requeued.count() == 2
+
+
+def test_row_handler_catches_exceptions(spark):
+    def py_handler(rec: dict) -> dict:
+        if rec["fail_times"] > 0:
+            raise ValueError("boom")
+        return {"task_id": rec["task_id"], "result": "ok"}
+
+    s = Service("py-service")
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    s.declare_type(
+        "api.T",
+        StructType(
+            [
+                StructField("task_id", StringType()),
+                StructField("fail_times", IntegerType()),
+                StructField("payload", StringType()),
+            ]
+        ),
+    )
+    s.declare_type(
+        "api.R",
+        StructType(
+            [
+                StructField("task_id", StringType()),
+                StructField("result", StringType()),
+            ]
+        ),
+    )
+    s.register_stream(
+        "api.T",
+        "api.R",
+        row_handler(py_handler, [("task_id", "string"), ("result", "string")]),
+    )
+    df = spark.createDataFrame([("a", 0, "p"), ("b", 1, "p")], TASK_DDL)
+    res = run_batch(s, encode_envelope(df, "api.T"))
+    ok = [
+        json.loads(bytes(r["value"]).decode())["payload"]
+        for r in res.topic("api.R").collect()
+    ]
+    assert ok == [{"task_id": "a", "result": "ok"}]
+    assert res.topic(DEAD_LETTER_TOPIC).count() == 1  # no policy → dead-letter
+
+
+# ---------------------------------------------------------------- RPC ----
+
+
+def _decoded(spark, rows, ddl, event_type, response_to=None, occurred=None):
+    df = spark.createDataFrame(rows, ddl)
+    meta = new_meta(
+        event_type,
+        response_to=F.col("_rt") if response_to else None,
+        occurred_at=F.col("_at").cast("timestamp") if occurred else None,
+    )
+    cols = [c for c in df.columns if not c.startswith("_")]
+    return df.select(
+        meta.alias("meta"), F.struct(*[F.col(c) for c in cols]).alias("payload")
+    )
+
+
+def test_rpc_correlation_completed_timeout_pending(spark):
+    reqs = spark.createDataFrame(
+        [("r1", "2024-01-01 00:00:00"), ("r2", "2024-01-01 00:00:00"),
+         ("r3", "2024-01-01 00:10:00")],
+        "q string, _at string",
+    ).select(
+        F.struct(
+            F.col("q").alias("event_id"),
+            F.lit("cid").alias("correlation_id"),
+            F.lit(None).cast("string").alias("response_to"),
+            F.col("_at").cast("timestamp").alias("occurred_at"),
+        ).alias("meta"),
+        F.struct(F.col("q").alias("q")).alias("payload"),
+    )
+    resps = spark.createDataFrame(
+        [("r1", "2024-01-01 00:00:01", "ans1"),
+         ("r1", "2024-01-01 00:00:02", "dup-late")],
+        "rt string, _at string, a string",
+    ).select(
+        F.struct(
+            F.lit("e").alias("event_id"),
+            F.lit("cid").alias("correlation_id"),
+            F.col("rt").alias("response_to"),
+            F.col("_at").cast("timestamp").alias("occurred_at"),
+        ).alias("meta"),
+        F.struct(F.col("a").alias("a")).alias("payload"),
+    )
+    out = correlate_batch(
+        reqs,
+        resps,
+        timeout_seconds=4.0,
+        now=F.lit("2024-01-01 00:10:02").cast("timestamp"),
+    )
+    rows = {r["request_id"]: r for r in out.collect()}
+    assert rows["r1"]["status"] == "completed"
+    assert rows["r1"]["right"]["a"] == "ans1"  # earliest response wins
+    assert rows["r1"]["left"] is None
+    assert rows["r2"]["status"] == "timeout"
+    assert "TimeoutException" in rows["r2"]["left"]["throwable_type"]
+    assert rows["r3"]["status"] == "pending"  # within timeout window still
+
+
+# ------------------------------------------------------------- entity ----
+
+
+EVENTS_DDL = "id string, ts timestamp, status string, amount double"
+
+
+def _entity_events(spark):
+    return spark.createDataFrame(
+        [
+            ("e1", "2024-01-01 00:00:00", "created", 1.0),
+            ("e1", "2024-01-01 00:01:00", "paid", 2.0),
+            ("e2", "2024-01-01 00:00:30", "created", 5.0),
+        ],
+        "id string, ts string, status string, amount double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_fold_last_value_snapshot(spark):
+    snap = fold_last_value(_entity_events(spark), "id", "ts")
+    rows = {r["id"]: r for r in snap.collect()}
+    assert rows["e1"]["status"] == "paid"
+    assert rows["e2"]["status"] == "created"
+
+
+def test_fold_events_general(spark):
+    def fold(state, rec):
+        state = state or {"id": rec["id"], "n": 0, "total": 0.0, "status": ""}
+        return {
+            "id": rec["id"],
+            "n": state["n"] + 1,
+            "total": state["total"] + rec["amount"],
+            "status": rec["status"],
+        }
+
+    snap = fold_events(
+        _entity_events(spark),
+        "id",
+        "ts",
+        fold,
+        "id string, n long, total double, status string",
+    )
+    rows = {r["id"]: r for r in snap.collect()}
+    assert rows["e1"]["n"] == 2 and rows["e1"]["total"] == 3.0
+    assert rows["e1"]["status"] == "paid"  # event-time ordered fold
+
+
+def test_entity_db_lookup_and_modify(spark):
+    snap = fold_last_value(_entity_events(spark), "id", "ts")
+    db = EntityDb(snap, "id")
+    reqs = spark.createDataFrame([("e1",), ("missing",)], "req_id string")
+    got = db.get_state(reqs, "req_id")
+    rows = {r["req_id"]: r for r in got.collect()}
+    assert rows["e1"]["status"] == "paid"
+    assert rows["missing"]["status"] is None  # DbAccessor miss → nulls
+    upd = spark.createDataFrame(
+        [("e2", "2024-01-01 01:00:00", "shipped", 6.0)],
+        "id string, ts string, status string, amount double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    db2 = db.modify_state(upd, "ts")
+    assert {
+        r["id"]: r["status"] for r in db2.snapshot.collect()
+    } == {"e1": "paid", "e2": "shipped"}

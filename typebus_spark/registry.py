@@ -165,5 +165,7 @@ class Service:
 
     def subscribed_topics(self) -> list[str]:
         """Topic set = registered in-type FQNs + own service name (RPC reply
-        channel) — KafkaBus.scala:184."""
-        return sorted(set(self.streams) | {self.name})
+        channel, KafkaBus.scala:184) + per-stream retry topics (the durable
+        form of the in-memory retry queue, KafkaBus.scala:186-189)."""
+        retry = {f"{fqn}.retry" for fqn, s in self.streams.items() if s.retry}
+        return sorted(set(self.streams) | {self.name} | retry)

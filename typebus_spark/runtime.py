@@ -34,6 +34,13 @@ from typebus_spark.codec.envelope import (
     new_meta,
 )
 from typebus_spark.registry import Service
+from typebus_spark.streaming.retry import (
+    eligible_now,
+    encode_retry,
+    not_yet_eligible,
+    retry_topic,
+    split_failures,
+)
 
 DEAD_LETTER_TOPIC = "typebus.DeadLetter"
 TRACE_TOPIC = "typebus.Trace"
@@ -77,24 +84,53 @@ def _dead_letter(raw: DataFrame, message: str) -> DataFrame:
     )
 
 
-def run_batch(service: Service, raw: DataFrame, trace: bool = False) -> BatchResult:
+def run_batch(
+    service: Service,
+    raw: DataFrame,
+    trace: bool = False,
+    now_epoch: int | None = None,
+) -> BatchResult:
     """Route one batch of raw bus rows through every registered stream.
 
     ``raw`` columns: ``key binary, value binary, topic string`` — the
-    transport-neutral bus row (Kafka source shape).
+    transport-neutral bus row (Kafka source shape). ``now_epoch`` pins the
+    retry clock for deterministic tests (wall clock otherwise).
     """
     res = BatchResult()
+    now = F.lit(now_epoch) if now_epoch is not None else None
 
     # R1 routing: topic-per-type makes dispatch a source-level filter.
-    handled = set(service.streams)
+    # Retry topics route back to their base stream (U1 merge analog).
+    handled = set(service.streams) | {
+        retry_topic(f) for f, s in service.streams.items() if s.retry
+    }
     unhandled = raw.filter(~F.col("topic").isin(*handled) if handled else F.lit(True))
     if not unhandled.isEmpty():
         res._add(DEAD_LETTER_TOPIC, _dead_letter(unhandled, "no handler for topic"))
 
     for in_fqn, sd in service.streams.items():
-        topic_rows = raw.filter(F.col("topic") == in_fqn)
+        topics = [in_fqn] + ([retry_topic(in_fqn)] if sd.retry else [])
+        topic_rows = raw.filter(F.col("topic").isin(*topics))
         payload_schema = service.catalog.schema_for(in_fqn)
         decoded = decode_envelope(topic_rows, payload_schema).cache()
+
+        if sd.retry:
+            # Backoff gate: rows whose not_before hasn't passed are
+            # re-queued untouched (KafkaBus.scala:188-197 merge semantics,
+            # minus the 16-element dropHead load-shed — nothing is shed).
+            pending = not_yet_eligible(decoded, now)
+            if not pending.isEmpty():
+                res._add(
+                    retry_topic(in_fqn),
+                    pending.select(
+                        F.lit(None).cast("binary").alias("key"),
+                        F.to_json(F.struct("meta", "payload"))
+                        .cast("binary")
+                        .alias("value"),
+                        F.lit(retry_topic(in_fqn)).alias("topic"),
+                    ),
+                )
+            decoded = eligible_now(decoded, now)
 
         bad = decoded.filter(F.col("payload").isNull() | F.col("meta").isNull())
         if not bad.isEmpty():
@@ -132,6 +168,48 @@ def run_batch(service: Service, raw: DataFrame, trace: bool = False) -> BatchRes
         # ergonomic expression handlers, keep meta for correlation.
         flat = good.select("meta", "payload.*")
         out = sd.handler(flat)
+
+        # ST1/ST2 + C2: rows marked failed (``_error`` convention) are
+        # re-delivered from the ORIGINAL event (semi-join on the retry
+        # state key meta.event_id, KafkaBus.scala:205) with backoff, or
+        # dead-lettered on give-up / when no policy is attached.
+        failed = None
+        if out is not None:
+            out, failed = split_failures(out)
+        if failed is not None and not failed.isEmpty():
+            failed_ids = failed.select(F.col("meta.event_id").alias("_fid"))
+            orig_flat = (
+                good.join(
+                    failed_ids,
+                    F.col("meta.event_id") == F.col("_fid"),
+                    "left_semi",
+                )
+                .select("meta", "payload.*")
+            )
+            payload_fields = [f.name for f in payload_schema.fields]
+            if sd.retry:
+                retry_rows, gave_up = encode_retry(
+                    orig_flat, in_fqn, sd.retry, payload_fields, now
+                )
+                if not retry_rows.isEmpty():
+                    res._add(retry_topic(in_fqn), retry_rows)
+            else:
+                gave_up = orig_flat
+            if not gave_up.isEmpty():
+                res._add(
+                    DEAD_LETTER_TOPIC,
+                    _dead_letter(
+                        gave_up.select(
+                            F.lit(None).cast("binary").alias("key"),
+                            F.to_json(F.struct("meta")).cast("binary").alias(
+                                "value"
+                            ),
+                            F.lit(in_fqn).alias("topic"),
+                        ),
+                        "handler failed",
+                    ),
+                )
+
         if sd.out_type is None or out is None:
             continue  # T2 terminal sink stream
 
@@ -178,7 +256,8 @@ def run_batch(service: Service, raw: DataFrame, trace: bool = False) -> BatchRes
             F.lit(sd.out_type).alias("topic"),
             F.col("meta.direct_reply.service_name").alias("_reply_service"),
         )
-        res._add(sd.out_type, encoded.drop("_reply_service"))
+        if not encoded.isEmpty():
+            res._add(sd.out_type, encoded.drop("_reply_service"))
         # RPC2: additionally publish to the caller's service-name topic
         # (KafkaBus.scala:60-73,157-169).
         rpc = encoded.filter(F.col("_reply_service").isNotNull())

@@ -1,0 +1,161 @@
+"""Keyed entity state — event-sourced KV (SURVEY.md §2.1 E1/T4).
+
+Reference: ``EntityDb[S]`` exposes ``getState(id)`` / ``modifyState(id,
+state)`` backed by cluster-sharded, event-sourced actors with 50 shards
+(entity/EntityDb.scala:12-25, cluster/Actor.scala:6-15); the auto-handler
+``registerDataBaseStream`` answers any ``DbAccessor`` request with the
+entity's current state (module/Service.scala:66-71).
+
+Spark re-expression:
+- **Snapshot fold** (batch / foreachBatch): events grouped by key, folded
+  in event-time order into one state row per key. Expression folds ("last
+  non-null wins") use window functions — pure JVM. General folds use
+  ``applyInPandas`` per key group — Arrow-batched, shuffle-partitioned by
+  key (the shard analog: ``spark.sql.shuffle.partitions`` replaces
+  ``numberOfShards=50``).
+- **Streaming fold**: ``applyInPandasWithState`` keeps per-key state in
+  the Spark state store (RocksDB-backed on clusters — bounded, spillable,
+  unlike the reference's in-memory actors).
+- **Lookup (T4)**: request stream ⋈ state snapshot — a stream-static or
+  batch equi-join on the entity id; broadcast when the snapshot is small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def fold_last_value(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_cols: list[str] | None = None,
+) -> DataFrame:
+    """Last-write-wins snapshot: one row per key holding the latest value
+    of every state column (ordered by event time, tiebroken deterministically
+    by all columns). JVM-only — no Python in the hot path."""
+    state_cols = state_cols or [
+        c for c in events.columns if c not in (key_col, ts_col)
+    ]
+    w = Window.partitionBy(key_col).orderBy(F.desc(ts_col))
+    ranked = events.withColumn("_rn", F.row_number().over(w))
+    return ranked.filter(F.col("_rn") == 1).select(
+        key_col, ts_col, *state_cols
+    )
+
+
+def fold_events(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    fold: Callable[[dict | None, dict], dict],
+    state_ddl: str,
+) -> DataFrame:
+    """General event-sourced fold: per-key, event-time-ordered reduction —
+    the EntityDb recovery path (replay events → state). Runs as one
+    ``applyInPandas`` per key group; keys are shuffle-partitioned so a
+    100 TB event log folds with per-key memory only."""
+
+    def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        state: dict | None = None
+        for rec in pdf.to_dict("records"):
+            state = fold(state, rec)
+        return pd.DataFrame([state]) if state is not None else pd.DataFrame()
+
+    return events.groupBy(key_col).applyInPandas(fold_group, schema=state_ddl)
+
+
+class EntityDb:
+    """Queryable entity-state façade over a snapshot DataFrame.
+
+    ``get_state``/``modify_state`` mirror EntityDb.scala:23-24; the
+    snapshot is a DataFrame so lookups compose with the whole relational
+    surface (and with stream-static joins in streaming mode).
+    """
+
+    def __init__(self, snapshot: DataFrame, key_col: str = "id"):
+        self.snapshot = snapshot
+        self.key_col = key_col
+
+    def get_state(self, requests: DataFrame, request_key: str = "id") -> DataFrame:
+        """T4 entity-lookup: answer DbAccessor-style requests
+        (event/package.scala:127) with current state via an equi-join.
+        Broadcasts the smaller side automatically (AQE)."""
+        return requests.join(
+            self.snapshot,
+            requests[request_key] == self.snapshot[self.key_col],
+            "left_outer",
+        )
+
+    def modify_state(self, updates: DataFrame, ts_col: str) -> "EntityDb":
+        """Merge updates (same schema) last-write-wins — the
+        ``modifyState`` analog, returning the new snapshot DB."""
+        merged = fold_last_value(
+            self.snapshot.unionByName(updates), self.key_col, ts_col
+        )
+        return EntityDb(merged, self.key_col)
+
+
+def streaming_fold_last(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_ddl: str,
+    ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming last-write-wins fold via ``applyInPandasWithState``:
+    per-key state in the state store, optional processing-time TTL (the
+    passivation analog — reference actors live forever, ours expire).
+
+    ``state_ddl`` must cover (key_col, ts_col, value columns) of the
+    emitted state rows.
+    """
+    out_fields = [f.strip().split()[0] for f in state_ddl.split(",")]
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        latest = rows.iloc[-1]
+        prev_ts = state.get[0] if state.exists else None
+        latest_ts = latest[ts_col].isoformat()
+        if prev_ts is None or latest_ts >= prev_ts:
+            state.update((latest_ts,))
+            if ttl_seconds:
+                state.setTimeoutDuration(ttl_seconds * 1000)
+            yield pd.DataFrame([{c: latest[c] for c in out_fields}])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_seconds
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=state_ddl,
+        stateStructType="last_ts string",
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def entity_created_events(
+    updates: DataFrame, key_col: str, entity_type: str
+) -> DataFrame:
+    """EntityCreated broadcast analog (event/package.scala:125): first
+    sighting of each key becomes a creation event row."""
+    return updates.select(key_col).distinct().select(
+        F.col(key_col).alias("entity_id"),
+        F.lit(entity_type).alias("entity_type"),
+    )

@@ -1,0 +1,191 @@
+"""Per-event retry with backoff — the ST1 stateful retry machine, re-done
+as the checkpoint-friendly retry-topic pattern.
+
+Reference (/root/reference/typebus-kafka/.../KafkaBus.scala:204-240): a
+``statefulMapConcat`` keeps per-eventId ``(attempt, RetryPolicy)`` in an
+unbounded in-memory HashMap; ``Recoverable`` failures are re-injected via a
+16-element ``dropHead`` queue after None/Linear/Exponential backoff
+(bus/package.scala:19-29); exceeding ``retry`` attempts commits & drops.
+
+Spark re-expression: failed rows are *published* to a per-stream retry
+topic carrying ``attempt`` and ``not_before`` in ``meta.extra``; the
+source unions the retry topic and dispatches rows whose ``not_before`` has
+passed, re-publishing the rest. State therefore lives on the bus + in the
+checkpoint — no unbounded driver/executor dict (the reference's known
+leak, SURVEY.md §7 risks), nothing is load-shed, and a crash replays from
+the checkpoint instead of dropping the queue. Deliberate, strictly
+stronger divergence; documented here.
+
+Failure marking: vectorized handlers signal per-row failure via a nullable
+``_error`` string column (expression handlers: ``F.when(...)``; Python
+handlers: the ``row_handler`` wrapper catches exceptions into it) — the
+``Recoverable`` analog (event/package.scala:171).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from typebus_spark.registry import RetryPolicy
+
+ERROR_COL = "_error"
+ATTEMPT_KEY = "attempt"
+NOT_BEFORE_KEY = "not_before_epoch"
+
+
+def retry_topic(in_fqn: str) -> str:
+    return f"{in_fqn}.retry"
+
+
+def split_failures(out: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(succeeded, failed) by the ``_error`` convention; succeeded rows drop
+    the marker column."""
+    if ERROR_COL not in out.columns:
+        return out, None  # type: ignore[return-value]
+    ok = out.filter(F.col(ERROR_COL).isNull()).drop(ERROR_COL)
+    bad = out.filter(F.col(ERROR_COL).isNotNull())
+    return ok, bad
+
+
+def attempt_col() -> F.Column:
+    """Current attempt number from meta.extra (0 on first delivery)."""
+    return F.coalesce(
+        F.col("meta.extra").getItem(ATTEMPT_KEY).cast("int"), F.lit(0)
+    )
+
+
+def backoff_seconds_col(policy: RetryPolicy, attempt: F.Column) -> F.Column:
+    """Columnar form of RetryPolicy.backoff_seconds
+    (KafkaBus.scala:223-233): delay / attempt*delay / attempt²*delay."""
+    d = F.lit(policy.delay_seconds)
+    if policy.shape.value == "linear":
+        return attempt * d
+    if policy.shape.value == "exponential":
+        return (attempt * attempt) * d
+    return d
+
+
+def encode_retry(
+    failed: DataFrame,
+    in_fqn: str,
+    policy: RetryPolicy,
+    payload_cols: list[str],
+    now: F.Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Failed decoded rows → (retry-topic rows, gave-up rows).
+
+    Retry rows keep the ORIGINAL meta (same event_id — the retry state key,
+    KafkaBus.scala:205) with ``extra.attempt`` incremented and
+    ``extra.not_before_epoch`` = now + backoff(attempt). Rows past
+    ``max_attempts`` are returned for dead-lettering (give-up path
+    KafkaBus.scala:219-221).
+    """
+    now = now if now is not None else F.unix_timestamp(F.current_timestamp())
+    nxt = attempt_col() + 1
+    eligible = failed.filter(nxt <= F.lit(policy.max_attempts))
+    gave_up = failed.filter(nxt > F.lit(policy.max_attempts))
+
+    new_meta = F.col("meta").withField(
+        "extra",
+        F.map_concat(
+            F.map_filter(
+                F.coalesce(
+                    F.col("meta.extra"), F.create_map().cast("map<string,string>")
+                ),
+                lambda k, _: ~k.isin(ATTEMPT_KEY, NOT_BEFORE_KEY),
+            ),
+            F.create_map(
+                F.lit(ATTEMPT_KEY),
+                nxt.cast("string"),
+                F.lit(NOT_BEFORE_KEY),
+                (now + backoff_seconds_col(policy, nxt).cast("long")).cast(
+                    "string"
+                ),
+            ),
+        ),
+    )
+    env = F.struct(
+        new_meta.alias("meta"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
+    )
+    retry_rows = eligible.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(env).cast("binary").alias("value"),
+        F.lit(retry_topic(in_fqn)).alias("topic"),
+    )
+    return retry_rows, gave_up
+
+
+def eligible_now(decoded: DataFrame, now_epoch: F.Column | None = None) -> DataFrame:
+    """Rows whose backoff has elapsed (source-side filter on the unioned
+    retry stream — the ``merge(retryQueueSource)`` analog,
+    KafkaBus.scala:188-197)."""
+    now_epoch = (
+        now_epoch
+        if now_epoch is not None
+        else F.unix_timestamp(F.current_timestamp())
+    )
+    nb = F.col("meta.extra").getItem(NOT_BEFORE_KEY).cast("long")
+    return decoded.filter(nb.isNull() | (nb <= now_epoch))
+
+
+def not_yet_eligible(decoded: DataFrame, now_epoch: F.Column | None = None) -> DataFrame:
+    now_epoch = (
+        now_epoch
+        if now_epoch is not None
+        else F.unix_timestamp(F.current_timestamp())
+    )
+    nb = F.col("meta.extra").getItem(NOT_BEFORE_KEY).cast("long")
+    return decoded.filter(nb.isNotNull() & (nb > now_epoch))
+
+
+def row_handler(
+    fn: Callable[[dict], dict | None],
+    out_fields: list[tuple[str, str]],
+) -> Callable[[DataFrame], DataFrame]:
+    """Wrap a per-record Python handler ``dict -> dict`` as an Arrow-batched
+    ``mapInPandas`` transform that catches exceptions into ``_error`` —
+    the vectorized upgrade of the per-record ``Future`` handler (T1) with
+    ``Recoverable`` capture (C2 never-stop supervision analog).
+
+    ``out_fields``: [(name, spark_ddl_type)] of the handler's output.
+    UDF escape hatch only — expression handlers stay JVM-side and faster.
+    """
+
+    def transform(df: DataFrame) -> DataFrame:
+        in_schema = df.schema
+        out_ddl = (
+            ", ".join(f"{n} {t}" for n, t in out_fields) + f", {ERROR_COL} string"
+        )
+        meta_idx = [f.name for f in in_schema.fields]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_rows = []
+                for rec in pdf.to_dict("records"):
+                    try:
+                        r = fn(rec) or {}
+                        r[ERROR_COL] = None
+                    except Exception as e:  # Recoverable capture
+                        r = {n: rec.get(n) for n, _ in out_fields}
+                        r[ERROR_COL] = f"{type(e).__name__}: {e}"
+                    r["meta"] = rec.get("meta")
+                    out_rows.append(r)
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=["meta"] + [n for n, _ in out_fields] + [ERROR_COL],
+                )
+
+        meta_ddl = next(
+            f"meta {f.dataType.simpleString()}"
+            for f in in_schema.fields
+            if f.name == "meta"
+        )
+        _ = meta_idx
+        return df.mapInPandas(run, schema=f"{meta_ddl}, {out_ddl}")
+
+    return transform
