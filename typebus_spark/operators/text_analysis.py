@@ -1,0 +1,130 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting (north-star extensions, BASELINE.json).
+
+Everything is a pure Catalyst expression pipeline — single scan, no
+shuffle (per-document computation), no UDFs — so a 100 TB corpus
+processes at parquet-scan speed with full whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from typebus_spark.functions.text import (
+    minhash_signature,
+    norm_text,
+    shingles,
+    tokens,
+)
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately minimal + deterministic (the real-world analog swaps in
+# fastText/CLD3 via a pandas UDF; the heuristic IS the operator contract).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "nicht"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count, char count, avg token length."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_actual"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + composite score ∈ [0,1]:
+    length band, punctuation density, stopword ratio, repetition
+    (distinct-token ratio). Mirrors the usual LLM-data quality filters."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = stop_hits / n_tok
+    punct_ratio = punct / n_chars
+    length_ok = (n_tok >= 20) & (n_tok <= 10000)
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6), F.lit(0.2)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(distinct_ratio >= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_token_ratio"),
+        F.round(score, 1).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-lexicon language ID: per language, count marker hits among
+    lowercased tokens; argmax wins, 'und' when no hits. Deterministic
+    tiebreak by language code order."""
+    toks = F.transform(tokens(text_col), F.lower)
+
+    def _hits(ws: list[str]) -> F.Column:
+        # single-arg lambda: a 2-arg lambda would receive the element
+        # INDEX as its second argument (pyspark higher-order fn contract)
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    hit_cols = [
+        _hits(ws).alias(f"hits_{code}") for code, ws in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), *hit_cols)
+    best = F.lit(0)
+    lang = F.lit("und")
+    for code in LANG_MARKERS:  # insertion order = deterministic tiebreak
+        c = F.col(f"hits_{code}")
+        better = c > best
+        lang = F.when(better, F.lit(code)).otherwise(lang)
+        best = F.when(better, c).otherwise(best)
+    return scored.select(
+        F.col(id_col),
+        lang.alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    minhash_k: int = 4,
+) -> DataFrame:
+    """Document fingerprints: full-content hash (md5 of normalized text)
+    + a k-element MinHash sketch of word shingles (winnowing analog —
+    robust to small edits). Both engine-portable (md5)."""
+    sh = F.array_distinct(shingles(tokens(text_col), shingle_n))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm_text(text_col)).alias("content_hash"),
+        minhash_signature(sh, minhash_k).alias("minhash"),
+    )

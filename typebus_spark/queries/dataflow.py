@@ -1,1 +1,404 @@
-"""Filled in later rounds of this build."""
+"""Dataflow inventory queries — the typebus semantics (routing, RPC
+correlation, sessionization, streaming windows) exercised through the
+REAL engine components (runtime router, correlate_batch, asof_join,
+session_window, Structured Streaming) and oracle-checked in batch SQL.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from typebus_spark.codec.envelope import encode_envelope
+from typebus_spark.operators.asof import asof_join
+from typebus_spark.registry import Service
+from typebus_spark.runtime import run_batch
+from typebus_spark.streaming.rpc import correlate_batch
+from typebus_spark.suite import query, t
+
+
+@query(
+    "q_route_counts",
+    oracle="""
+SELECT CASE WHEN event_type IN ('purchase', 'view')
+            THEN 'api.' || event_type || '.done'
+            ELSE 'typebus.DeadLetter' END AS topic,
+       count(*) AS n
+FROM events
+GROUP BY 1
+""",
+    doc=(
+        "R1/O2 routing through the actual runtime router: events become "
+        "envelopes (topic = type FQN), registered handlers consume "
+        "purchase/view, everything else dead-letters."
+    ),
+)
+def q_route_counts(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    events = t(spark, sf_dir, "events")
+    payload_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    svc = Service("router-query")
+    for et in ("purchase", "view"):
+        svc.declare_type(f"api.{et}", payload_schema)
+        svc.declare_type(f"api.{et}.done", payload_schema)
+        svc.register_stream(
+            f"api.{et}",
+            f"api.{et}.done",
+            lambda df: df.select(
+                "meta", "event_id", "user_id", (F.col("value") * 2).alias("value")
+            ),
+        )
+    raw = encode_envelope(
+        events,
+        F.concat(F.lit("api."), F.col("event_type")),
+        payload_cols=["event_id", "user_id", "value"],
+    )
+    res = run_batch(svc, raw)
+    out = None
+    for topic, df in res.outputs.items():
+        c = df.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(topic).alias("topic"), "n"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+@query(
+    "q_rpc_correlate",
+    oracle="""
+SELECT 'r' || CAST(event_id AS VARCHAR) AS request_id,
+       CASE WHEN event_id % 2 = 0 THEN 'completed' ELSE 'timeout' END AS status,
+       CASE WHEN event_id % 2 = 0 THEN round(value * 2, 2) END AS response_value,
+       CASE WHEN event_id % 2 = 1
+            THEN 'java.util.concurrent.TimeoutException' END AS err_type
+FROM events
+WHERE event_type = 'purchase'
+""",
+    doc=(
+        "RPC1/RPC2 scatter-gather over correlate_batch: purchase events as "
+        "requests; even event_ids get responses (response_to=request "
+        "event_id), odd ones exceed the 4s timeout → ServiceException."
+    ),
+)
+def q_rpc_correlate(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    requests = ev.select(
+        F.struct(
+            F.concat(F.lit("r"), F.col("event_id").cast("string")).alias(
+                "event_id"
+            ),
+            F.concat(F.lit("c"), F.col("event_id").cast("string")).alias(
+                "correlation_id"
+            ),
+            F.lit(None).cast("string").alias("response_to"),
+            F.col("ts").alias("occurred_at"),
+        ).alias("meta"),
+        F.struct(F.col("value").alias("value")).alias("payload"),
+    )
+    responses = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.struct(
+                F.concat(F.lit("resp"), F.col("event_id").cast("string")).alias(
+                    "event_id"
+                ),
+                F.concat(F.lit("c"), F.col("event_id").cast("string")).alias(
+                    "correlation_id"
+                ),
+                F.concat(F.lit("r"), F.col("event_id").cast("string")).alias(
+                    "response_to"
+                ),
+                (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("occurred_at"),
+            ).alias("meta"),
+            F.struct(F.round(F.col("value") * 2, 2).alias("value")).alias(
+                "payload"
+            ),
+        )
+    )
+    out = correlate_batch(requests, responses, timeout_seconds=4.0)
+    return out.select(
+        "request_id",
+        "status",
+        F.col("right.value").alias("response_value"),
+        F.col("left.throwable_type").alias("err_type"),
+    )
+
+
+@query(
+    "q_asof_enrich",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type IN ('view', 'click'))
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       v.ts AS r_ts, v.event_id AS r_event_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    doc=(
+        "As-of (point-in-time) join: each purchase enriched with the most "
+        "recent prior view/click by the same user — union+window, one "
+        "shuffle, no range explosion (operators.asof)."
+    ),
+)
+def q_asof_enrich(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts"
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_last,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM g GROUP BY user_id, sid
+""",
+    doc=(
+        "Sessionization via session_window (30 min gap) — the streaming-"
+        "native session operator run in batch; oracle is gaps-and-islands."
+    ),
+)
+def q_sessionize(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+        )
+        .select(
+            "user_id", "session_start", "session_last", "n_events", "total_value"
+        )
+    )
+
+
+@query(
+    "q_stream_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+""",
+    doc=(
+        "REAL Structured Streaming: file-source replay of events → "
+        "1-hour tumbling window aggregation → memory sink (complete "
+        "mode), returned as the result table (S1/T1 streaming path)."
+    ),
+)
+def q_stream_hourly(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    # the file stream source requires a DIRECTORY; stage the (read-only)
+    # driver file into a temp dir for replay
+    stage = tempfile.mkdtemp(prefix="stream_hourly_")
+    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "n_events", "total_value"
+        )
+    )
+    name = f"hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@query(
+    "q_window_running",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id) AS value_rank
+FROM events
+""",
+    doc="Window functions: running sum, lag, per-key ranking (§2.2 surface).",
+)
+def q_window_running(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wv = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.sum("value").over(wr), 2).alias("running_total"),
+        F.lag("value").over(wt).alias("prev_value"),
+        F.row_number().over(wv).cast("long").alias("value_rank"),
+    )
+
+
+@query(
+    "q_rollup_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="Hierarchical aggregates: ROLLUP grouping sets (§2.2 surface).",
+)
+def q_rollup_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q_setops_buyers_with_errors",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+    doc="Set operations: INTERSECT of purchaser and error-affected users.",
+)
+def q_setops_buyers_with_errors(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errored = ev.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.intersect(errored)
+
+
+@query(
+    "q_anti_unordered_parts",
+    oracle="""
+SELECT p_partkey, p_name FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+""",
+    doc="Anti join: parts that never appear in any lineitem.",
+)
+def q_anti_unordered_parts(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    l = t(spark, sf_dir, "lineitem")
+    return p.join(
+        l, p.p_partkey == l.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "q_semi_priority_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+""",
+    doc="Semi join: customers having at least one urgent order.",
+)
+def q_semi_priority_customers(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_scalar_kitchen_sink",
+    oracle="""
+SELECT event_id,
+       upper(event_type) AS type_u,
+       substr(event_type, 1, 3) AS type_3,
+       length(event_type) AS type_len,
+       event_type || '#' || CAST(user_id AS VARCHAR) AS tag,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       hour(ts) AS h,
+       month(ts) AS m,
+       round(sqrt(abs(value)), 6) AS sqrt_v,
+       round(ln(value + 1), 6) AS ln_v
+FROM events
+""",
+    doc="Scalar function library: string/json/date/math built-ins (§2.2 surface).",
+)
+def q_scalar_kitchen_sink(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_u"),
+        F.substring("event_type", 1, 3).alias("type_3"),
+        F.length("event_type").cast("long").alias("type_len"),
+        F.concat(
+            F.col("event_type"), F.lit("#"), F.col("user_id").cast("string")
+        ).alias("tag"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.hour("ts").cast("long").alias("h"),
+        F.month("ts").cast("long").alias("m"),
+        F.round(F.sqrt(F.abs("value")), 6).alias("sqrt_v"),
+        F.round(F.log(F.col("value") + 1), 6).alias("ln_v"),
+    )

@@ -1,1 +1,204 @@
-"""Filled in later rounds of this build."""
+"""Deduplication inventory queries (north-star) over ``documents`` /
+``embeddings``.
+
+The md5-portable hashing (functions.text) makes even the MinHash+LSH
+pipeline fully oracle-checkable: signatures, band hashes, candidate
+pairs and verified Jaccard are bit-identical in DuckDB. SimHash uses
+xxhash64 (engine-local) → rows-only check, as declared.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from typebus_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from typebus_spark.queries.text import TOKS, _shingles_sql
+from typebus_spark.suite import query, t
+
+NEAR_N = 8
+NEAR_THRESHOLD = 0.5
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS canonical_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup: hash-groupBy on normalized content (one shuffle, map-side partials).",
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT s.a, s.b,
+       round(s.shared / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.a = sa.doc_id
+JOIN sizes sb ON s.b = sb.doc_id
+WHERE s.shared / (sa.n_sh + sb.n_sh - s.shared) >= {thr}
+"""
+
+
+@query(
+    "q_dedup_near_jaccard",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest({_shingles_sql(NEAR_N)}) AS shingle FROM tt),
+{_JACCARD_TAIL.format(thr=NEAR_THRESHOLD)}
+""",
+    doc=(
+        "EXACT n-gram Jaccard near-dup pairs via inverted shingle index — "
+        "sub-quadratic because 8-gram shingles are selective."
+    ),
+)
+def q_dedup_near_jaccard(spark, sf_dir):
+    return jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=NEAR_N,
+        threshold=NEAR_THRESHOLD,
+    )
+
+
+def _minhash_lsh_oracle(
+    shingle_n: int = NEAR_N,
+    num_hashes: int = 16,
+    bands: int = 4,
+    thr: float = NEAR_THRESHOLD,
+) -> str:
+    r = num_hashes // bands
+    sig = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'h': md5(%s)}"
+        % (
+            b,
+            " || '|' || ".join(f"m{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+shl AS (SELECT doc_id, list_distinct({_shingles_sql(shingle_n)}) AS sh FROM tt),
+sig AS (SELECT doc_id, {sig} FROM shl),
+bands AS (SELECT doc_id, unnest([{band_structs}], recursive := true) FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+sh AS (SELECT DISTINCT doc_id, unnest({_shingles_sql(shingle_n)}) AS shingle
+       FROM tt),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.a, c.b, count(*) AS shared
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY 1, 2)
+SELECT s.a, s.b,
+       round(s.shared / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.a = sa.doc_id
+JOIN sizes sb ON s.b = sb.doc_id
+WHERE s.shared / (sa.n_sh + sb.n_sh - s.shared) >= {thr}
+"""
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=_minhash_lsh_oracle(),
+    doc=(
+        "MinHash+LSH near-dup: md5 signatures (engine-portable) → 4 bands "
+        "× 4 rows → band-bucket join candidates → exact Jaccard verify. "
+        "Sub-quadratic scale path."
+    ),
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=NEAR_N,
+        num_hashes=16,
+        bands=4,
+        threshold=NEAR_THRESHOLD,
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=None,  # xxhash64 is engine-local → rows-only check
+    doc=(
+        "SimHash near-dup: 64-bit signatures via one explode+groupBy pass, "
+        "16-bit-chunk banding (pigeonhole) for sub-quadratic candidates."
+    ),
+)
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))"
+)
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round({_DOT.format(a='a.embedding', b='b.embedding')}
+             / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}),
+             6) AS cos
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+      / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}) >= 0.9
+""",
+    doc=(
+        "Embedding-cosine near-dup, label-blocked (IVF-style blocking keeps "
+        "the pair space linear per block at scale)."
+    ),
+)
+def q_dedup_embedding(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    from typebus_spark.functions.vector import cosine
+
+    a = e.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va"), "label"
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), "label"
+    )
+    cos = cosine("va", "vb")
+    return (
+        a.join(b, "label")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cos >= 0.9)
+        .select("a", "b", F.round(cos, 6).alias("cos"))
+    )

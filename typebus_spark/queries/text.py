@@ -1,1 +1,204 @@
-"""Filled in later rounds of this build."""
+"""Text-analysis inventory queries over ``documents`` (north-star).
+
+Oracle-SQL equivalence notes (see tests/oracle.py for the compare):
+- Spark ``split(trim(x),'\\s+')`` ≡ DuckDB ``regexp_split_to_array``.
+- Counts are cast to BIGINT on the Spark side (DuckDB len()/count() are
+  BIGINT).
+- md5 hex strings verified bit-identical across engines, so fingerprints
+  and MinHash sketches are fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from typebus_spark.operators.text_analysis import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from typebus_spark.suite import query, t
+
+TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+LTOKS = f"list_transform({TOKS}, x -> lower(x))"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "q_text_token_stats",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks, text FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars_actual,
+       round(list_reduce(list_transform(toks, x -> CAST(length(x) AS DOUBLE)),
+                         (a, b) -> a + b) / len(toks), 4) AS avg_token_len
+FROM tt
+""",
+    doc="Token counting (north-star text analysis): whitespace tokens, single scan, no shuffle.",
+)
+def q_text_token_stats(spark, sf_dir):
+    df = token_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+        "avg_token_len",
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks, text FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct,
+         len(list_filter(toks, x -> list_contains({_sql_list(STOPWORDS)}, lower(x)))) AS stop_hits,
+         len(list_distinct(toks)) AS n_distinct
+  FROM tt)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       round(stop_hits / n_tok, 4)  AS stopword_ratio,
+       round(punct / n_chars, 4)    AS punct_ratio,
+       round(n_distinct / n_tok, 4) AS distinct_token_ratio,
+       round(
+         (CASE WHEN n_tok >= 20 AND n_tok <= 10000 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN stop_hits / n_tok >= 0.01 AND stop_hits / n_tok <= 0.6
+               THEN 0.2 ELSE 0.0 END)
+       + (CASE WHEN punct / n_chars <= 0.1 THEN 0.2 ELSE 0.0 END)
+       + (CASE WHEN n_distinct / n_tok >= 0.1 THEN 0.2 ELSE 0.0 END), 1)
+         AS quality_score
+FROM feat
+""",
+    doc="Quality scoring (length/punct/stopword/repetition heuristics).",
+)
+def q_text_quality(spark, sf_dir):
+    df = quality_score(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio",
+        "punct_ratio",
+        "distinct_token_ratio",
+        "quality_score",
+    )
+
+
+def _langid_oracle() -> str:
+    hits = ",\n         ".join(
+        f"len(list_filter(ltoks, x -> list_contains({_sql_list(ws)}, x))) AS hits_{c}"
+        for c, ws in LANG_MARKERS.items()
+    )
+    codes = list(LANG_MARKERS)
+    # mirror the sequential strict-improvement argmax (earlier code wins ties)
+    case = "CASE\n"
+    for i in range(len(codes) - 1, -1, -1):
+        prev = ", ".join(f"hits_{c}" for c in codes[:i]) or "0"
+        case += (
+            f"  WHEN hits_{codes[i]} > greatest({prev}, 0) "
+            f"THEN '{codes[i]}'\n"
+        )
+    case += "  ELSE 'und' END"
+    greatest_all = ", ".join(f"hits_{c}" for c in codes)
+    return f"""
+WITH tt AS (SELECT doc_id, {LTOKS} AS ltoks FROM documents),
+h AS (SELECT doc_id,
+         {hits}
+      FROM tt)
+SELECT doc_id,
+       {case} AS pred_lang,
+       greatest({greatest_all}, 0) AS marker_hits
+FROM h
+"""
+
+
+@query(
+    "q_text_langid",
+    oracle=_langid_oracle(),
+    doc="Language ID via marker-lexicon hits (n-gram heuristic analog).",
+)
+def q_text_langid(spark, sf_dir):
+    df = lang_id(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return df.select(
+        "doc_id",
+        "pred_lang",
+        F.col("marker_hits").cast("long").alias("marker_hits"),
+    )
+
+
+def _shingles_sql(n: int, toks: str = "toks") -> str:
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) END"
+    )
+
+
+def _fingerprint_oracle(shingle_n: int = 5, k: int = 4) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))" for i in range(k)
+    )
+    return f"""
+WITH tt AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, text,
+              list_distinct({_shingles_sql(shingle_n)}) AS sh FROM tt)
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       [{mins}] AS minhash
+FROM sh
+""".replace("\n", " ")
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=_fingerprint_oracle(),
+    doc="Document fingerprinting: content hash + portable md5 MinHash sketch.",
+)
+def q_text_fingerprint(spark, sf_dir):
+    return fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q_multimodal_blob_stats",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256,
+       'text/plain' AS mime
+FROM documents
+""",
+    doc="Multimodal binary column plumbing: opaque blob + JVM-side metadata (no decode).",
+)
+def q_multimodal_blob_stats(spark, sf_dir):
+    from typebus_spark.operators.multimodal import attach_blob, blob_stats
+
+    docs = t(spark, sf_dir, "documents")
+    media = attach_blob(docs, "text", "text/plain", "doc_id")
+    return blob_stats(media, "doc_id").select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sha256",
+        "mime",
+    )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle=None,  # fake decoder is Python-side; rows-only check
+    doc="Multimodal decode stage: Arrow-batched mapInPandas over media structs (decoder stubbed).",
+)
+def q_multimodal_decode(spark, sf_dir):
+    from typebus_spark.operators.multimodal import attach_blob, decode_media
+
+    docs = t(spark, sf_dir, "documents")
+    media = attach_blob(docs, "text", "text/plain", "doc_id")
+    return decode_media(media, "doc_id")
