@@ -11,12 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from typebus_spark.functions.text import (
-    minhash_signature,
-    norm_text,
-    shingles,
-    tokens,
-)
+from typebus_spark.functions.text import norm_text, tokens
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Deliberately minimal + deterministic (the real-world analog swaps in
@@ -121,10 +116,34 @@ def fingerprint(
 ) -> DataFrame:
     """Document fingerprints: full-content hash (md5 of normalized text)
     + a k-element MinHash sketch of word shingles (winnowing analog —
-    robust to small edits). Both engine-portable (md5)."""
-    sh = F.array_distinct(shingles(tokens(text_col), shingle_n))
-    return df.select(
-        F.col(id_col),
-        F.md5(norm_text(text_col)).alias("content_hash"),
-        minhash_signature(sh, minhash_k).alias("minhash"),
+    robust to small edits). Both engine-portable (md5).
+
+    The sketch is computed explode-side (shingles → k min-aggregates) in
+    ONE pass; building it as a k-element array expression makes Catalyst
+    inline the whole shingle pipeline k times (see operators.dedup).
+    """
+    from typebus_spark.functions.text import shingles
+    from typebus_spark.session import ensure_parallelism
+
+    # raw explode (no distinct): min() over duplicates is identical and
+    # skipping distinct saves a shuffle
+    sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(tokens(text_col), shingle_n)).alias("shingle"),
     )
+    sketch = sh.groupBy("_id").agg(
+        F.array(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))
+                ).alias(f"m{k}")
+                for k in range(minhash_k)
+            ]
+        ).alias("minhash")
+    )
+    hashes = df.select(
+        F.col(id_col), F.md5(norm_text(text_col)).alias("content_hash")
+    )
+    return hashes.join(
+        sketch, hashes[id_col] == sketch["_id"], "left_outer"
+    ).select(id_col, "content_hash", "minhash")

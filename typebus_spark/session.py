@@ -49,6 +49,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition ONLY when the input has fewer partitions than cores.
+
+    CPU-expansion operators (shingle explode + hashing, vector folds) are
+    compute-bound, and a small parquet file arrives as 1-2 partitions —
+    serializing the whole operator on one core. At 100 TB inputs already
+    carry thousands of partitions, so this is a no-op there (and avoids
+    an always-on repartition shuffle of raw data).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver's parquet tables (TESTDATA.md).
 
