@@ -25,7 +25,10 @@ from typebus_spark import suite  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark(app_name="typebus-spark-bench")
+    spark = get_spark(
+        app_name="typebus-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footers once so per-query numbers reflect

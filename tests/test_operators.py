@@ -1,0 +1,127 @@
+"""Unit tests for analytic operators beyond what the oracle suite covers:
+as-of join directions/tolerance, range join, IVF recall sanity,
+multimodal decode error capture + frame sampling."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from typebus_spark.operators.asof import asof_join, range_join
+from typebus_spark.operators.multimodal import (
+    attach_blob,
+    blob_stats,
+    decode_media,
+    frame_sample,
+)
+from typebus_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    train_centroids,
+)
+
+
+def _trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 10:00:05", 100.0),
+            ("A", "2024-01-01 10:00:30", 101.0),
+            ("B", "2024-01-01 10:00:10", 50.0),
+        ],
+        "sym string, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 10:00:00", 99.5),
+            ("A", "2024-01-01 10:00:20", 100.5),
+            ("B", "2024-01-01 10:00:50", 49.9),
+        ],
+        "sym string, ts string, bid double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return trades, quotes
+
+
+def test_asof_backward(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts")
+    rows = {(r["sym"], str(r["ts"])): r for r in out.collect()}
+    assert rows[("A", "2024-01-01 10:00:05")]["r_bid"] == 99.5
+    assert rows[("A", "2024-01-01 10:00:30")]["r_bid"] == 100.5
+    assert rows[("B", "2024-01-01 10:00:10")]["r_bid"] is None  # no prior quote
+
+
+def test_asof_forward_and_tolerance(spark):
+    trades, quotes = _trades_quotes(spark)
+    fwd = asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+    rows = {(r["sym"], str(r["ts"])): r for r in fwd.collect()}
+    assert rows[("A", "2024-01-01 10:00:05")]["r_bid"] == 100.5  # next quote
+    assert rows[("B", "2024-01-01 10:00:10")]["r_bid"] == 49.9
+    tol = asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="ts",
+        tolerance_seconds=6,
+    )
+    rows = {(r["sym"], str(r["ts"])): r for r in tol.collect()}
+    assert rows[("A", "2024-01-01 10:00:05")]["r_bid"] == 99.5  # 5s ≤ 6s
+    assert rows[("A", "2024-01-01 10:00:30")]["r_bid"] is None  # 10s > 6s
+
+
+def test_range_join(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = range_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="ts",
+        lower_seconds=-10, upper_seconds=0,
+    )
+    # quotes within [trade-10s, trade]; colliding right cols arrive r_-prefixed
+    got = {(r["sym"], r["px"], r["bid"]) for r in out.collect()}
+    assert ("A", 100.0, 99.5) in got  # 5s before trade
+    assert ("A", 101.0, 100.5) in got  # 10s before trade
+    assert not any(s == "B" for s, _, _ in got)  # B's quote is after
+
+
+def test_ivf_recall_vs_brute(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    brute = cosine_topk(q, c, k=3)
+    cents = train_centroids(e, "embedding", 4, seed=7)
+    approx = ivf_topk(q, c, k=3, centroids=cents, nprobe=2)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.4  # 2/4 buckets probed; sanity floor, not a quality bar
+    assert approx.count() <= 15  # k per query max
+
+
+def test_multimodal_decode_and_frames(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    media = attach_blob(docs, "text", "video/fake", "doc_id")
+    stats = blob_stats(media, "doc_id")
+    r = {x["doc_id"]: x for x in stats.collect()}
+    assert r[1]["n_bytes"] == 11
+    decoded = decode_media(media, "doc_id")
+    d = {x["doc_id"]: x for x in decoded.collect()}
+    assert d[1]["decode_error"] is None
+    assert d[1]["width"] >= 16 and len(d[1]["features"]) == 8
+    assert d[2]["decode_error"] is not None  # null blob captured per-row
+    # deterministic fake: same blob → same dims
+    d2 = {x["doc_id"]: x for x in decode_media(media, "doc_id").collect()}
+    assert d2[1]["width"] == d[1]["width"]
+    frames = frame_sample(decoded, "doc_id", every_n=2)
+    assert frames.filter(F.col("doc_id") == 1).count() >= 1
+
+
+def test_decode_media_real_decoder_is_stubbed(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = attach_blob(docs, "text", "image/png", "doc_id")
+    with pytest.raises(NotImplementedError):
+        decode_media(media, "doc_id", decoder="real")

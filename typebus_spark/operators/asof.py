@@ -113,7 +113,14 @@ def range_join(
     upper], same key. Bucketized: both sides get coarse time buckets of
     width (upper-lower+ε); the join is an equi-join on (key, bucket) over
     the 2-3 candidate buckets, then the exact band filter — avoiding the
-    full per-key cross product."""
+    full per-key cross product. Right-side columns colliding with left
+    names arrive renamed ``r_<name>``."""
+    collide = (set(left.columns) & set(right.columns)) - {on}
+    for c in collide:
+        right = right.withColumnRenamed(c, f"r_{c}")
+    if right_ts in collide:
+        right_ts = f"r_{right_ts}"
+
     width = max(upper_seconds - lower_seconds, 1.0)
     lb = left.withColumn(
         "_bucket",

@@ -266,6 +266,43 @@ def q_stream_hourly(spark, sf_dir):
 
 
 @query(
+    "q_stream_dedup",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    doc=(
+        "Streaming exact dedup: dropDuplicates over a replayed event "
+        "stream (memory sink) — the streaming form of exact_dedup; state "
+        "is the distinct-key set (watermark-bounded in production)."
+    ),
+)
+def q_stream_dedup(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    stage = tempfile.mkdtemp(prefix="stream_dedup_")
+    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@query(
     "q_window_running",
     oracle="""
 SELECT event_id, user_id, ts, value,
