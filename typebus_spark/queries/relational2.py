@@ -1,0 +1,140 @@
+"""Second relational batch: cube/grouping sets, EXCEPT, exact
+percentiles, scalar subqueries (via the engine.sql surface), date
+arithmetic. All stock Catalyst (§2.2)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from typebus_spark.sql import sql as engine_sql
+from typebus_spark.suite import query, t
+
+
+@query(
+    "q_cube_events",
+    oracle="""
+SELECT event_type, month(ts) AS m,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY CUBE (event_type, month(ts))
+""",
+    doc="CUBE grouping sets over type × month.",
+)
+def q_cube_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.month("ts").alias("m"), "value"
+    )
+    return ev.cube("event_type", "m").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@query(
+    "q_grouping_sets_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="Explicit GROUPING SETS via the engine.sql surface.",
+)
+def q_grouping_sets_orders(spark, sf_dir):
+    return engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+    )
+
+
+@query(
+    "q_except_viewers_not_buyers",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+    doc="Set operation: EXCEPT (viewers who never purchased).",
+)
+def q_except_viewers_not_buyers(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.subtract(buyers)  # EXCEPT (distinct semantics)
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM events
+GROUP BY event_type
+""",
+    doc="Exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont).",
+)
+def q_percentiles(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+@query(
+    "q_sql_scalar_subquery",
+    oracle="""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+""",
+    doc="Correlated scalar subquery through engine.sql (Catalyst decorrelation).",
+)
+def q_sql_scalar_subquery(spark, sf_dir):
+    return engine_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """,
+    )
+
+
+@query(
+    "q_ship_latency",
+    oracle="""
+SELECT o_orderpriority,
+       round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_days,
+       max(date_diff('day', o_orderdate, l_shipdate)) AS max_days,
+       count(*) AS n
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    doc="Date arithmetic: order→ship latency per priority.",
+)
+def q_ship_latency(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg(dd), 4).alias("avg_days"),
+            F.max(dd).cast("long").alias("max_days"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
