@@ -173,6 +173,64 @@ def test_descriptor(svc):
     )
 
 
+def test_streaming_retry_end_to_end_filebus(spark, tmp_path):
+    """ST1 over the real streaming path: wave 1 fails the handler and
+    publishes to the retry topic; the next start_service run (same
+    checkpoint) picks the retry file up and succeeds with attempt=1."""
+    from pyspark.sql.types import IntegerType
+
+    from typebus_spark.registry import BackoffShape, RetryPolicy
+
+    s = Service("retry-stream-svc")
+    s.declare_type(
+        "api.Flaky",
+        StructType(
+            [
+                StructField("task_id", StringType()),
+                StructField("fail_times", IntegerType()),
+            ]
+        ),
+    )
+    s.declare_type(
+        "api.FlakyDone",
+        StructType([StructField("task_id", StringType())]),
+    )
+
+    def handler(df):
+        attempt = F.coalesce(
+            F.col("meta.extra").getItem("attempt").cast("int"), F.lit(0)
+        )
+        return df.select(
+            "meta",
+            "task_id",
+            F.when(attempt < F.col("fail_times"), F.lit("boom")).alias("_error"),
+        )
+
+    s.register_stream(
+        "api.Flaky",
+        "api.FlakyDone",
+        handler,
+        retry=RetryPolicy(3, 0.0, BackoffShape.NONE),  # immediately eligible
+    )
+    bus = FileBus(str(tmp_path / "bus"))
+    df = spark.createDataFrame(
+        [("t1", 1)], "task_id string, fail_times int"
+    )
+    bus.publish(encode_envelope(df, "api.Flaky"), "api.Flaky")
+
+    q = start_service(s, bus, spark, str(tmp_path / "ck"))
+    q.awaitTermination(60)
+    assert bus.read(spark, ["api.FlakyDone"]).count() == 0  # failed wave 1
+    assert bus.read(spark, ["api.Flaky.retry"]).count() == 1
+
+    q2 = start_service(s, bus, spark, str(tmp_path / "ck"))
+    q2.awaitTermination(60)
+    done = bus.read(spark, ["api.FlakyDone"])
+    assert done.count() == 1
+    v = json.loads(bytes(done.collect()[0]["value"]).decode())
+    assert v["payload"]["task_id"] == "t1"
+
+
 def test_streaming_end_to_end_filebus(spark, svc, tmp_path):
     bus = FileBus(str(tmp_path / "bus"))
     bus.publish(_orders(spark), "api.OrderPlaced")

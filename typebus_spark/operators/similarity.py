@@ -60,18 +60,25 @@ def cosine_topk(
 
 
 def _nearest_centroid(vec_col: str, centroids: list[list[float]]) -> F.Column:
-    """Argmax centroid by dot product — centroids are plan literals."""
+    """Argmax centroid by dot product — centroids are plan literals.
+
+    Built as ONE sorted array expression: a chained when/otherwise argmax
+    nests every previous comparison, re-inlining each dot product O(n²)
+    times through CollapseProject; the array form evaluates each dot once.
+    """
     scores = [
         dot(vec_col, F.array(*[F.lit(float(x)) for x in cen]))
         for cen in centroids
     ]
-    expr_i = F.lit(0)
-    expr_d = scores[0]
-    for i in range(1, len(scores)):
-        better = scores[i] > expr_d
-        expr_i = F.when(better, F.lit(i)).otherwise(expr_i)
-        expr_d = F.when(better, scores[i]).otherwise(expr_d)
-    return expr_i
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct((-s).alias("neg"), F.lit(i).alias("i"))
+                for i, s in enumerate(scores)
+            ]
+        )
+    )
+    return F.element_at(ranked, 1)["i"]
 
 
 def train_centroids(

@@ -168,6 +168,32 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 @query(
+    "q_text_bpe_tokens",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]'))
+         AS n_subwords,
+       len(list_distinct(regexp_extract_all(
+           text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]'))) AS n_distinct
+FROM documents
+""",
+    doc="BPE-ish subword tokenization (regex pretokenizer analog).",
+)
+def q_text_bpe_tokens(spark, sf_dir):
+    import pyspark.sql.functions as FF
+
+    docs = t(spark, sf_dir, "documents")
+    toks = FF.expr(
+        "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]', 0)"
+    )
+    return docs.select(
+        "doc_id",
+        FF.size(toks).cast("long").alias("n_subwords"),
+        FF.size(FF.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+@query(
     "q_multimodal_blob_stats",
     oracle="""
 SELECT doc_id,
