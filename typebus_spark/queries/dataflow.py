@@ -78,6 +78,74 @@ def q_route_counts(spark, sf_dir):
 
 
 @query(
+    "q_retry_drain",
+    oracle="""
+SELECT CASE WHEN event_id % 4 = 3 THEN 'typebus.DeadLetter'
+            ELSE 'api.Task.done' END AS topic,
+       count(*) AS n
+FROM events
+GROUP BY 1
+""",
+    doc=(
+        "ST1/ST2 retry machine through the real drain loop: task fails "
+        "while attempt < event_id%4 with max_attempts=2 and exponential "
+        "backoff — %4==3 exhausts retries and dead-letters, the rest "
+        "succeed on a later attempt."
+    ),
+)
+def q_retry_drain(spark, sf_dir):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from typebus_spark.registry import BackoffShape, RetryPolicy
+    from typebus_spark.runtime import drain_batches
+
+    events = t(spark, sf_dir, "events")
+    payload = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("fail_times", LongType()),
+        ]
+    )
+    svc = Service("retry-query")
+    svc.declare_type("api.Task", payload)
+    svc.declare_type("api.Task.done", payload)
+
+    def handler(df):
+        attempt = F.coalesce(
+            F.col("meta.extra").getItem("attempt").cast("int"), F.lit(0)
+        )
+        return df.select(
+            "meta",
+            "event_id",
+            "fail_times",
+            F.when(attempt < F.col("fail_times"), F.lit("transient")).alias(
+                "_error"
+            ),
+        )
+
+    svc.register_stream(
+        "api.Task",
+        "api.Task.done",
+        handler,
+        retry=RetryPolicy(2, 10.0, BackoffShape.EXPONENTIAL),
+    )
+    raw = encode_envelope(
+        events.select(
+            "event_id", (F.col("event_id") % 4).alias("fail_times")
+        ),
+        "api.Task",
+    )
+    res = drain_batches(svc, raw)
+    out = None
+    for topic, df in res.outputs.items():
+        c = df.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(topic).alias("topic"), "n"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+@query(
     "q_rpc_correlate",
     oracle="""
 SELECT 'r' || CAST(event_id AS VARCHAR) AS request_id,

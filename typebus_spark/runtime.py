@@ -273,6 +273,36 @@ def run_batch(
     return res
 
 
+def drain_batches(
+    service: Service,
+    raw: DataFrame,
+    now_epoch: int = 1_000_000,
+    clock_step: int = 10_000,
+    max_rounds: int = 10,
+) -> BatchResult:
+    """Batch-mode retry drain: run ``run_batch``, feed retry topics back
+    in with the simulated clock advanced past every backoff, until the
+    retry queue is empty (the in-process analog of the streaming retry
+    loop — used for deterministic tests and batch reprocessing jobs)."""
+    merged = BatchResult()
+    now = now_epoch
+    for _ in range(max_rounds):
+        res = run_batch(service, raw, now_epoch=now)
+        retry_dfs = []
+        for topic, df in res.outputs.items():
+            if topic.endswith(".retry"):
+                retry_dfs.append(df)
+            else:
+                merged._add(topic, df)
+        if not retry_dfs:
+            break
+        raw = retry_dfs[0]
+        for d in retry_dfs[1:]:
+            raw = raw.unionByName(d)
+        now += clock_step
+    return merged
+
+
 class FileBus:
     """File-backed transport: one parquet directory per topic under a root.
 
