@@ -207,6 +207,67 @@ def q_rpc_correlate(spark, sf_dir):
 
 
 @query(
+    "q_entity_fold",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt,
+         sum(value) OVER (PARTITION BY user_id) AS tv
+  FROM events)
+SELECT user_id,
+       cnt AS n_events,
+       event_type AS last_type,
+       round(tv, 2) AS total_value
+FROM ordered
+WHERE rn = cnt
+""",
+    doc=(
+        "E1 general event-sourced fold via applyInPandas: per-key, "
+        "event-time-ordered reduction into entity state (count, last "
+        "type, running total)."
+    ),
+)
+def q_entity_fold(spark, sf_dir):
+    from typebus_spark.streaming.entity import fold_events
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+
+    def fold(state, rec):
+        state = state or {
+            "user_id": rec["user_id"],
+            "n_events": 0,
+            "last_type": None,
+            "total_value": 0.0,
+        }
+        return {
+            "user_id": rec["user_id"],
+            "n_events": state["n_events"] + 1,
+            "last_type": rec["event_type"],
+            "total_value": state["total_value"] + rec["value"],
+        }
+
+    folded = fold_events(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        fold=fold,
+        state_ddl=(
+            "user_id long, n_events long, last_type string, total_value double"
+        ),
+        tiebreak=["event_id"],
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        "last_type",
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+@query(
     "q_asof_enrich",
     oracle="""
 WITH p AS (SELECT event_id, user_id, ts, value FROM events

@@ -56,14 +56,18 @@ def fold_events(
     ts_col: str,
     fold: Callable[[dict | None, dict], dict],
     state_ddl: str,
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """General event-sourced fold: per-key, event-time-ordered reduction —
     the EntityDb recovery path (replay events → state). Runs as one
     ``applyInPandas`` per key group; keys are shuffle-partitioned so a
-    100 TB event log folds with per-key memory only."""
+    100 TB event log folds with per-key memory only. ``tiebreak`` columns
+    make the replay order total (event-time ties are otherwise broken by
+    nondeterministic arrival order)."""
+    sort_cols = [ts_col] + (tiebreak or [])
 
     def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         state: dict | None = None
         for rec in pdf.to_dict("records"):
             state = fold(state, rec)
