@@ -142,7 +142,8 @@ def q_retry_drain(spark, sf_dir):
             F.lit(topic).alias("topic"), "n"
         )
         out = c if out is None else out.unionByName(c)
-    return out
+    # lazy routing registers empty side-topics; report only active ones
+    return out.filter(F.col("n") > 0)
 
 
 @query(

@@ -158,6 +158,102 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+@query(
+    "q_pipeline_clean_corpus",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents),
+qual AS (
+  SELECT doc_id, text, toks,
+         (CASE WHEN len(toks) >= 20 AND len(toks) <= 10000 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN len(list_filter(toks, x -> list_contains(
+              ['the','a','an','and','or','of','to','in','is','it'], lower(x))))
+              / len(toks) >= 0.01
+          AND len(list_filter(toks, x -> list_contains(
+              ['the','a','an','and','or','of','to','in','is','it'], lower(x))))
+              / len(toks) <= 0.6 THEN 0.2 ELSE 0.0 END)
+       + (CASE WHEN length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+              / length(text) <= 0.1 THEN 0.2 ELSE 0.0 END)
+       + (CASE WHEN len(list_distinct(toks)) / len(toks) >= 0.1
+          THEN 0.2 ELSE 0.0 END) AS score
+  FROM feat),
+passed AS (SELECT doc_id, text, toks FROM qual WHERE score >= 0.6),
+canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM passed
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+survivors AS (
+  SELECT p.doc_id, p.text, p.toks FROM passed p
+  JOIN canon c ON p.doc_id = c.doc_id),
+sh AS (SELECT DISTINCT doc_id,
+              unnest({_shingles_sql(8)}) AS shingle FROM survivors),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+near AS (
+  SELECT s.b
+  FROM (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) s
+  JOIN sizes sa ON s.a = sa.doc_id
+  JOIN sizes sb ON s.b = sb.doc_id
+  WHERE s.shared / (sa.n_sh + sb.n_sh - s.shared) >= 0.5),
+clean AS (
+  SELECT * FROM survivors
+  WHERE doc_id NOT IN (SELECT b FROM near)),
+langed AS (
+  SELECT doc_id, toks,
+     len(list_filter(toks, x -> list_contains(['the','a','and','of','to'],
+                                              lower(x)))) AS hits_en
+  FROM clean)
+SELECT CASE WHEN hits_en > 0 THEN 'en' ELSE 'und' END AS pred_lang,
+       count(*) AS n_docs,
+       sum(len(toks)) AS total_tokens
+FROM langed
+GROUP BY 1
+""",
+    doc=(
+        "Full training-data pipeline composition: quality filter → exact "
+        "dedup (canonical id) → near-dup removal (drop higher id of each "
+        "Jaccard≥0.5 pair) → language grouping. Every stage is the real "
+        "operator; oracle mirrors the full chain."
+    ),
+)
+def q_pipeline_clean_corpus(spark, sf_dir):
+    from typebus_spark.operators.text_analysis import quality_score
+    from typebus_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    q = quality_score(docs, "doc_id", "text").filter(
+        F.col("quality_score") >= 0.6
+    ).select("doc_id")
+    passed = docs.join(q, "doc_id")
+
+    canon = exact_dedup(passed, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    survivors = passed.join(canon, "doc_id")
+
+    near_b = jaccard_pairs(
+        survivors, "doc_id", "text", shingle_n=8, threshold=0.5
+    ).select(F.col("b").alias("doc_id")).distinct()
+    clean = survivors.join(near_b, "doc_id", "left_anti")
+
+    toks = F.transform(tokens("text"), F.lower)
+    en_hits = F.size(
+        F.filter(toks, lambda t_: t_.isin("the", "a", "and", "of", "to"))
+    )
+    return (
+        clean.select(
+            F.when(en_hits > 0, "en").otherwise("und").alias("pred_lang"),
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 _DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"

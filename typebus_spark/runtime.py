@@ -89,6 +89,7 @@ def run_batch(
     raw: DataFrame,
     trace: bool = False,
     now_epoch: int | None = None,
+    lazy: bool = False,
 ) -> BatchResult:
     """Route one batch of raw bus rows through every registered stream.
 
@@ -105,7 +106,7 @@ def run_batch(
         retry_topic(f) for f, s in service.streams.items() if s.retry
     }
     unhandled = raw.filter(~F.col("topic").isin(*handled) if handled else F.lit(True))
-    if not unhandled.isEmpty():
+    if lazy or not unhandled.isEmpty():
         res._add(DEAD_LETTER_TOPIC, _dead_letter(unhandled, "no handler for topic"))
 
     for in_fqn, sd in service.streams.items():
@@ -119,7 +120,7 @@ def run_batch(
             # re-queued untouched (KafkaBus.scala:188-197 merge semantics,
             # minus the 16-element dropHead load-shed — nothing is shed).
             pending = not_yet_eligible(decoded, now)
-            if not pending.isEmpty():
+            if lazy or not pending.isEmpty():
                 res._add(
                     retry_topic(in_fqn),
                     pending.select(
@@ -133,7 +134,7 @@ def run_batch(
             decoded = eligible_now(decoded, now)
 
         bad = decoded.filter(F.col("payload").isNull() | F.col("meta").isNull())
-        if not bad.isEmpty():
+        if lazy or not bad.isEmpty():
             res._add(
                 DEAD_LETTER_TOPIC,
                 _dead_letter(
@@ -176,7 +177,7 @@ def run_batch(
         failed = None
         if out is not None:
             out, failed = split_failures(out)
-        if failed is not None and not failed.isEmpty():
+        if failed is not None and (lazy or not failed.isEmpty()):
             failed_ids = failed.select(F.col("meta.event_id").alias("_fid"))
             orig_flat = (
                 good.join(
@@ -191,11 +192,11 @@ def run_batch(
                 retry_rows, gave_up = encode_retry(
                     orig_flat, in_fqn, sd.retry, payload_fields, now
                 )
-                if not retry_rows.isEmpty():
+                if lazy or not retry_rows.isEmpty():
                     res._add(retry_topic(in_fqn), retry_rows)
             else:
                 gave_up = orig_flat
-            if not gave_up.isEmpty():
+            if lazy or not gave_up.isEmpty():
                 res._add(
                     DEAD_LETTER_TOPIC,
                     _dead_letter(
@@ -256,12 +257,12 @@ def run_batch(
             F.lit(sd.out_type).alias("topic"),
             F.col("meta.direct_reply.service_name").alias("_reply_service"),
         )
-        if not encoded.isEmpty():
+        if lazy or not encoded.isEmpty():
             res._add(sd.out_type, encoded.drop("_reply_service"))
         # RPC2: additionally publish to the caller's service-name topic
         # (KafkaBus.scala:60-73,157-169).
         rpc = encoded.filter(F.col("_reply_service").isNotNull())
-        if not rpc.isEmpty():
+        if lazy or not rpc.isEmpty():
             res._add(
                 "_rpc_replies",
                 rpc.select(
@@ -287,7 +288,10 @@ def drain_batches(
     merged = BatchResult()
     now = now_epoch
     for _ in range(max_rounds):
-        res = run_batch(service, raw, now_epoch=now)
+        # lazy routing: skip the per-branch isEmpty materializations (each
+        # one re-runs the decode+handler pipeline); one emptiness check on
+        # the unioned retry queue per round decides termination.
+        res = run_batch(service, raw, now_epoch=now, lazy=True)
         retry_dfs = []
         for topic, df in res.outputs.items():
             if topic.endswith(".retry"):
@@ -299,6 +303,9 @@ def drain_batches(
         raw = retry_dfs[0]
         for d in retry_dfs[1:]:
             raw = raw.unionByName(d)
+        raw = raw.cache()
+        if raw.isEmpty():
+            break
         now += clock_step
     return merged
 
