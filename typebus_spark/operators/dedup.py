@@ -309,26 +309,41 @@ def embedding_dup_pairs(
     small-side is broadcast; use only when one side fits in memory —
     the oracle/baseline path).
     """
+    from typebus_spark.functions.vector import dot, norm
     from typebus_spark.session import ensure_parallelism
 
+    # norm per vector computed once pre-join (materializes in the
+    # exchange) — the pair stage folds only the dot product
     base = ensure_parallelism(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            norm(vec_col).alias("_n"),
+        )
     )
     if planes is not None:
         bucketed = base.withColumn("bucket", hyperplane_signs("_v", planes))
         a = bucketed.select(
-            F.col("_id").alias("a"), F.col("_v").alias("va"), "bucket"
+            F.col("_id").alias("a"), F.col("_v").alias("va"),
+            F.col("_n").alias("na"), "bucket",
         )
         b = bucketed.select(
-            F.col("_id").alias("b"), F.col("_v").alias("vb"), "bucket"
+            F.col("_id").alias("b"), F.col("_v").alias("vb"),
+            F.col("_n").alias("nb"), "bucket",
         )
         pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
     else:
-        a = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"))
-        b = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"))
+        a = base.select(
+            F.col("_id").alias("a"), F.col("_v").alias("va"),
+            F.col("_n").alias("na"),
+        )
+        b = base.select(
+            F.col("_id").alias("b"), F.col("_v").alias("vb"),
+            F.col("_n").alias("nb"),
+        )
         pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
-        pairs.withColumn("cos", F.round(cosine("va", "vb"), 6))
-        .filter(F.col("cos") >= threshold)
-        .select("a", "b", "cos")
+        pairs.filter(cos >= threshold)
+        .select("a", "b", F.round(cos, 6).alias("cos"))
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from typebus_spark.functions.vector import cosine, dot
+from typebus_spark.functions.vector import dot, norm
 
 
 def cosine_topk(
@@ -38,13 +38,25 @@ def cosine_topk(
     Returns (query_id, neighbor_id, rank, cos) — cos rounded to 6 dp and
     ties broken by neighbor id, so results are fully deterministic.
     """
-    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+    # norms computed ONCE per row on each join input (they materialize in
+    # the exchange), not re-folded per pair — 3× less work per pair
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("qv"),
+        norm(query_vec).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(corpus_vec).alias("cv"),
+        norm(corpus_vec).alias("cn"),
+    )
     scored = F.broadcast(q).crossJoin(c)
     if not include_self:
         scored = scored.filter(F.col("qid") != F.col("cid"))
     scored = scored.select(
-        "qid", "cid", F.round(cosine("qv", "cv"), 6).alias("cos")
+        "qid",
+        "cid",
+        F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -114,9 +126,14 @@ def ivf_topk(
     join is (query × probed bucket) equi-join on bucket id — shuffle
     bounded by corpus size, not corpus², surviving a 100× scale-up.
     """
-    c = corpus.select(
-        F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv")
-    ).withColumn("bucket", _nearest_centroid("cv", centroids))
+    c = (
+        corpus.select(
+            F.col(corpus_id).alias("cid"),
+            F.col(corpus_vec).alias("cv"),
+            norm(corpus_vec).alias("cn"),
+        )
+        .withColumn("bucket", _nearest_centroid("cv", centroids))
+    )
 
     scores = [
         dot("qv", F.array(*[F.lit(float(x)) for x in cen])) for cen in centroids
@@ -131,14 +148,22 @@ def ivf_topk(
     )
     probes = F.slice(F.transform(ranked, lambda x: x["i"]), 1, nprobe)
     q = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("qv"),
+        norm(query_vec).alias("qn"),
     ).withColumn("bucket", F.explode(probes))
 
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", F.round(cosine("qv", "cv"), 6).alias("cos"))
+        .select(
+            "qid",
+            "cid",
+            F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cos"
+            ),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (

@@ -283,15 +283,20 @@ WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
 )
 def q_dedup_embedding(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    from typebus_spark.functions.vector import cosine
+    from typebus_spark.functions.vector import dot, norm
 
-    a = e.select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("va"), "label"
+    base = e.select(
+        "vec_id", "embedding", "label", norm("embedding").alias("n")
     )
-    b = e.select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), "label"
+    a = base.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+        F.col("n").alias("na"), "label",
     )
-    cos = cosine("va", "vb")
+    b = base.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+        F.col("n").alias("nb"), "label",
+    )
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("a") < F.col("b"))
