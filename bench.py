@@ -38,23 +38,27 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    failures: list[str] = []
     for name, q in suite.QUERIES.items():
         start = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        try:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as e:  # one broken query must not sink the run
+            failures.append(f"{name}: {type(e).__name__}")
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "inventory_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
+    out = {
+        "metric": "inventory_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
     spark.stop()
 
 
