@@ -98,6 +98,60 @@ def test_envelope_roundtrip(spark):
     assert rows["o1"]["payload"]["amount"] == 10.0
 
 
+def test_envelope_roundtrip_nested_containers(spark):
+    """§1.2 type-mapping parity: Seq[Struct], Set→array, Map, Option→null
+    round-trip through the envelope codec (macro whitelist analog,
+    Typebus.scala:174-214)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        MapType,
+        TimestampType,
+    )
+
+    order = StructType(
+        [
+            StructField("order_id", StringType()),
+            StructField(
+                "items",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("sku", StringType()),
+                            StructField("qty", IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+            StructField("tags", ArrayType(StringType())),
+            StructField("attrs", MapType(StringType(), StringType())),
+            StructField("note", StringType()),  # Option[T] → nullable
+            StructField("placed_at", TimestampType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                "o1",
+                [{"sku": "a", "qty": 2}, {"sku": "b", "qty": 1}],
+                ["x", "y"],
+                {"k": "v"},
+                None,
+                None,
+            )
+        ],
+        order,
+    )
+    raw = encode_envelope(df, "api.NestedOrder")
+    back = decode_envelope(raw, order).collect()[0]["payload"]
+    assert back["order_id"] == "o1"
+    assert [r["sku"] for r in back["items"]] == ["a", "b"]
+    assert back["items"][0]["qty"] == 2
+    assert back["tags"] == ["x", "y"]
+    assert back["attrs"] == {"k": "v"}
+    assert back["note"] is None
+
+
 def test_keyed_publish_sets_kafka_key(spark):
     raw = _orders(spark)
     keys = {bytes(r["key"]).decode() for r in raw.collect()}

@@ -433,6 +433,24 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @query(
+    "q_sketch_cardinality",
+    oracle=None,  # HLL/KLL estimates are engine-specific → rows-only
+    doc=(
+        "Sketches: HyperLogLog++ distinct-count and KLL-style quantile "
+        "estimates per event type — the constant-memory scale path for "
+        "cardinality/quantiles where exact shuffles are too expensive."
+    ),
+)
+def q_sketch_cardinality(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9], 10000).alias("approx_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q_window_running",
     oracle="""
 SELECT event_id, user_id, ts, value,
