@@ -12,7 +12,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from typebus_spark.operators.dedup import (
-    embedding_dup_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,

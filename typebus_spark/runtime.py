@@ -28,11 +28,7 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from typebus_spark.codec.envelope import (
-    EVENT_META_SCHEMA,
-    decode_envelope,
-    new_meta,
-)
+from typebus_spark.codec.envelope import decode_envelope, new_meta
 from typebus_spark.registry import Service
 from typebus_spark.streaming.retry import (
     eligible_now,

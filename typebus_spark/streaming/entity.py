@@ -23,8 +23,6 @@ Spark re-expression:
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
-from typing import Any
-
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window

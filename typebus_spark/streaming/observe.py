@@ -8,7 +8,6 @@ other stream — plus helpers to read them back as a DataFrame.
 
 from __future__ import annotations
 
-import json
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
