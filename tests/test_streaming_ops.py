@@ -193,6 +193,91 @@ def test_row_handler_catches_exceptions(spark):
     assert res.topic(DEAD_LETTER_TOPIC).count() == 1  # no policy → dead-letter
 
 
+def test_selective_retry_pattern(spark):
+    """ST2: only errors matching retry_on retry; others dead-letter at
+    once (PartialFunction.isDefinedAt analog)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    s = Service("selective-svc")
+    sch = StructType(
+        [
+            StructField("task_id", StringType()),
+            StructField("kind", StringType()),
+        ]
+    )
+    s.declare_type("api.S", sch)
+    s.declare_type("api.S.done", sch)
+
+    def handler(df):
+        return df.select(
+            "meta",
+            "task_id",
+            "kind",
+            F.when(F.col("kind") == "transient", "TransientError: x")
+            .when(F.col("kind") == "fatal", "FatalError: y")
+            .alias("_error"),
+        )
+
+    s.register_stream(
+        "api.S",
+        "api.S.done",
+        handler,
+        retry=RetryPolicy(3, 5.0, BackoffShape.NONE),
+        retry_on="^Transient",
+    )
+    df = spark.createDataFrame(
+        [("ok", "none"), ("t1", "transient"), ("f1", "fatal")],
+        "task_id string, kind string",
+    )
+    res = run_batch(s, encode_envelope(df, "api.S"), now_epoch=100)
+    # transient → retry topic; fatal → dead letter; ok → done
+    rt = res.topic(retry_topic("api.S"))
+    assert rt is not None and rt.count() == 1
+    dl = res.topic(DEAD_LETTER_TOPIC)
+    assert dl is not None and dl.count() == 1
+    done = [
+        json.loads(bytes(r["value"]).decode())["payload"]["task_id"]
+        for r in res.topic("api.S.done").collect()
+    ]
+    assert done == ["ok"]
+
+
+def test_socket_push_delivery(spark):
+    """SocketEvent analog: replies carrying a socket_id also land on the
+    per-socket push topic (event/package.scala:156-159)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from typebus_spark.codec.envelope import new_meta
+    from typebus_spark.runtime import SOCKET_TOPIC_PREFIX
+
+    s = Service("socket-svc")
+    sch = StructType([StructField("msg", StringType())])
+    s.declare_type("api.Ping", sch)
+    s.declare_type("api.Pong", sch)
+    s.register_stream(
+        "api.Ping",
+        "api.Pong",
+        lambda df: df.select("meta", F.upper("msg").alias("msg")),
+    )
+    df = spark.createDataFrame([("hello",)], "msg string")
+    meta = new_meta("api.Ping", socket_id=F.lit("sock-42"))
+    res = run_batch(s, encode_envelope(df, "api.Ping", meta=meta))
+    pushes = res.topic("_socket_pushes")
+    assert pushes is not None
+    row = pushes.collect()[0]
+    assert row["topic"] == f"{SOCKET_TOPIC_PREFIX}sock-42"
+    v = json.loads(bytes(row["value"]).decode())
+    assert v["payload"]["msg"] == "HELLO"
+    assert v["meta"]["socket_id"] == "sock-42"
+
+
+def test_parse_event_type():
+    from typebus_spark.codec.envelope import parse_event_type
+
+    assert parse_event_type("api.OrderPlaced") == "OrderPlaced"
+    assert parse_event_type("io.x.OrderPlaced") == "io.x.OrderPlaced"
+
+
 # ---------------------------------------------------------------- RPC ----
 
 

@@ -86,6 +86,7 @@ def new_meta(
     response_to: Column | None = None,
     direct_reply_path: Column | None = None,
     direct_reply_service: Column | None = None,
+    socket_id: Column | None = None,
     trace: bool = False,
     occurred_at: Column | None = None,
 ) -> Column:
@@ -117,7 +118,9 @@ def new_meta(
             ).alias("service_name"),
         ).alias("direct_reply"),
         (key if key is not None else F.lit(None).cast("string")).alias("key"),
-        F.lit(None).cast("string").alias("socket_id"),
+        (
+            socket_id if socket_id is not None else F.lit(None).cast("string")
+        ).alias("socket_id"),
         (
             response_to if response_to is not None else F.lit(None).cast("string")
         ).alias("response_to"),
@@ -175,3 +178,10 @@ def decode_envelope(raw: DataFrame, payload_schema: StructType) -> DataFrame:
 
 def fresh_uuid() -> str:
     return str(uuid.uuid4())
+
+
+def parse_event_type(fqn: str) -> str:
+    """EventType.parse analog (event/package.scala:58-65): strip the
+    leading codegen ``api.`` prefix so generated and hand-written types
+    resolve to the same stream."""
+    return fqn[4:] if fqn.startswith("api.") else fqn

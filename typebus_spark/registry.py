@@ -56,13 +56,21 @@ class RetryPolicy:
 @dataclass
 class StreamDef:
     """One registered stream: typebus ``StreamBuilder`` + handler
-    (bus/package.scala:32-46; Module.scala:52-102)."""
+    (bus/package.scala:32-46; Module.scala:52-102).
+
+    ``retry_on`` is the columnar analog of the reference's
+    ``PartialFunction[Throwable, RetryPolicy]`` (bus/package.scala:41-45):
+    a regex matched against the ``_error`` string — only matching
+    failures retry, the rest dead-letter immediately (the PF-undefined
+    case). ``None`` retries every failure.
+    """
 
     in_type: str
     out_type: str | None  # None == sink stream (op2Unit, Module.scala:72-80)
     handler: Callable[[DataFrame], DataFrame]
     partition_key: Column | str | None = None  # withPartitionKey analog
     retry: RetryPolicy | None = None  # withRetryPolicy analog
+    retry_on: str | None = None  # error-pattern guard (PF.isDefinedAt analog)
     service_level: bool = False  # hidden/control-plane stream (op2Service)
 
 
@@ -107,6 +115,7 @@ class Service:
         handler: Callable[[DataFrame], DataFrame],
         partition_key: Column | str | None = None,
         retry: RetryPolicy | None = None,
+        retry_on: str | None = None,
         service_level: bool = False,
     ) -> StreamDef:
         """registerStream (Service.scala:53-64 → Module.scala:52-102).
@@ -125,6 +134,7 @@ class Service:
             handler=handler,
             partition_key=partition_key,
             retry=retry,
+            retry_on=retry_on,
             service_level=service_level,
         )
         self.streams[in_type] = sd

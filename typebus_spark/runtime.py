@@ -40,6 +40,7 @@ from typebus_spark.streaming.retry import (
 
 DEAD_LETTER_TOPIC = "typebus.DeadLetter"
 TRACE_TOPIC = "typebus.Trace"
+SOCKET_TOPIC_PREFIX = "typebus.socket."
 
 # ServiceException shape (event/package.scala:28-33)
 SERVICE_EXCEPTION_COLS = ["message", "throwable_type", "stack_trace", "extra"]
@@ -174,24 +175,42 @@ def run_batch(
         if out is not None:
             out, failed = split_failures(out)
         if failed is not None and (lazy or not failed.isEmpty()):
-            failed_ids = failed.select(F.col("meta.event_id").alias("_fid"))
-            orig_flat = (
-                good.join(
-                    failed_ids,
-                    F.col("meta.event_id") == F.col("_fid"),
-                    "left_semi",
+            from typebus_spark.streaming.retry import ERROR_COL
+
+            # ST2 selective retry: only errors matching the stream's
+            # retry_on pattern are retryable (the PF.isDefinedAt analog,
+            # bus/package.scala:41-45); the rest dead-letter directly.
+            if sd.retry and sd.retry_on:
+                retryable_ids = failed.filter(
+                    F.col(ERROR_COL).rlike(sd.retry_on)
                 )
-                .select("meta", "payload.*")
-            )
+                unmatched_ids = failed.filter(
+                    ~F.col(ERROR_COL).rlike(sd.retry_on)
+                )
+            else:
+                retryable_ids, unmatched_ids = failed, None
+
+            def _orig(ids: DataFrame) -> DataFrame:
+                return (
+                    good.join(
+                        ids.select(F.col("meta.event_id").alias("_fid")),
+                        F.col("meta.event_id") == F.col("_fid"),
+                        "left_semi",
+                    )
+                    .select("meta", "payload.*")
+                )
+
             payload_fields = [f.name for f in payload_schema.fields]
             if sd.retry:
                 retry_rows, gave_up = encode_retry(
-                    orig_flat, in_fqn, sd.retry, payload_fields, now
+                    _orig(retryable_ids), in_fqn, sd.retry, payload_fields, now
                 )
                 if lazy or not retry_rows.isEmpty():
                     res._add(retry_topic(in_fqn), retry_rows)
             else:
-                gave_up = orig_flat
+                gave_up = _orig(retryable_ids)
+            if unmatched_ids is not None:
+                gave_up = gave_up.unionByName(_orig(unmatched_ids))
             if lazy or not gave_up.isEmpty():
                 res._add(
                     DEAD_LETTER_TOPIC,
@@ -242,6 +261,7 @@ def run_batch(
             response_to=F.col("meta.event_id"),
             direct_reply_path=F.col("meta.direct_reply.path"),
             direct_reply_service=F.col("meta.direct_reply.service_name"),
+            socket_id=F.col("meta.socket_id"),
         )
         env = F.struct(
             reply_meta.alias("meta"),
@@ -252,9 +272,12 @@ def run_batch(
             F.to_json(env).cast("binary").alias("value"),
             F.lit(sd.out_type).alias("topic"),
             F.col("meta.direct_reply.service_name").alias("_reply_service"),
+            F.col("meta.socket_id").alias("_socket_id"),
         )
         if lazy or not encoded.isEmpty():
-            res._add(sd.out_type, encoded.drop("_reply_service"))
+            res._add(
+                sd.out_type, encoded.drop("_reply_service", "_socket_id")
+            )
         # RPC2: additionally publish to the caller's service-name topic
         # (KafkaBus.scala:60-73,157-169).
         rpc = encoded.filter(F.col("_reply_service").isNotNull())
@@ -265,6 +288,20 @@ def run_batch(
                     "key",
                     "value",
                     F.col("_reply_service").alias("topic"),
+                ),
+            )
+        # SocketEvent push delivery (event/package.scala:156-159): replies
+        # carrying a socket_id also land on a per-socket push topic.
+        sock = encoded.filter(F.col("_socket_id").isNotNull())
+        if lazy or not sock.isEmpty():
+            res._add(
+                "_socket_pushes",
+                sock.select(
+                    "key",
+                    "value",
+                    F.concat(
+                        F.lit(SOCKET_TOPIC_PREFIX), F.col("_socket_id")
+                    ).alias("topic"),
                 ),
             )
     return res
@@ -400,7 +437,7 @@ def start_service(
             return
         result = run_batch(service, batch_df, trace=trace)
         for topic, df in result.outputs.items():
-            if topic == "_rpc_replies":
+            if topic.startswith("_"):  # _rpc_replies/_socket_pushes:
                 bus.publish(df)  # per-row topic column
             else:
                 bus.publish(df, topic)
