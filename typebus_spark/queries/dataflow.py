@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from typebus_spark.codec.envelope import encode_envelope
+from typebus_spark.functions.money import cents, money
 from typebus_spark.operators.asof import asof_join
 from typebus_spark.registry import Service
 from typebus_spark.runtime import run_batch
@@ -214,12 +215,13 @@ WITH ordered AS (
   SELECT user_id, ts, event_type, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          count(*) OVER (PARTITION BY user_id) AS cnt,
-         sum(value) OVER (PARTITION BY user_id) AS tv
+         sum(CAST(round(value * 100, 0) AS BIGINT))
+           OVER (PARTITION BY user_id) AS tvc
   FROM events)
 SELECT user_id,
        cnt AS n_events,
        event_type AS last_type,
-       round(tv, 2) AS total_value
+       CAST(tvc AS DOUBLE) / 100.0 AS total_value
 FROM ordered
 WHERE rn = cnt
 """,
@@ -237,17 +239,18 @@ def q_entity_fold(spark, sf_dir):
     )
 
     def fold(state, rec):
+        # exact integer-cents accumulation (functions.money rationale)
         state = state or {
             "user_id": rec["user_id"],
             "n_events": 0,
             "last_type": None,
-            "total_value": 0.0,
+            "_cents": 0,
         }
         return {
             "user_id": rec["user_id"],
             "n_events": state["n_events"] + 1,
             "last_type": rec["event_type"],
-            "total_value": state["total_value"] + rec["value"],
+            "_cents": state["_cents"] + int(round(float(rec["value"]) * 100)),
         }
 
     folded = fold_events(
@@ -255,16 +258,14 @@ def q_entity_fold(spark, sf_dir):
         key_col="user_id",
         ts_col="ts",
         fold=fold,
-        state_ddl=(
-            "user_id long, n_events long, last_type string, total_value double"
-        ),
+        state_ddl="user_id long, n_events long, last_type string, _cents long",
         tiebreak=["event_id"],
     )
     return folded.select(
         "user_id",
         "n_events",
         "last_type",
-        F.round("total_value", 2).alias("total_value"),
+        (F.col("_cents").cast("double") / 100.0).alias("total_value"),
     )
 
 
@@ -315,7 +316,8 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) AS session_last,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
 FROM g GROUP BY user_id, sid
 """,
     doc=(
@@ -331,7 +333,7 @@ def q_sessionize(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money(F.sum(cents("value")), 100).alias("total_value"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_last"),
         )
@@ -346,7 +348,8 @@ def q_sessionize(spark, sf_dir):
     oracle="""
 SELECT date_trunc('hour', ts) AS hour_start,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
 FROM events
 GROUP BY 1
 """,
@@ -377,7 +380,7 @@ def q_stream_hourly(spark, sf_dir):
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money(F.sum(cents("value")), 100).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("hour_start"), "n_events", "total_value"
@@ -454,8 +457,10 @@ def q_sketch_cardinality(spark, sf_dir):
     "q_window_running",
     oracle="""
 SELECT event_id, user_id, ts, value,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+         AS running_total,
        lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value,
        row_number() OVER (PARTITION BY user_id
                           ORDER BY value DESC, event_id) AS value_rank
@@ -477,7 +482,7 @@ def q_window_running(spark, sf_dir):
         "user_id",
         "ts",
         "value",
-        F.round(F.sum("value").over(wr), 2).alias("running_total"),
+        money(F.sum(cents("value")).over(wr), 100).alias("running_total"),
         F.lag("value").over(wt).alias("prev_value"),
         F.row_number().over(wv).cast("long").alias("value_rank"),
     )
@@ -488,7 +493,8 @@ def q_window_running(spark, sf_dir):
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
@@ -498,7 +504,7 @@ def q_rollup_orders(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        money(F.sum(cents("o_totalprice")), 100).alias("total"),
     )
 
 

@@ -24,36 +24,55 @@ from typebus_spark.suite import query, t
 @query(
     "q1_pricing_summary",
     oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100, 0) AS BIGINT)      AS qc,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc,
+         CAST(round(l_discount * 100, 0) AS BIGINT)      AS dc,
+         CAST(round(l_tax * 100, 0) AS BIGINT)           AS tc
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-09-02')
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                   AS sum_qty,
-       round(sum(l_extendedprice), 2)                              AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 2)                                   AS avg_qty,
-       round(avg(l_extendedprice), 2)                              AS avg_price,
-       round(avg(l_discount), 4)                                   AS avg_disc,
-       count(*)                                                    AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+       CAST(sum(qc) AS DOUBLE) / 100.0                       AS sum_qty,
+       CAST(sum(epc) AS DOUBLE) / 100.0                      AS sum_base_price,
+       CAST(sum(epc * (100 - dc)) AS DOUBLE) / 10000.0       AS sum_disc_price,
+       CAST(sum(epc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0
+                                                             AS sum_charge,
+       CAST(sum(qc) AS DOUBLE) / (count(*) * 100.0)          AS avg_qty,
+       CAST(sum(epc) AS DOUBLE) / (count(*) * 100.0)         AS avg_price,
+       CAST(sum(dc) AS DOUBLE) / (count(*) * 100.0)          AS avg_disc,
+       count(*)                                              AS count_order
+FROM c
 GROUP BY l_returnflag, l_linestatus
 """,
-    doc="TPC-H Q1 style pricing summary: scan+filter+hash agg, map-side partials.",
+    doc=(
+        "TPC-H Q1 style pricing summary: scan+filter+hash agg, map-side "
+        "partials. Money aggregated in exact integer cents "
+        "(functions.money) so results are bit-identical across engines "
+        "and partitionings."
+    ),
 )
 def q1_pricing_summary(spark, sf_dir):
+    from typebus_spark.functions.money import cents, money
+
     l = t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qc, epc = cents("l_quantity"), cents("l_extendedprice")
+    dc, tc = cents("l_discount"), cents("l_tax")
+    rev_e4 = epc * (100 - dc)
+    charge_e6 = rev_e4 * (100 + tc)
+    n = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            money(F.sum(qc), 100).alias("sum_qty"),
+            money(F.sum(epc), 100).alias("sum_base_price"),
+            money(F.sum(rev_e4), 10000).alias("sum_disc_price"),
+            money(F.sum(charge_e6), 1000000).alias("sum_charge"),
+            (F.sum(qc).cast("double") / (n * F.lit(100.0))).alias("avg_qty"),
+            (F.sum(epc).cast("double") / (n * F.lit(100.0))).alias("avg_price"),
+            (F.sum(dc).cast("double") / (n * F.lit(100.0))).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -61,15 +80,19 @@ def q1_pricing_summary(spark, sf_dir):
 @query(
     "q3_shipping_priority",
     oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc,
+         CAST(round(l_discount * 100, 0) AS BIGINT)      AS dc
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-03-15')
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(epc * (100 - dc)) AS DOUBLE) / 10000.0 AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
+JOIN orders ON c_custkey = o_custkey
+JOIN li     ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-03-15'
-  AND l_shipdate  > TIMESTAMP '1998-03-15'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, o_orderkey
 LIMIT 10
@@ -84,15 +107,14 @@ def q3_shipping_priority(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    from typebus_spark.functions.money import cents, money
+
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(money(F.sum(rev_e4), 10000).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
         .limit(10)
@@ -102,11 +124,16 @@ def q3_shipping_priority(spark, sf_dir):
 @query(
     "q5_local_supplier_volume",
     oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc,
+         CAST(round(l_discount * 100, 0) AS BIGINT)      AS dc
+  FROM lineitem)
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(epc * (100 - dc)) AS DOUBLE) / 10000.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
+JOIN li       ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
@@ -118,6 +145,9 @@ GROUP BY n_name
     doc="TPC-H Q5 style 6-way join; all dims broadcast, one fact shuffle.",
 )
 def q5_local_supplier_volume(spark, sf_dir):
+    from typebus_spark.functions.money import cents, money
+
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -137,21 +167,23 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(money(F.sum(rev_e4), 10000).alias("revenue"))
     )
 
 
 @query(
     "q_top_parts_by_revenue",
     oracle="""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc,
+         CAST(round(l_discount * 100, 0) AS BIGINT)      AS dc,
+         CAST(round(l_quantity * 100, 0) AS BIGINT)      AS qc
+  FROM lineitem)
 SELECT p_partkey, p_name, p_brand,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       round(sum(l_quantity), 2)                         AS qty
-FROM lineitem
+       CAST(sum(epc * (100 - dc)) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(sum(qc) AS DOUBLE) / 100.0                 AS qty
+FROM li
 JOIN part ON l_partkey = p_partkey
 GROUP BY p_partkey, p_name, p_brand
 ORDER BY revenue DESC, p_partkey
@@ -160,16 +192,17 @@ LIMIT 20
     doc="Broadcast dim join + agg + deterministic top-k.",
 )
 def q_top_parts_by_revenue(spark, sf_dir):
+    from typebus_spark.functions.money import cents, money
+
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            money(F.sum(rev_e4), 10000).alias("revenue"),
+            money(F.sum(cents("l_quantity")), 100).alias("qty"),
         )
         .orderBy(F.desc("revenue"), "p_partkey")
         .limit(20)
@@ -180,21 +213,27 @@ def q_top_parts_by_revenue(spark, sf_dir):
     "q_events_by_type",
     oracle="""
 SELECT event_type,
-       count(*)                    AS n_events,
-       round(sum(value), 2)        AS total_value,
-       round(avg(value), 2)        AS avg_value,
-       count(DISTINCT user_id)     AS n_users
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+         / (count(*) * 100.0) AS avg_value,
+       count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type
 """,
     doc="Event-stream aggregate (topic≈event_type routing stats; R1 analog in batch).",
 )
 def q_events_by_type(spark, sf_dir):
+    from typebus_spark.functions.money import cents, money
+
     e = t(spark, sf_dir, "events")
+    vc = cents("value")
+    n = F.count(F.lit(1))
     return e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-        F.round(F.avg("value"), 2).alias("avg_value"),
+        n.alias("n_events"),
+        money(F.sum(vc), 100).alias("total_value"),
+        (F.sum(vc).cast("double") / (n * F.lit(100.0))).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
 

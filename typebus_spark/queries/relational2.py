@@ -11,22 +11,122 @@ from typebus_spark.suite import query, t
 
 
 @query(
+    "q7_nation_volume",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc,
+         CAST(round(l_discount * 100, 0) AS BIGINT)      AS dc
+  FROM lineitem)
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       year(l_shipdate) AS ship_year,
+       CAST(sum(epc * (100 - dc)) AS DOUBLE) / 10000.0 AS volume
+FROM li
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q7 style cross-nation trade volume (self-joined dim, year bucketing).",
+)
+def q7_nation_volume(spark, sf_dir):
+    from typebus_spark.functions.money import cents, money
+
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .filter(F.col("n1_key") != F.col("n2_key"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(money(F.sum(rev_e4), 10000).alias("volume"))
+        .select(
+            "cust_nation",
+            "supp_nation",
+            F.col("ship_year").cast("long").alias("ship_year"),
+            "volume",
+        )
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc,
+         CAST(round(l_discount * 100, 0) AS BIGINT)      AS dc
+  FROM lineitem WHERE l_returnflag = 'R')
+SELECT c_custkey, c_name,
+       CAST(sum(epc * (100 - dc)) AS DOUBLE) / 10000.0 AS lost_revenue,
+       count(*) AS n_returned_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN li     ON l_orderkey = o_orderkey
+GROUP BY c_custkey, c_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 style: customers ranked by returned-item revenue, deterministic top-k.",
+)
+def q10_returned_revenue(spark, sf_dir):
+    from typebus_spark.functions.money import cents, money
+
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            money(F.sum(rev_e4), 10000).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
     "q_cube_events",
     oracle="""
 SELECT event_type, month(ts) AS m,
-       count(*) AS n, round(sum(value), 2) AS total
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total
 FROM events
 GROUP BY CUBE (event_type, month(ts))
 """,
     doc="CUBE grouping sets over type × month.",
 )
 def q_cube_events(spark, sf_dir):
+    from typebus_spark.functions.money import cents, money
+
     ev = t(spark, sf_dir, "events").select(
         "event_type", F.month("ts").alias("m"), "value"
     )
     return ev.cube("event_type", "m").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total"),
+        money(F.sum(cents("value")), 100).alias("total"),
     )
 
 
