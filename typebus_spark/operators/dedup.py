@@ -190,8 +190,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification of candidates only
-    sh_df = distinct_shingles(df, id_col, text_col, shingle_n)
+    # exact verification of candidates only; the shingle index is reused
+    # by sizes + both join sides → persist (spills to disk at scale)
+    from pyspark import StorageLevel
+
+    sh_df = distinct_shingles(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh_df.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ash = sh_df.select(F.col("_id").alias("a"), F.col("shingle").alias("s"))
     bsh = sh_df.select(F.col("_id").alias("b"), F.col("shingle").alias("s"))

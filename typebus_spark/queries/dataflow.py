@@ -489,6 +489,45 @@ def q_window_running(spark, sf_dir):
 
 
 @query(
+    "q_window_frames",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / (count(*) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100.0)
+         AS moving_avg_3,
+       CAST(max(CAST(round(value * 100, 0) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS DOUBLE)
+         / 100.0 AS next2_max
+FROM events
+""",
+    doc="Window FRAMES: bounded moving average + forward-looking frame (§2.2 frames).",
+)
+def q_window_frames(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    vc = cents("value")
+    back3 = (
+        Window.partitionBy("user_id").orderBy("ts").rowsBetween(-2, 0)
+    )
+    fwd2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(1, 2)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(vc).over(back3).cast("double")
+            / (F.count(F.lit(1)).over(back3) * F.lit(100.0))
+        ).alias("moving_avg_3"),
+        (F.max(vc).over(fwd2).cast("double") / F.lit(100.0)).alias(
+            "next2_max"
+        ),
+    )
+
+
+@query(
     "q_rollup_orders",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,

@@ -65,6 +65,28 @@ def q_knn_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "q_lsh_embedding_bucketed",
+    oracle=None,  # probabilistic recall by construction → rows-only check
+    doc=(
+        "Hyperplane-LSH bucketed embedding near-dup: seeded random planes "
+        "as plan literals, sign-signature equality as the bucket join — "
+        "sub-quadratic pair generation (scale path of q_dedup_embedding)."
+    ),
+)
+def q_lsh_embedding_bucketed(spark, sf_dir):
+    import random
+
+    from typebus_spark.operators.dedup import embedding_dup_pairs
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.9, planes=planes
+    )
+
+
+@query(
     "q_knn_ivf",
     oracle=None,  # probabilistic recall by construction → rows-only check
     doc=(
