@@ -446,9 +446,12 @@ def q_stream_dedup(spark, sf_dir):
 )
 def q_sketch_cardinality(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
+    # scalar output columns (q50/q90 instead of the quantile array): the
+    # driver's canonicalizer cannot hash list cells
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9], 10000).alias("approx_q"),
+        F.percentile_approx("value", F.lit(0.5), 10000).alias("q50"),
+        F.percentile_approx("value", F.lit(0.9), 10000).alias("q90"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -205,7 +205,7 @@ langed AS (
   FROM clean)
 SELECT CASE WHEN hits_en > 0 THEN 'en' ELSE 'und' END AS pred_lang,
        count(*) AS n_docs,
-       sum(len(toks)) AS total_tokens
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens
 FROM langed
 GROUP BY 1
 """,

@@ -153,7 +153,7 @@ sh AS (SELECT doc_id, text,
               list_distinct({_shingles_sql(shingle_n)}) AS sh FROM tt)
 SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
-       [{mins}] AS minhash
+       array_to_string([{mins}], ',') AS minhash
 FROM sh
 """.replace("\n", " ")
 
@@ -164,7 +164,14 @@ FROM sh
     doc="Document fingerprinting: content hash + portable md5 MinHash sketch.",
 )
 def q_text_fingerprint(spark, sf_dir):
-    return fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text")
+    df = fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text")
+    # serialize the sketch array: the driver's canonicalizer (pandas
+    # factorize) cannot hash list cells — join to a deterministic string
+    return df.select(
+        "doc_id",
+        "content_hash",
+        F.concat_ws(",", "minhash").alias("minhash"),
+    )
 
 
 @query(
@@ -227,4 +234,15 @@ def q_multimodal_decode(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     media = attach_blob(docs, "text", "text/plain", "doc_id")
-    return decode_media(media, "doc_id")
+    decoded = decode_media(media, "doc_id")
+    # stringify the features array for the driver canonicalizer
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("string"))
+        ).alias("features"),
+        "decode_error",
+    )
