@@ -98,7 +98,7 @@ def _drain(spark, service, raw, now0=1_000_000):
     for _ in range(6):
         res = run_batch(service, raw, now_epoch=now)
         rt = None
-        for topic, df in res.outputs.items():
+        for topic, df in res.named().items():
             if topic.endswith(".retry"):
                 rt = df
             else:
@@ -140,7 +140,8 @@ def test_retry_respects_not_before(spark, flaky_service):
     assert {m["extra"]["not_before_epoch"] for m in metas} == {"1000010"}
     # clock NOT advanced → rows requeue untouched, nothing dispatched
     res2 = run_batch(flaky_service, rt, now_epoch=1_000_005)
-    assert res2.topic("api.TaskDone") is None
+    done = res2.topic("api.TaskDone")
+    assert done is None or done.isEmpty()  # lazy mode declares the branch
     requeued = res2.topic(retry_topic("api.FlakyTask"))
     assert requeued is not None and requeued.count() == 2
 

@@ -63,19 +63,22 @@ def q_route_counts(spark, sf_dir):
                 "meta", "event_id", "user_id", (F.col("value") * 2).alias("value")
             ),
         )
+    from typebus_spark.session import ensure_parallelism
+
     raw = encode_envelope(
-        events,
+        ensure_parallelism(events),  # events parquet arrives as 1 partition
         F.concat(F.lit("api."), F.col("event_type")),
         payload_cols=["event_id", "user_id", "value"],
     )
     res = run_batch(svc, raw)
-    out = None
-    for topic, df in res.outputs.items():
-        c = df.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit(topic).alias("topic"), "n"
-        )
-        out = c if out is None else out.unionByName(c)
-    return out
+    # single-pass tail: every output row carries its destination topic, so
+    # one union + one groupBy aggregates all routes in ONE job (empty
+    # branches contribute nothing and vanish)
+    return (
+        res.union_all()
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 @query(
@@ -130,21 +133,24 @@ def q_retry_drain(spark, sf_dir):
         handler,
         retry=RetryPolicy(2, 10.0, BackoffShape.EXPONENTIAL),
     )
+    from typebus_spark.session import ensure_parallelism
+
     raw = encode_envelope(
-        events.select(
-            "event_id", (F.col("event_id") % 4).alias("fail_times")
+        ensure_parallelism(
+            events.select(
+                "event_id", (F.col("event_id") % 4).alias("fail_times")
+            )
         ),
         "api.Task",
     )
     res = drain_batches(svc, raw)
-    out = None
-    for topic, df in res.outputs.items():
-        c = df.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit(topic).alias("topic"), "n"
-        )
-        out = c if out is None else out.unionByName(c)
-    # lazy routing registers empty side-topics; report only active ones
-    return out.filter(F.col("n") > 0)
+    # single-pass tail: group on the per-row topic column across the
+    # unioned outputs (empty lazy side-topics contribute no rows)
+    return (
+        res.union_all()
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 @query(

@@ -48,16 +48,60 @@ SERVICE_EXCEPTION_COLS = ["message", "throwable_type", "stack_trace", "extra"]
 
 @dataclass
 class BatchResult:
-    """Outputs of one batch pass, keyed by destination topic."""
+    """Outputs of one batch pass, keyed by destination topic.
+
+    Two storage forms, one API: ``outputs`` holds exclusive per-topic
+    frames; ``_shared`` holds MULTICAST frames where one computed row
+    fans out to several destinations via a per-row ``topic`` column (a
+    reply goes to its out-type topic and possibly an RPC back-channel
+    and a socket push — computing it once and exploding destinations
+    beats three union branches that each re-run decode+handler).
+    ``topic(name)`` serves both (multicast destinations through filtered
+    views); ``union_all()`` never double-counts.
+    """
 
     outputs: dict[str, DataFrame] = field(default_factory=dict)
+    _views: dict[str, DataFrame] = field(default_factory=dict)
+    _shared: list[DataFrame] = field(default_factory=list)
 
     def topic(self, name: str) -> DataFrame | None:
-        return self.outputs.get(name)
+        if name in self.outputs:
+            return self.outputs[name]
+        return self._views.get(name)
+
+    def named(self) -> dict[str, DataFrame]:
+        """Every logical output by name (exclusive topics + multicast
+        views). For inspection; bulk consumers should ``union_all()``."""
+        return {**self.outputs, **self._views}
 
     def _add(self, topic: str, df: DataFrame) -> None:
         cur = self.outputs.get(topic)
         self.outputs[topic] = cur.unionByName(df) if cur is not None else df
+
+    def _add_shared(self, fanned: DataFrame, names: dict[str, str]) -> None:
+        """Register a multicast frame (columns key/value/topic/_kind);
+        ``names`` maps a logical output name to its ``_kind`` tag so
+        ``topic()`` lookups still work per destination class."""
+        self._shared.append(fanned.select("key", "value", "topic"))
+        for name, kind in names.items():
+            v = fanned.filter(F.col("_kind") == kind).select(
+                "key", "value", "topic"
+            )
+            cur = self._views.get(name)
+            self._views[name] = cur.unionByName(v) if cur is not None else v
+
+    def union_all(self) -> DataFrame | None:
+        """All outputs as ONE (key, value, topic) frame — every branch
+        already carries its destination in the per-row ``topic`` column,
+        so consumers can materialize the whole batch in a single pass
+        instead of one action per destination."""
+        frames = list(self.outputs.values()) + self._shared
+        if not frames:
+            return None
+        out = frames[0]
+        for d in frames[1:]:
+            out = out.unionByName(d)
+        return out
 
 
 def _dead_letter(raw: DataFrame, message: str) -> DataFrame:
@@ -86,15 +130,34 @@ def run_batch(
     raw: DataFrame,
     trace: bool = False,
     now_epoch: int | None = None,
-    lazy: bool = False,
+    lazy: bool = True,
+    materialize: bool = True,
 ) -> BatchResult:
     """Route one batch of raw bus rows through every registered stream.
 
     ``raw`` columns: ``key binary, value binary, topic string`` — the
     transport-neutral bus row (Kafka source shape). ``now_epoch`` pins the
     retry clock for deterministic tests (wall clock otherwise).
+
+    Lazy by default: every branch is declared unconditionally and nothing
+    runs until the caller materializes (``BatchResult.union_all`` gives
+    the whole batch as one single-pass frame). ``lazy=False`` restores
+    the trimmed-output mode — one ``isEmpty`` driver action PER BRANCH,
+    each re-executing the decode+handler lineage; only worth it for
+    interactive inspection of which topics fired.
+
+    ``materialize`` (default) localCheckpoints ``raw`` up front: the
+    router fans every batch into ~8 branches per stream, and without the
+    checkpoint each branch re-executes the caller's upstream lineage
+    (source scan + envelope encode). One bounded materialization of the
+    (key, value, topic) rows beats N re-scans — pass ``materialize=False``
+    only when the caller already checkpointed (drain_batches rounds).
+    The per-stream DECODE is always checkpointed (see inline note) — the
+    routing fan-out re-parses the envelope JSON per branch otherwise.
     """
     res = BatchResult()
+    if materialize:
+        raw = raw.localCheckpoint(eager=True)
     now = F.lit(now_epoch) if now_epoch is not None else None
 
     # R1 routing: topic-per-type makes dispatch a source-level filter.
@@ -102,7 +165,12 @@ def run_batch(
     handled = set(service.streams) | {
         retry_topic(f) for f, s in service.streams.items() if s.retry
     }
-    unhandled = raw.filter(~F.col("topic").isin(*handled) if handled else F.lit(True))
+    # The service-name topic is the RPC back-channel (KafkaBus.scala:184):
+    # replies addressed to this service land there and are consumed by the
+    # RPC correlation path (streaming/rpc.py), not a registered stream —
+    # never dead-letter them as unroutable.
+    ignored = handled | {service.name}
+    unhandled = raw.filter(~F.col("topic").isin(*ignored))
     if lazy or not unhandled.isEmpty():
         res._add(DEAD_LETTER_TOPIC, _dead_letter(unhandled, "no handler for topic"))
 
@@ -110,7 +178,14 @@ def run_batch(
         topics = [in_fqn] + ([retry_topic(in_fqn)] if sd.retry else [])
         topic_rows = raw.filter(F.col("topic").isin(*topics))
         payload_schema = service.catalog.schema_for(in_fqn)
-        decoded = decode_envelope(topic_rows, payload_schema).cache()
+        # Materialize the decode ONCE per stream: ~5 downstream branches
+        # consume it, and Catalyst has no cross-branch CSE through a
+        # Union — without this every branch re-parses the envelope JSON
+        # (the single most expensive expression in the router). One
+        # bounded job per stream; every branch then scans decoded rows.
+        decoded = decode_envelope(topic_rows, payload_schema).localCheckpoint(
+            eager=True
+        )
 
         if sd.retry:
             # Backoff gate: rows whose not_before hasn't passed are
@@ -267,43 +342,51 @@ def run_batch(
             reply_meta.alias("meta"),
             F.struct(*[F.col(c) for c in out_cols]).alias("payload"),
         )
-        encoded = out.select(
+        # Multicast fan-out: one computed reply row explodes into its
+        # destination set — the out-type topic, plus the caller's
+        # service-name topic when the request carried a direct_reply
+        # (RPC2, KafkaBus.scala:60-73,157-169), plus a per-socket push
+        # topic when it carried a socket_id (event/package.scala:156-159).
+        # A single explode branch computes handler+to_json ONCE, where
+        # three union branches would each re-run them.
+        dests = F.array(
+            F.struct(
+                F.lit(sd.out_type).alias("topic"), F.lit("out").alias("kind")
+            ),
+            F.struct(
+                F.col("meta.direct_reply.service_name").alias("topic"),
+                F.lit("rpc").alias("kind"),
+            ),
+            F.struct(
+                F.when(
+                    F.col("meta.socket_id").isNotNull(),
+                    F.concat(
+                        F.lit(SOCKET_TOPIC_PREFIX), F.col("meta.socket_id")
+                    ),
+                ).alias("topic"),
+                F.lit("sock").alias("kind"),
+            ),
+        )
+        fanned = out.select(
             key_col.cast("binary").alias("key"),
             F.to_json(env).cast("binary").alias("value"),
-            F.lit(sd.out_type).alias("topic"),
-            F.col("meta.direct_reply.service_name").alias("_reply_service"),
-            F.col("meta.socket_id").alias("_socket_id"),
+            F.explode(
+                F.filter(dests, lambda d: d.getField("topic").isNotNull())
+            ).alias("_d"),
+        ).select(
+            "key",
+            "value",
+            F.col("_d.topic").alias("topic"),
+            F.col("_d.kind").alias("_kind"),
         )
-        if lazy or not encoded.isEmpty():
-            res._add(
-                sd.out_type, encoded.drop("_reply_service", "_socket_id")
-            )
-        # RPC2: additionally publish to the caller's service-name topic
-        # (KafkaBus.scala:60-73,157-169).
-        rpc = encoded.filter(F.col("_reply_service").isNotNull())
-        if lazy or not rpc.isEmpty():
-            res._add(
-                "_rpc_replies",
-                rpc.select(
-                    "key",
-                    "value",
-                    F.col("_reply_service").alias("topic"),
-                ),
-            )
-        # SocketEvent push delivery (event/package.scala:156-159): replies
-        # carrying a socket_id also land on a per-socket push topic.
-        sock = encoded.filter(F.col("_socket_id").isNotNull())
-        if lazy or not sock.isEmpty():
-            res._add(
-                "_socket_pushes",
-                sock.select(
-                    "key",
-                    "value",
-                    F.concat(
-                        F.lit(SOCKET_TOPIC_PREFIX), F.col("_socket_id")
-                    ).alias("topic"),
-                ),
-            )
+        res._add_shared(
+            fanned,
+            {
+                sd.out_type: "out",
+                "_rpc_replies": "rpc",
+                "_socket_pushes": "sock",
+            },
+        )
     return res
 
 
@@ -319,26 +402,36 @@ def drain_batches(
     retry queue is empty (the in-process analog of the streaming retry
     loop — used for deterministic tests and batch reprocessing jobs)."""
     merged = BatchResult()
+    # ONE materialization per round: localCheckpoint the round's entire
+    # routed output (retry + terminal topics together), then split from
+    # the materialized rows. This cuts the lineage (round N would
+    # otherwise re-execute every previous round's decode+handler
+    # pipeline — multiplicative with drain depth), decides termination
+    # from a cheap scan, and leaves the merged result shallow.
+    raw = raw.localCheckpoint(eager=True)
     now = now_epoch
     for _ in range(max_rounds):
-        # lazy routing: skip the per-branch isEmpty materializations (each
-        # one re-runs the decode+handler pipeline); one emptiness check on
-        # the unioned retry queue per round decides termination.
-        res = run_batch(service, raw, now_epoch=now, lazy=True)
-        retry_dfs = []
-        for topic, df in res.outputs.items():
-            if topic.endswith(".retry"):
-                retry_dfs.append(df)
-            else:
-                merged._add(topic, df)
-        if not retry_dfs:
+        res = run_batch(
+            service, raw, now_epoch=now, lazy=True, materialize=False
+        )
+        allout = res.union_all()
+        if allout is None:
             break
-        raw = retry_dfs[0]
-        for d in retry_dfs[1:]:
-            raw = raw.unionByName(d)
-        raw = raw.cache()
-        if raw.isEmpty():
+        # coalesce BEFORE checkpointing: the union of ~8 branches/stream
+        # multiplies partition counts every round (32 → 256 → 1542 → …)
+        # and task-scheduling overhead swamps the work; coalesce is a
+        # narrow merge (no shuffle) back to one wave of tasks.
+        par = raw.sparkSession.sparkContext.defaultParallelism
+        allout = allout.coalesce(par).localCheckpoint(eager=True)
+        live = [
+            r[0] for r in allout.select("topic").distinct().collect()
+        ]  # cheap: scans the checkpointed rows
+        for top in live:
+            if not top.endswith(".retry"):
+                merged._add(top, allout.filter(F.col("topic") == top))
+        if not any(top.endswith(".retry") for top in live):
             break
+        raw = allout.filter(F.col("topic").endswith(".retry"))
         now += clock_step
     return merged
 
@@ -361,14 +454,37 @@ class FileBus:
     def _dir(self, topic: str) -> str:
         return os.path.join(self.root, topic)
 
-    def publish(self, df: DataFrame, topic: str | None = None) -> None:
-        for (top,) in (
-            df.select("topic").distinct().collect() if topic is None else [(topic,)]
-        ):
-            part = df.filter(F.col("topic") == top) if topic is None else df
-            part.select("key", "value", "topic").write.mode("append").parquet(
-                self._dir(top)
+    def publish(
+        self,
+        df: DataFrame,
+        topic: str | None = None,
+        topics: list[str] | None = None,
+    ) -> None:
+        """Append bus rows to their topic directories.
+
+        With ``topic`` the frame goes to that one directory (no driver
+        action on the lineage). With per-row routing, pass ``topics``
+        when the destination set is known, or the frame is materialized
+        ONCE (localCheckpoint) so the distinct-topic probe and the
+        per-topic writes scan materialized rows instead of re-running
+        the upstream pipeline per destination.
+        """
+        if topic is not None:
+            df.select("key", "value", "topic").write.mode("append").parquet(
+                self._dir(topic)
             )
+            return
+        if topics is None:
+            # coalesce first: the routed batch is a union of many narrow
+            # branches — one wave of tasks materializes it, and the
+            # per-topic writes then emit a bounded file count
+            par = df.sparkSession.sparkContext.defaultParallelism
+            df = df.coalesce(par).localCheckpoint(eager=True)
+            topics = [r[0] for r in df.select("topic").distinct().collect()]
+        for top in topics:
+            df.filter(F.col("topic") == top).select(
+                "key", "value", "topic"
+            ).write.mode("append").parquet(self._dir(top))
 
     def read(self, spark: SparkSession, topics: list[str]) -> DataFrame:
         dfs = [
@@ -433,14 +549,18 @@ def start_service(
         src = s if src is None else src.unionByName(s)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if batch_df.isEmpty():  # action on the raw SOURCE only — cheap
             return
         result = run_batch(service, batch_df, trace=trace)
-        for topic, df in result.outputs.items():
-            if topic.startswith("_"):  # _rpc_replies/_socket_pushes:
-                bus.publish(df)  # per-row topic column
-            else:
-                bus.publish(df, topic)
+        allout = result.union_all()
+        if allout is None:
+            return
+        # ONE materialization of the whole routed batch (every branch
+        # carries its per-row topic, incl. _rpc_replies/_socket_pushes
+        # dynamic destinations); publish then fans out from the
+        # checkpointed rows — the decode+handler lineage runs exactly
+        # once per micro-batch regardless of destination count.
+        bus.publish(allout)
 
     return (
         src.writeStream.foreachBatch(process)
