@@ -10,8 +10,10 @@ import pytest
 
 from typebus_spark.plans.checks import (
     formatted_plan,
+    has_global_sort,
     pushed_filters,
     scan_read_schemas,
+    simple_plan,
 )
 from typebus_spark.suite import QUERIES
 
@@ -67,6 +69,17 @@ def test_knn_broadcasts_query_side(spark, sf_dir):
     # small query set must be the broadcast side; corpus never shuffles
     # before scoring
     assert "Broadcast" in plan
+
+
+def test_knn_topk_native_partial_limit(spark, sf_dir):
+    """Top-k must shuffle O(k·partitions), not |Q|·|C|, rows per query:
+    Catalyst's WindowGroupLimit Partial prunes to k per map partition
+    BEFORE the exchange, and no Sort may be global."""
+    for q in ("q_knn_cosine_topk", "q_knn_ivf"):
+        df = _df(spark, sf_dir, q)
+        assert not has_global_sort(df), simple_plan(df)
+        sp = simple_plan(df)
+        assert "WindowGroupLimit" in sp and "Partial" in sp, sp
 
 
 def test_minhash_has_partial_aggregation(spark, sf_dir):

@@ -146,12 +146,19 @@ def minhash_lsh_pairs(
     # shape that scales: shingles shuffle once, partial min() map-side.
     # No distinct() here: min() over duplicate shingles is identical and
     # dropping it saves a full shuffle.
+    from pyspark import StorageLevel
+
     from typebus_spark.session import ensure_parallelism
 
+    # ONE exploded shingle frame feeds BOTH stages — raw (duplicates kept)
+    # for the signature min-aggregates, ``.distinct()`` of the SAME frame
+    # for the verify index below. Persisted (spills to disk at scale) so
+    # the verify stage never re-scans + re-explodes the corpus; that
+    # second full pass was most of the operator's cost.
     ex = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(tokens(text_col), shingle_n)).alias("shingle"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = ex.groupBy("_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(
@@ -190,13 +197,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification of candidates only; the shingle index is reused
-    # by sizes + both join sides → persist (spills to disk at scale)
-    from pyspark import StorageLevel
-
-    sh_df = distinct_shingles(df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # exact verification of candidates only; the distinct index derives
+    # from the persisted exploded frame (one shuffle, no re-scan) and is
+    # itself reused by sizes + both join sides → persist too
+    sh_df = ex.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh_df.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ash = sh_df.select(F.col("_id").alias("a"), F.col("shingle").alias("s"))
     bsh = sh_df.select(F.col("_id").alias("b"), F.col("shingle").alias("s"))

@@ -40,15 +40,21 @@ def cosine_topk(
     """
     # norms computed ONCE per row on each join input (they materialize in
     # the exchange), not re-folded per pair — 3× less work per pair
+    from typebus_spark.session import ensure_parallelism
+
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).alias("qv"),
         norm(query_vec).alias("qn"),
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("cid"),
-        F.col(corpus_vec).alias("cv"),
-        norm(corpus_vec).alias("cn"),
+    # corpus side: spread a small single-file input across cores (the
+    # per-pair vector fold is compute-bound); no-op at cluster scale
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(corpus_id).alias("cid"),
+            F.col(corpus_vec).alias("cv"),
+            norm(corpus_vec).alias("cn"),
+        )
     )
     scored = F.broadcast(q).crossJoin(c)
     if not include_self:
@@ -58,6 +64,19 @@ def cosine_topk(
         "cid",
         F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cos"),
     )
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-k over (qid, cid, cos) rows.
+
+    Declared as one rank-filtered window; Catalyst compiles it to
+    two-phase top-k natively — ``WindowGroupLimit … Partial`` keeps only
+    k rows per query PER MAP PARTITION before the exchange, the Final
+    pass ranks the survivors — so the per-query shuffle carries
+    O(partitions·k), not |C|, rows. Both Sorts are partition-local
+    (no global sort). Pinned by tests/test_plans.py
+    (test_knn_topk_native_partial_limit)."""
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -96,15 +115,31 @@ def _nearest_centroid(vec_col: str, centroids: list[list[float]]) -> F.Column:
 def train_centroids(
     corpus: DataFrame, vec_col: str, n_centroids: int, seed: int = 42
 ) -> list[list[float]]:
-    """Cheap deterministic centroid pick: a seeded sample of corpus
+    """Cheap deterministic centroid pick: a seeded SAMPLE of corpus
     vectors (k-means init without iterations — adequate bucketing for
-    IVF routing; swap for pyspark.ml KMeans on a real cluster)."""
+    IVF routing; swap for pyspark.ml KMeans on a real cluster).
+
+    Scale shape: parquet metadata count (no data scan) → seeded
+    ``sample`` sized to ~50× the centroid count (one narrow pass, no
+    shuffle) → hash-order the tiny sample for layout independence. The
+    previous form globally sorted the ENTIRE corpus to pick a handful
+    of rows — a cluster-wide sort feeding a driver collect at 100 TB.
+    """
+    total = corpus.count()  # parquet count() is metadata-only
+    fraction = min(1.0, (n_centroids * 50) / max(total, 1))
     rows = (
         corpus.select(F.col(vec_col).alias("v"))
+        .sample(fraction=fraction, seed=seed)
         .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("v").cast("string"))))
         .limit(n_centroids)
         .collect()
     )
+    if len(rows) < n_centroids:  # tiny corpus edge: sample came up short
+        rows = (
+            corpus.select(F.col(vec_col).alias("v"))
+            .limit(n_centroids)
+            .collect()
+        )
     return [[float(x) for x in r["v"]] for r in rows]
 
 
@@ -126,14 +161,15 @@ def ivf_topk(
     join is (query × probed bucket) equi-join on bucket id — shuffle
     bounded by corpus size, not corpus², surviving a 100× scale-up.
     """
-    c = (
+    from typebus_spark.session import ensure_parallelism
+
+    c = ensure_parallelism(
         corpus.select(
             F.col(corpus_id).alias("cid"),
             F.col(corpus_vec).alias("cv"),
             norm(corpus_vec).alias("cn"),
         )
-        .withColumn("bucket", _nearest_centroid("cv", centroids))
-    )
+    ).withColumn("bucket", _nearest_centroid("cv", centroids))
 
     scores = [
         dot("qv", F.array(*[F.lit(float(x)) for x in cen])) for cen in centroids
@@ -165,14 +201,4 @@ def ivf_topk(
             ),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("cid").alias("neighbor_id"),
-            "rank",
-            "cos",
-        )
-    )
+    return _topk_per_query(scored, k)

@@ -60,6 +60,21 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
     ]
 
 
+def simple_plan(df: DataFrame) -> str:
+    """One-line-per-node physical plan (includes operator arguments like
+    the Sort global flag, which the formatted header omits)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def has_global_sort(df: DataFrame) -> bool:
+    """True if any Sort node sorts globally (range-partition + total
+    order) — the scale-breaker pattern for top-k style queries."""
+    return any(
+        "Sort [" in line and "], true," in line
+        for line in simple_plan(df).splitlines()
+    )
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan."""
     plan = formatted_plan(df)

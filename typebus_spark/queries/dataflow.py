@@ -232,46 +232,34 @@ FROM ordered
 WHERE rn = cnt
 """,
     doc=(
-        "E1 general event-sourced fold via applyInPandas: per-key, "
-        "event-time-ordered reduction into entity state (count, last "
-        "type, running total)."
+        "E1 entity fold, vectorized: count/last/sum state expressed as "
+        "ONE JVM hash aggregate (fold_aggregates + last_by_time struct-"
+        "max) — map-side partials, single key shuffle. The per-record "
+        "applyInPandas fold (fold_events) remains the escape hatch for "
+        "non-algebraic folds and is pytest-covered."
     ),
 )
 def q_entity_fold(spark, sf_dir):
-    from typebus_spark.streaming.entity import fold_events
+    from typebus_spark.streaming.entity import fold_aggregates, last_by_time
 
     ev = t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
-
-    def fold(state, rec):
-        # exact integer-cents accumulation (functions.money rationale)
-        state = state or {
-            "user_id": rec["user_id"],
-            "n_events": 0,
-            "last_type": None,
-            "_cents": 0,
-        }
-        return {
-            "user_id": rec["user_id"],
-            "n_events": state["n_events"] + 1,
-            "last_type": rec["event_type"],
-            "_cents": state["_cents"] + int(round(float(rec["value"]) * 100)),
-        }
-
-    folded = fold_events(
+    folded = fold_aggregates(
         ev,
-        key_col="user_id",
-        ts_col="ts",
-        fold=fold,
-        state_ddl="user_id long, n_events long, last_type string, _cents long",
-        tiebreak=["event_id"],
+        "user_id",
+        {
+            "n_events": F.count(F.lit(1)),
+            "last_type": last_by_time("event_type", "ts", ["event_id"]),
+            # exact integer-cents accumulation (functions.money rationale)
+            "_cents": F.sum(cents("value")),
+        },
     )
     return folded.select(
         "user_id",
         "n_events",
         "last_type",
-        (F.col("_cents").cast("double") / 100.0).alias("total_value"),
+        money(F.col("_cents"), 100).alias("total_value"),
     )
 
 

@@ -263,6 +263,11 @@ _NORM = (
 )
 
 
+COS_THRESHOLD = 0.35  # calibrated to the synthetic fixture: same-label
+# cosines top out ≈0.51 (p99 ≈0.30), so a 0.9 "near-dup" bar matches
+# nothing and the check would be trivially green on 0 rows
+
+
 @query(
     "q_dedup_embedding",
     oracle=f"""
@@ -273,7 +278,8 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
-      / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}) >= 0.9
+      / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})
+      >= {COS_THRESHOLD}
 """,
     doc=(
         "Embedding-cosine near-dup, label-blocked (IVF-style blocking keeps "
@@ -299,6 +305,6 @@ def q_dedup_embedding(spark, sf_dir):
     return (
         a.join(b, "label")
         .filter(F.col("a") < F.col("b"))
-        .filter(cos >= 0.9)
+        .filter(cos >= COS_THRESHOLD)
         .select("a", "b", F.round(cos, 6).alias("cos"))
     )

@@ -76,6 +76,37 @@ def fold_events(
     return events.groupBy(key_col).applyInPandas(fold_group, schema=state_ddl)
 
 
+def last_by_time(
+    value_col: str, ts_col: str, tiebreak: list[str] | None = None
+):
+    """Aggregate expression: the value of ``value_col`` on the latest
+    event (event-time order, deterministic tiebreak) — ``max`` over a
+    struct whose fields compare lexicographically, so the whole thing
+    stays a JVM hash-aggregate with map-side partials."""
+    fields = [F.col(ts_col).alias("_t")]
+    for i, c in enumerate(tiebreak or []):
+        fields.append(F.col(c).alias(f"_tb{i}"))
+    fields.append(F.col(value_col).alias("_v"))
+    return F.max(F.struct(*fields)).getField("_v")
+
+
+def fold_aggregates(
+    events: DataFrame, key_col: str, aggs: dict[str, F.Column]
+) -> DataFrame:
+    """Vectorized entity fold for ALGEBRAIC state (count / sum / min /
+    max / last-by-time): ONE JVM hash aggregate — partial aggregation
+    map-side, a single shuffle on the entity key, no Python in the path.
+
+    This is the scale path for the common fold shapes; ``fold_events``
+    below remains the escape hatch for genuinely order-dependent,
+    non-algebraic folds (its per-row Python loop costs ~100× per row).
+    Compose ``last_by_time`` for "latest value wins" fields.
+    """
+    return events.groupBy(key_col).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+
+
 class EntityDb:
     """Queryable entity-state façade over a snapshot DataFrame.
 
