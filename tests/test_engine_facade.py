@@ -58,4 +58,5 @@ def test_engine_end_to_end(spark, tmp_path):
     # descriptor reflects everything declared
     d = eng.descriptor()
     assert d["service"] == "facade-service"
-    assert len(d["types"]) == 2
+    # user types plus the auto-declared discovery types (C1)
+    assert {"api.OrderPlaced", "api.OrderConfirmed"} <= set(d["types"])

@@ -223,7 +223,7 @@ def test_descriptor(svc):
     ]
     assert "api.OrderPlaced" in d["types"]
     assert svc.subscribed_topics() == sorted(
-        {"api.OrderPlaced", "order-service"}
+        {"api.OrderPlaced", "order-service", Service.GET_DESCRIPTOR_FQN}
     )
 
 
@@ -297,3 +297,112 @@ def test_streaming_end_to_end_filebus(spark, svc, tmp_path):
     q2 = start_service(svc, bus, spark, str(tmp_path / "ckpt"))
     q2.awaitTermination(60)
     assert bus.read(spark, ["api.OrderConfirmed"]).count() == 2
+
+
+def test_descriptor_answered_on_bus(spark, svc, tmp_path):
+    """C1 on the bus (KafkaBus.scala:130-134): a GetServiceDescriptor
+    envelope yields a ServiceDescriptor reply envelope via FileBus."""
+    bus = FileBus(str(tmp_path / "bus"))
+    req = spark.createDataFrame([("order-service",)], "service string")
+    bus.publish(
+        encode_envelope(req, Service.GET_DESCRIPTOR_FQN),
+        Service.GET_DESCRIPTOR_FQN,
+    )
+    q = start_service(svc, bus, spark, str(tmp_path / "ck"))
+    q.awaitTermination(60)
+    out = bus.read(spark, [Service.DESCRIPTOR_FQN]).collect()
+    payloads = [
+        json.loads(bytes(r["value"]).decode())["payload"] for r in out
+    ]
+    answered = [p for p in payloads if "descriptor" in p]
+    assert answered, payloads
+    desc = json.loads(answered[0]["descriptor"])
+    assert desc["service"] == "order-service"
+    assert {"in": "api.OrderPlaced", "out": "api.OrderConfirmed"} in desc[
+        "service_methods"
+    ]
+    # hidden control-plane stream must not leak into the method list
+    assert all(
+        m["in"] != Service.GET_DESCRIPTOR_FQN for m in desc["service_methods"]
+    )
+
+
+def test_descriptor_broadcast_on_startup(spark, svc, tmp_path):
+    """KafkaBus.scala:247 parity: starting a service announces its
+    descriptor even with no request in flight."""
+    bus = FileBus(str(tmp_path / "bus"))
+    q = start_service(svc, bus, spark, str(tmp_path / "ck"))
+    q.awaitTermination(60)
+    out = bus.read(spark, [Service.DESCRIPTOR_FQN]).collect()
+    payloads = [
+        json.loads(bytes(r["value"]).decode())["payload"] for r in out
+    ]
+    assert any(p.get("service") == "order-service" for p in payloads)
+
+
+def test_entity_db_accessor_stream(spark):
+    """T4 auto DbAccessor stream (Service.scala:66-71): register_entity
+    with a snapshot installs a hidden lookup stream; requests on
+    <state_type>.get are answered with current state, misses with null
+    state fields."""
+    from pyspark.sql.types import LongType
+
+    state_schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("status", StringType(), True),
+            StructField("amount", DoubleType(), True),
+        ]
+    )
+    snap = spark.createDataFrame(
+        [("e1", "paid", 5.0), ("e2", "open", 7.5)], state_schema
+    )
+    s = Service("entity-service")
+    s.declare_type("api.OrderState", state_schema)
+    s.register_entity("order", "api.OrderState", key_col="id", snapshot=snap)
+    assert "api.OrderState.get" in s.streams
+    assert s.streams["api.OrderState.get"].service_level
+
+    reqs = spark.createDataFrame([("e1",), ("nope",)], "id string")
+    raw = encode_envelope(reqs, "api.OrderState.get")
+    res = run_batch(s, raw)
+    replies = res.topic("api.OrderState")
+    got = {
+        json.loads(bytes(r["value"]).decode())["payload"]["id"]: json.loads(
+            bytes(r["value"]).decode()
+        )["payload"]
+        for r in replies.collect()
+    }
+    assert got["e1"]["status"] == "paid" and got["e1"]["amount"] == 5.0
+    assert got["nope"].get("status") is None  # miss → null state fields
+
+
+def test_avro_wire_format(spark):
+    """D1/D3 avro path: real code behind wire_format='avro'. The
+    spark-avro jar is absent in this container, so the round-trip is
+    skip-marked; the schema generator and the clear-error path are
+    asserted either way."""
+    from typebus_spark.codec.envelope import (
+        _avro_available,
+        avro_schema_json,
+        published_event_schema,
+    )
+
+    env_schema = published_event_schema(ORDER_SCHEMA)
+    sch = json.loads(avro_schema_json(env_schema))
+    assert sch["type"] == "record" and sch["name"] == "PublishedEvent"
+    names = {f["name"] for f in sch["fields"]}
+    assert names == {"meta", "payload"}
+    meta_rec = next(f for f in sch["fields"] if f["name"] == "meta")["type"][1]
+    meta_names = [f["name"] for f in meta_rec["fields"]]
+    assert "event_id" in meta_names and "occurred_at" in meta_names
+
+    df = spark.createDataFrame([("o1", "c1", 1.0)], ORDER_SCHEMA)
+    if not _avro_available(spark):
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            encode_envelope(df, "api.OrderPlaced", wire_format="avro")
+        pytest.skip("spark-avro jar absent: avro round-trip untestable here")
+    raw = encode_envelope(df, "api.OrderPlaced", wire_format="avro")
+    back = decode_envelope(raw, ORDER_SCHEMA, wire_format="avro").collect()[0]
+    assert back["payload"]["order_id"] == "o1"
+    assert back["meta"]["event_type"] == "api.OrderPlaced"

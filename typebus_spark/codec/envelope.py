@@ -7,13 +7,17 @@ Reference shapes (/root/reference/typebus/macros/.../event/package.scala):
 - ``RpcClient(path, service)`` (:122)
 
 Wire format: the reference is Avro binary via avro4s (Mapper.scala:19-67).
-Neither the spark-avro connector jar nor a Python avro library exists in
-this environment, so the engine's canonical wire format is **UTF-8 JSON
-cast to binary** — schema-driven via ``to_json``/``from_json``, which are
-JVM-side Catalyst expressions with the same vectorized execution profile
-as ``to_avro``/``from_avro``. When the spark-avro jar IS on the classpath
-(real clusters), ``wire_format="avro"`` switches to it transparently.
-Self-consistency + oracle agreement is the bar (SURVEY.md §7 risks).
+The engine's default wire format is **UTF-8 JSON cast to binary** —
+schema-driven via ``to_json``/``from_json``, JVM-side Catalyst
+expressions with the same vectorized execution profile as
+``to_avro``/``from_avro``. ``encode_envelope``/``decode_envelope`` take
+``wire_format="avro"`` to use Avro binary instead (pyspark.sql.avro
+functions + ``avro_schema_json`` below for the record schema); the
+spark-avro connector jar is NOT in this container, so that path raises a
+clear error here and is exercised by a skip-marked round-trip test
+(tests/test_runtime.py::test_avro_wire_format_roundtrip) that runs on
+real clusters. Self-consistency + oracle agreement is the bar
+(SURVEY.md §7 risks).
 """
 
 from __future__ import annotations
@@ -33,13 +37,89 @@ from pyspark.sql.types import (
 
 
 def _avro_available(spark) -> bool:
+    """True when the spark-avro connector actually works — the pyspark
+    wrapper module imports even without the jar, so probe with a real
+    (tiny) evaluation instead of an import check."""
     try:
-        from pyspark.sql.avro.functions import from_avro  # noqa: F401
+        from pyspark.sql.avro.functions import to_avro
 
-        spark._jvm.org.apache.spark.sql.avro.functions  # type: ignore[union-attr]
+        spark.range(1).select(
+            to_avro(F.struct(F.lit(1).alias("x")))
+        ).collect()
         return True
     except Exception:
         return False
+
+
+def avro_schema_json(schema, name: str = "PublishedEvent", _ns=None) -> str:
+    """Avro record schema (JSON) for a Catalyst StructType — what
+    ``from_avro`` needs to decode the wire bytes. Field-for-field with
+    the reference's avro4s-derived schemas (Mapper.scala:19-67): every
+    field is a ``["null", T]`` union (avro4s Option/default semantics),
+    timestamps are ``timestamp-micros`` longs."""
+    import json
+
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        BooleanType as _B,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        MapType as _M,
+        StringType as _S,
+        StructType as _ST,
+        TimestampType as _TS,
+    )
+
+    _ns = _ns if _ns is not None else [0]
+
+    def conv(dt, field_name):
+        if isinstance(dt, _ST):
+            _ns[0] += 1
+            return {
+                "type": "record",
+                "name": f"{field_name}_r{_ns[0]}",
+                "fields": [
+                    {"name": f.name, "type": ["null", conv(f.dataType, f.name)]}
+                    for f in dt.fields
+                ],
+            }
+        if isinstance(dt, ArrayType):
+            return {
+                "type": "array",
+                "items": ["null", conv(dt.elementType, field_name)],
+            }
+        if isinstance(dt, _M):
+            return {
+                "type": "map",
+                "values": ["null", conv(dt.valueType, field_name)],
+            }
+        if isinstance(dt, _TS):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, _S):
+            return "string"
+        if isinstance(dt, _B):
+            return "boolean"
+        if isinstance(dt, LongType):
+            return "long"
+        if isinstance(dt, IntegerType):
+            return "int"
+        if isinstance(dt, DoubleType):
+            return "double"
+        if isinstance(dt, FloatType):
+            return "float"
+        if isinstance(dt, BinaryType):
+            return "bytes"
+        raise TypeError(f"no avro mapping for {dt}")
+
+    root = conv(schema, name)
+    root["name"] = name
+    return json.dumps(root)
 
 
 RPC_CLIENT_SCHEMA = StructType(
@@ -131,12 +211,22 @@ def new_meta(
     )
 
 
+def _require_avro(df: DataFrame) -> None:
+    if not _avro_available(df.sparkSession):
+        raise RuntimeError(
+            "wire_format='avro' needs the spark-avro connector jar on the "
+            "classpath (org.apache.spark:spark-avro); it is absent in this "
+            "environment — use the default JSON wire format here"
+        )
+
+
 def encode_envelope(
     df: DataFrame,
     event_type: str | Column,
     payload_cols: list[str] | None = None,
     key: Column | None = None,
     meta: Column | None = None,
+    wire_format: str = "json",
 ) -> DataFrame:
     """Payload columns → bus rows ``(key binary, value binary, topic string)``.
 
@@ -144,6 +234,8 @@ def encode_envelope(
     (K1/K2, KafkaBus.scala:56-80); file/memory transports use the same
     shape. Partition-key affinity (meta.key → Kafka partitioner,
     event/package.scala:135) is preserved via the ``key`` column.
+    ``wire_format="avro"`` emits Avro binary (the reference's wire
+    contract, Mapper.scala:19-67) when spark-avro is on the classpath.
     """
     payload_cols = payload_cols or df.columns
     m = meta if meta is not None else new_meta(event_type, key=key)
@@ -151,27 +243,48 @@ def encode_envelope(
         m.alias("meta"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
     )
+    if wire_format == "avro":
+        _require_avro(df)
+        from pyspark.sql.avro.functions import to_avro
+
+        value = to_avro(env)
+    else:
+        value = F.to_json(env).cast("binary")
     et = F.lit(event_type) if isinstance(event_type, str) else event_type
     return df.select(
         (key if key is not None else F.lit(None).cast("string"))
         .cast("binary")
         .alias("key"),
-        F.to_json(env).cast("binary").alias("value"),
+        value.alias("value"),
         et.alias("topic"),
     )
 
 
-def decode_envelope(raw: DataFrame, payload_schema: StructType) -> DataFrame:
+def decode_envelope(
+    raw: DataFrame,
+    payload_schema: StructType,
+    wire_format: str = "json",
+) -> DataFrame:
     """Bus rows → ``meta`` struct + typed ``payload`` struct (D1+D2).
 
     Equivalent of ``publishedEventReader.read`` (Mapper.scala:19-38) then
     the per-type payload decode (bus/package.scala:141-142), as one
-    Catalyst ``from_json``. Undecodable rows yield NULL payloads → routed
-    to the dead-letter path by the runtime (O2).
+    Catalyst ``from_json`` (or ``from_avro`` with
+    ``wire_format="avro"``). Undecodable rows yield NULL payloads →
+    routed to the dead-letter path by the runtime (O2).
     """
     env = published_event_schema(payload_schema)
+    if wire_format == "avro":
+        _require_avro(raw)
+        from pyspark.sql.avro.functions import from_avro
+
+        decoded = from_avro(
+            F.col("value"), avro_schema_json(env), {"mode": "PERMISSIVE"}
+        )
+    else:
+        decoded = F.from_json(F.col("value").cast("string"), env)
     return raw.select(
-        F.from_json(F.col("value").cast("string"), env).alias("e"),
+        decoded.alias("e"),
         *[c for c in ("topic", "key") if c in raw.columns],
     ).select("e.meta", "e.payload", *[c for c in ("topic",) if c in raw.columns])
 

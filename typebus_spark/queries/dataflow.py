@@ -264,6 +264,92 @@ def q_entity_fold(spark, sf_dir):
 
 
 @query(
+    "q_entity_lookup",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt,
+         sum(CAST(round(value * 100, 0) AS BIGINT))
+           OVER (PARTITION BY user_id) AS tvc
+  FROM events),
+state AS (
+  SELECT user_id, cnt AS n_events, event_type AS last_type,
+         CAST(tvc AS DOUBLE) / 100.0 AS total_value
+  FROM ordered WHERE rn = cnt),
+req AS (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0
+        UNION SELECT 9999999 AS user_id)
+SELECT r.user_id AS user_id, s.n_events, s.last_type, s.total_value
+FROM req r LEFT JOIN state s ON r.user_id = s.user_id
+""",
+    doc=(
+        "T4 DbAccessor lookup through the REAL runtime: register_entity "
+        "auto-installs the <state_type>.get stream (Service.scala:66-71 "
+        "parity); request envelopes are routed, joined against the "
+        "fold_aggregates state snapshot, and answered as typed replies — "
+        "a miss (id 9999999) answers with null state fields."
+    ),
+)
+def q_entity_lookup(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from typebus_spark.codec.envelope import decode_envelope
+    from typebus_spark.session import ensure_parallelism
+    from typebus_spark.streaming.entity import fold_aggregates, last_by_time
+
+    ev = t(spark, sf_dir, "events")
+    state = fold_aggregates(
+        ev,
+        "user_id",
+        {
+            "n_events": F.count(F.lit(1)),
+            "last_type": last_by_time("event_type", "ts", ["event_id"]),
+            "_cents": F.sum(cents("value")),
+        },
+    ).select(
+        "user_id",
+        "n_events",
+        "last_type",
+        money(F.col("_cents"), 100).alias("total_value"),
+    )
+    state_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_events", LongType(), True),
+            StructField("last_type", StringType(), True),
+            StructField("total_value", DoubleType(), True),
+        ]
+    )
+    svc = Service("entity-lookup-query")
+    svc.declare_type("api.UserState", state_schema)
+    svc.register_entity(
+        "user", "api.UserState", key_col="user_id", snapshot=state
+    )
+
+    reqs = (
+        ev.filter(F.col("user_id") % 3 == 0)
+        .select("user_id")
+        .distinct()
+        .unionByName(
+            spark.createDataFrame([(9999999,)], "user_id bigint")
+        )
+    )
+    raw = encode_envelope(
+        ensure_parallelism(reqs.select(F.col("user_id").alias("id"))),
+        "api.UserState.get",
+    )
+    res = run_batch(svc, raw)
+    replies = res.topic("api.UserState")
+    return decode_envelope(replies, state_schema).select("payload.*")
+
+
+@query(
     "q_asof_enrich",
     oracle="""
 WITH p AS (SELECT event_id, user_id, ts, value FROM events

@@ -91,12 +91,61 @@ class Service:
     (KafkaBus.scala:116,184) — kept for transport parity.
     """
 
+    GET_DESCRIPTOR_FQN = "typebus.GetServiceDescriptor"
+    DESCRIPTOR_FQN = "typebus.ServiceDescriptor"
+
     def __init__(self, name: str, catalog: TypeCatalog | None = None):
         self.name = name
         self.catalog = catalog or TypeCatalog()
         self.streams: dict[str, StreamDef] = {}  # in_fqn -> StreamDef
         self.entities: dict[str, EntityDef] = {}
         self.up_since: float | None = None
+        self._register_descriptor_stream()
+
+    def _register_descriptor_stream(self) -> None:
+        """C1 discovery ON the bus (KafkaBus.scala:130-134): every service
+        auto-answers ``GetServiceDescriptor`` with its descriptor as a
+        ``ServiceDescriptor`` reply envelope. The handler serializes the
+        CURRENT registrations at batch time (closures over ``self``), so
+        streams registered after construction are included."""
+        import json
+
+        import pyspark.sql.functions as F
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        if self.GET_DESCRIPTOR_FQN not in self.catalog:
+            self.declare_type(
+                self.GET_DESCRIPTOR_FQN,
+                StructType([StructField("service", StringType(), True)]),
+            )
+        if self.DESCRIPTOR_FQN not in self.catalog:
+            self.declare_type(
+                self.DESCRIPTOR_FQN,
+                StructType(
+                    [
+                        StructField("service", StringType(), False),
+                        StructField("descriptor", StringType(), False),
+                    ]
+                ),
+            )
+
+        def answer(df: DataFrame) -> DataFrame:
+            # reply only when addressed to us (or broadcast/null target)
+            desc = json.dumps(self.descriptor(), sort_keys=True)
+            return df.filter(
+                F.col("service").isNull() | (F.col("service") == self.name)
+            ).select(
+                "meta",
+                F.lit(self.name).alias("service"),
+                F.lit(desc).alias("descriptor"),
+            )
+
+        self.register_stream(
+            self.GET_DESCRIPTOR_FQN,
+            self.DESCRIPTOR_FQN,
+            answer,
+            service_level=True,
+        )
 
     # -- declaration surface (G1/G3 analogs) --------------------------------
 
@@ -146,11 +195,59 @@ class Service:
         state_type: str,
         key_col: str = "id",
         fold: Callable[..., Any] | None = None,
+        snapshot: DataFrame | None = None,
+        accessor_type: str | None = None,
     ) -> EntityDef:
+        """Register a keyed entity; with ``snapshot`` given, ALSO
+        auto-register the T4 DbAccessor lookup stream
+        (registerDataBaseStream, Service.scala:66-71): a hidden stream on
+        ``accessor_type`` (default ``<state_type>.get``) whose requests
+        carry the entity ``id`` and are answered with current state via
+        an equi-join against the snapshot. A lookup miss replies with the
+        requested id and null state fields (the reference fails the
+        Future instead — documented divergence; nulls keep the reply
+        typed and SQL-joinable)."""
         if state_type not in self.catalog:
             raise KeyError(f"state_type not declared: {state_type}")
         ed = EntityDef(name=name, state_type=state_type, key_col=key_col, fold=fold)
         self.entities[name] = ed
+        if snapshot is None:
+            return ed
+
+        import pyspark.sql.functions as F
+        from pyspark.sql.types import StructField, StructType
+
+        state_schema = self.catalog.schema_for(state_type)
+        key_field = next(
+            f for f in state_schema.fields if f.name == key_col
+        )
+        acc = accessor_type or f"{state_type}.get"
+        if acc not in self.catalog:
+            self.declare_type(
+                acc, StructType([StructField("id", key_field.dataType, False)])
+            )
+        state_cols = [f.name for f in state_schema.fields]
+        snap = snapshot.select(
+            *[F.col(c).alias(f"_s_{c}") for c in state_cols]
+        )
+
+        def lookup(df: DataFrame) -> DataFrame:
+            # DbAccessor answer: request id ⋈ snapshot key (broadcast by
+            # AQE when the snapshot is small; stream-static in streaming)
+            got = df.select("meta", "id").join(
+                snap, F.col("id") == F.col(f"_s_{key_col}"), "left_outer"
+            )
+            return got.select(
+                "meta",
+                *[
+                    (
+                        F.col("id") if c == key_col else F.col(f"_s_{c}")
+                    ).alias(c)
+                    for c in state_cols
+                ],
+            )
+
+        self.register_stream(acc, state_type, lookup, service_level=True)
         return ed
 
     # -- discovery (C1) ------------------------------------------------------

@@ -28,7 +28,11 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from typebus_spark.codec.envelope import decode_envelope, new_meta
+from typebus_spark.codec.envelope import (
+    decode_envelope,
+    encode_envelope,
+    new_meta,
+)
 from typebus_spark.registry import Service
 from typebus_spark.streaming.retry import (
     eligible_now,
@@ -542,6 +546,20 @@ def start_service(
     Streaming query: union of subscribed topic streams → ``foreachBatch``
     running the same ``run_batch`` as the batch path, publishing outputs
     back to the bus. Checkpointed (O3)."""
+    # C1 startup broadcast (KafkaBus.scala:247): announce this service's
+    # descriptor on the bus before consuming, so peers can discover it
+    # without round-tripping a GetServiceDescriptor request.
+    import json as _json
+
+    desc_df = spark.createDataFrame(
+        [(service.name, _json.dumps(service.descriptor(), sort_keys=True))],
+        "service string, descriptor string",
+    )
+    bus.publish(
+        encode_envelope(desc_df, Service.DESCRIPTOR_FQN),
+        Service.DESCRIPTOR_FQN,
+    )
+
     topics = [t for t in service.subscribed_topics()]
     src = None
     for t in topics:
