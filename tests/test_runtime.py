@@ -203,9 +203,22 @@ def test_rpc_reply_also_published_to_caller_topic(spark, svc):
 
 
 def test_trace_side_output_loop_guard(spark, svc):
+    from typebus_spark.runtime import TRACE_IN_TOPIC, TRACE_OUT_TOPIC
+
     res = run_batch(svc, _orders(spark), trace=True)
-    tr = res.topic(TRACE_TOPIC)
+    tr = res.topic(TRACE_IN_TOPIC)
     assert tr is not None and tr.count() == 2
+    # typed InEventTrace wrapper: payload = (service, event) with the
+    # full original envelope inside (event/package.scala:35-38)
+    v = json.loads(bytes(tr.collect()[0]["value"]).decode())
+    assert v["meta"]["event_type"] == TRACE_IN_TOPIC
+    assert v["payload"]["service"] == "order-service"
+    assert v["payload"]["event"]["meta"]["event_type"] == "api.OrderPlaced"
+    # OutEventTrace at the publish site (KafkaBus.scala:75)
+    out_tr = res.topic(TRACE_OUT_TOPIC)
+    assert out_tr is not None and out_tr.count() == 2
+    ov = json.loads(bytes(out_tr.collect()[0]["value"]).decode())
+    assert ov["payload"]["event"]["meta"]["event_type"] == "api.OrderConfirmed"
     # a trace event re-entering the bus must NOT be re-traced
     svc.declare_type(TRACE_TOPIC, ORDER_SCHEMA)
     svc.register_stream(TRACE_TOPIC, None, lambda df: None)
@@ -213,6 +226,46 @@ def test_trace_side_output_loop_guard(spark, svc):
     raw = encode_envelope(df, TRACE_TOPIC)
     res2 = run_batch(svc, raw, trace=True)
     assert res2.topic(TRACE_TOPIC) is None or res2.topic(TRACE_TOPIC).count() == 0
+
+
+def test_per_event_trace_flag_and_exception_trace(spark):
+    """meta.trace=true traces a single event even with the global flag
+    off (bus/package.scala:66-68); a handler give-up emits an
+    ExceptionTrace beside the ServiceException dead-letter
+    (bus/package.scala:110-124)."""
+    from typebus_spark.codec.envelope import new_meta
+    from typebus_spark.runtime import (
+        TRACE_EXCEPTION_TOPIC,
+        TRACE_IN_TOPIC,
+    )
+
+    s = Service("trace-svc")
+    s.declare_type("api.T", ORDER_SCHEMA)
+    s.declare_type("api.R", CONFIRM_SCHEMA)
+    s.register_stream(
+        "api.T",
+        "api.R",
+        lambda df: df.select(
+            "meta",
+            "order_id",
+            F.lit("done").alias("status"),
+            F.when(F.col("amount") < 0, "boom").alias("_error"),
+        ),
+    )
+    df = spark.createDataFrame(
+        [("ok", "c1", 1.0), ("bad", "c2", -1.0)],
+        "order_id string, customer_id string, amount double",
+    )
+    raw = encode_envelope(
+        df, "api.T", meta=new_meta("api.T", trace=True)
+    )
+    res = run_batch(s, raw, trace=False)  # global flag OFF
+    assert res.topic(TRACE_IN_TOPIC).count() == 2  # per-event flag wins
+    exc = res.topic(TRACE_EXCEPTION_TOPIC)
+    assert exc is not None and exc.count() == 1
+    ev = json.loads(bytes(exc.collect()[0]["value"]).decode())
+    assert ev["meta"]["event_type"] == TRACE_EXCEPTION_TOPIC
+    assert ev["payload"]["event"]["payload"]["order_id"] == "bad"
 
 
 def test_descriptor(svc):
@@ -406,3 +459,63 @@ def test_avro_wire_format(spark):
     back = decode_envelope(raw, ORDER_SCHEMA, wire_format="avro").collect()[0]
     assert back["payload"]["order_id"] == "o1"
     assert back["meta"]["event_type"] == "api.OrderPlaced"
+
+
+def test_client_wire_gather_end_to_end(spark, svc, tmp_path):
+    """Client.wire parity (Client.scala:32-52): requests published with
+    direct_reply = client back-channel; the service's reply lands on that
+    channel (RPC2 multicast); gather() correlates into Either-shaped
+    rows; an unanswered request times out to ServiceException."""
+    from typebus_spark.streaming.client import Client
+
+    bus = FileBus(str(tmp_path / "bus"))
+    client = Client("client-service", bus, spark)
+    reqs = spark.createDataFrame(
+        [("o1", "c1", 10.0), ("o2", "c2", -5.0)],
+        "order_id string, customer_id string, amount double",
+    )
+    wired = client.wire(reqs, "api.OrderPlaced")
+
+    # responder: the registered service consumes the topic, replies
+    q = start_service(svc, bus, spark, str(tmp_path / "ck"))
+    q.awaitTermination(60)
+
+    out = client.gather(wired, CONFIRM_SCHEMA)
+    rows = {r["right"]["order_id"]: r for r in out.collect() if r["right"]}
+    assert rows["o1"]["status"] == "completed"
+    assert rows["o1"]["right"]["status"] == "confirmed"
+    assert rows["o2"]["right"]["status"] == "rejected"
+
+    # timeout path: a request nobody answers, clock pushed past timeout
+    lonely = client.wire(
+        spark.createDataFrame([("o9", "c9", 1.0)],
+                              "order_id string, customer_id string, amount double"),
+        "api.Unanswered" if False else "api.OrderPlaced",
+    )
+    late = client.gather(
+        lonely, CONFIRM_SCHEMA,
+        now=F.current_timestamp() + F.expr("INTERVAL 1 HOUR"),
+    )
+    st = {r["request_id"]: r for r in late.collect()}
+    assert all(r["status"] == "timeout" and r["left"] is not None
+               for r in st.values())
+
+
+def test_forward_direct_reply_to_third_service(spark, svc, tmp_path):
+    """RPC3 forward (Forwarding.scala:13-27): the forwarder names a
+    third service as direct_reply; the responder's reply lands on THAT
+    service's back-channel, not the forwarder's."""
+    from typebus_spark.streaming.client import forward
+
+    bus = FileBus(str(tmp_path / "bus"))
+    reqs = spark.createDataFrame(
+        [("o1", "c1", 10.0)],
+        "order_id string, customer_id string, amount double",
+    )
+    forward(bus, reqs, "api.OrderPlaced", caller_service="third-service")
+    q = start_service(svc, bus, spark, str(tmp_path / "ck"))
+    q.awaitTermination(60)
+    landed = bus.read(spark, ["third-service"]).collect()
+    assert len(landed) == 1
+    v = json.loads(bytes(landed[0]["value"]).decode())
+    assert v["payload"]["status"] == "confirmed"

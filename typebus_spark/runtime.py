@@ -43,7 +43,13 @@ from typebus_spark.streaming.retry import (
 )
 
 DEAD_LETTER_TOPIC = "typebus.DeadLetter"
-TRACE_TOPIC = "typebus.Trace"
+# Three typed trace wrappers (event/package.scala:35-45), each on its own
+# topic named by its FQN: consume-side, publish-side, error-side.
+TRACE_IN_TOPIC = "typebus.InEventTrace"
+TRACE_OUT_TOPIC = "typebus.OutEventTrace"
+TRACE_EXCEPTION_TOPIC = "typebus.ExceptionTrace"
+TRACE_TOPICS = (TRACE_IN_TOPIC, TRACE_OUT_TOPIC, TRACE_EXCEPTION_TOPIC)
+TRACE_TOPIC = TRACE_IN_TOPIC  # back-compat alias (pre-r2 single topic)
 SOCKET_TOPIC_PREFIX = "typebus.socket."
 
 # ServiceException shape (event/package.scala:28-33)
@@ -106,6 +112,35 @@ class BatchResult:
         for d in frames[1:]:
             out = out.unionByName(d)
         return out
+
+
+def _trace_gate(trace: bool) -> F.Column:
+    """traceEvent gate (bus/package.scala:66-74): global flag OR per-event
+    meta.trace, and NEVER for an event that is itself a trace type (the
+    loop guard)."""
+    return (
+        (F.lit(trace) | F.coalesce(F.col("meta.trace"), F.lit(False)))
+        & ~F.col("meta.event_type").isin(*TRACE_TOPICS)
+    )
+
+
+def _trace_rows(
+    service_name: str, traced: DataFrame, env: F.Column, trace_fqn: str
+) -> DataFrame:
+    """Wrap envelopes as a typed Trace event — payload = (service,
+    event), meta = fresh, eventType = the trace FQN, trace=false
+    (bus/package.scala:75-89)."""
+    payload = F.struct(
+        F.lit(service_name).alias("service"), env.alias("event")
+    )
+    out_env = F.struct(
+        new_meta(trace_fqn).alias("meta"), payload.alias("payload")
+    )
+    return traced.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(out_env).cast("binary").alias("value"),
+        F.lit(trace_fqn).alias("topic"),
+    )
 
 
 def _dead_letter(raw: DataFrame, message: str) -> DataFrame:
@@ -228,18 +263,18 @@ def run_batch(
             F.col("payload").isNotNull() & F.col("meta").isNotNull()
         )
 
-        if trace:  # O1 trace-in side output (bus/package.scala:66-90);
-            # loop-guard: never trace the trace topic itself (:69-74)
-            res._add(
-                TRACE_TOPIC,
-                good.filter(F.col("meta.event_type") != TRACE_TOPIC).select(
-                    F.lit(None).cast("binary").alias("key"),
-                    F.to_json(F.struct("meta", "payload")).cast("binary").alias(
-                        "value"
-                    ),
-                    F.lit(TRACE_TOPIC).alias("topic"),
-                ),
-            )
+        # O1 InEventTrace (KafkaBus.scala:200): consume-side trace of every
+        # routed event, gated per-row (global flag OR meta.trace) with the
+        # never-trace-a-trace loop guard (bus/package.scala:69-74)
+        res._add(
+            TRACE_IN_TOPIC,
+            _trace_rows(
+                service.name,
+                good.filter(_trace_gate(trace)),
+                F.struct("meta", "payload"),
+                TRACE_IN_TOPIC,
+            ),
+        )
 
         # T1: handler over (meta, payload-fields); flatten payload for
         # ergonomic expression handlers, keep meta for correlation.
@@ -302,6 +337,24 @@ def run_batch(
                             F.lit(in_fqn).alias("topic"),
                         ),
                         "handler failed",
+                    ),
+                )
+                # ExceptionTrace alongside the error report
+                # (produceErrorReport, bus/package.scala:110-124);
+                # gave_up rows are flat (meta + payload fields) — rebuild
+                # the envelope struct for the trace wrapper
+                res._add(
+                    TRACE_EXCEPTION_TOPIC,
+                    _trace_rows(
+                        service.name,
+                        gave_up.filter(_trace_gate(trace)),
+                        F.struct(
+                            F.col("meta").alias("meta"),
+                            F.struct(
+                                *[F.col(c) for c in payload_fields]
+                            ).alias("payload"),
+                        ),
+                        TRACE_EXCEPTION_TOPIC,
                     ),
                 )
 
@@ -369,6 +422,17 @@ def run_batch(
                     ),
                 ).alias("topic"),
                 F.lit("sock").alias("kind"),
+            ),
+        )
+        # OutEventTrace (KafkaBus.scala:75): publish-side trace of the
+        # reply envelope, gated by the request's meta.trace / global flag
+        res._add(
+            TRACE_OUT_TOPIC,
+            _trace_rows(
+                service.name,
+                out.filter(_trace_gate(trace)),
+                env,
+                TRACE_OUT_TOPIC,
             ),
         )
         fanned = out.select(
