@@ -260,6 +260,19 @@ def encode_envelope(
     )
 
 
+@__import__("functools").lru_cache(maxsize=256)
+def _json_decode_expr(payload_schema_json: str) -> Column:
+    """Cached from_json expression per payload schema — the envelope
+    schema → JVM conversion costs dozens of py4j round-trips, and the
+    router decodes the same types every micro-batch. (Per-process cache;
+    Column trees are immutable and reusable across plans.)"""
+    import json as _json
+
+    payload_schema = StructType.fromJson(_json.loads(payload_schema_json))
+    env = published_event_schema(payload_schema)
+    return F.from_json(F.col("value").cast("string"), env)
+
+
 def decode_envelope(
     raw: DataFrame,
     payload_schema: StructType,
@@ -273,16 +286,16 @@ def decode_envelope(
     ``wire_format="avro"``). Undecodable rows yield NULL payloads →
     routed to the dead-letter path by the runtime (O2).
     """
-    env = published_event_schema(payload_schema)
     if wire_format == "avro":
         _require_avro(raw)
         from pyspark.sql.avro.functions import from_avro
 
+        env = published_event_schema(payload_schema)
         decoded = from_avro(
             F.col("value"), avro_schema_json(env), {"mode": "PERMISSIVE"}
         )
     else:
-        decoded = F.from_json(F.col("value").cast("string"), env)
+        decoded = _json_decode_expr(payload_schema.json())
     return raw.select(
         decoded.alias("e"),
         *[c for c in ("topic", "key") if c in raw.columns],

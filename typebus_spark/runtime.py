@@ -100,6 +100,17 @@ class BatchResult:
             cur = self._views.get(name)
             self._views[name] = cur.unionByName(v) if cur is not None else v
 
+    def absorb(self, other: "BatchResult", skip=None) -> None:
+        """Merge another result's outputs into this one (optionally
+        skipping exclusive topics matching ``skip``)."""
+        for topic, df in other.outputs.items():
+            if skip is None or not skip(topic):
+                self._add(topic, df)
+        self._shared.extend(other._shared)
+        for name, v in other._views.items():
+            cur = self._views.get(name)
+            self._views[name] = cur.unionByName(v) if cur is not None else v
+
     def union_all(self) -> DataFrame | None:
         """All outputs as ONE (key, value, topic) frame — every branch
         already carries its destination in the per-row ``topic`` column,
@@ -114,6 +125,21 @@ class BatchResult:
         return out
 
 
+# Column objects are immutable unresolved expression trees — building
+# them costs a py4j round-trip per node (a fresh EventMeta struct is ~60
+# such trips), and run_batch used to rebuild identical trees every call
+# (~1.4 s of socket chatter per micro-batch, measured). The lru_caches
+# below pin the STATIC trees; reuse across plans is safe, and
+# nondeterministic leaves (uuid) still evaluate per row at execution.
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=128)
+def _static_meta(fqn: str) -> F.Column:
+    return new_meta(fqn)
+
+
+@lru_cache(maxsize=8)
 def _trace_gate(trace: bool) -> F.Column:
     """traceEvent gate (bus/package.scala:66-74): global flag OR per-event
     meta.trace, and NEVER for an event that is itself a trace type (the
@@ -121,6 +147,64 @@ def _trace_gate(trace: bool) -> F.Column:
     return (
         (F.lit(trace) | F.coalesce(F.col("meta.trace"), F.lit(False)))
         & ~F.col("meta.event_type").isin(*TRACE_TOPICS)
+    )
+
+
+@lru_cache(maxsize=1)
+def _meta_payload_env() -> F.Column:
+    return F.struct("meta", "payload")
+
+
+@lru_cache(maxsize=1)
+def _null_key() -> F.Column:
+    return F.lit(None).cast("binary").alias("key")
+
+
+@lru_cache(maxsize=1)
+def _envelope_value() -> F.Column:
+    """(meta, payload) re-encoded as the wire value column."""
+    return F.to_json(_meta_payload_env()).cast("binary").alias("value")
+
+
+@lru_cache(maxsize=1)
+def _meta_only_value() -> F.Column:
+    return F.to_json(F.struct("meta")).cast("binary").alias("value")
+
+
+@lru_cache(maxsize=128)
+def _fan_cols(out_type: str) -> F.Column:
+    """Multicast destination explode: one computed reply row fans into
+    its destination set — the out-type topic, plus the caller's
+    service-name topic when the request carried a direct_reply (RPC2,
+    KafkaBus.scala:60-73,157-169), plus a per-socket push topic when it
+    carried a socket_id (event/package.scala:156-159). One explode
+    branch computes handler+to_json ONCE where three union branches
+    would each re-run them."""
+    dests = F.array(
+        F.struct(F.lit(out_type).alias("topic"), F.lit("out").alias("kind")),
+        F.struct(
+            F.col("meta.direct_reply.service_name").alias("topic"),
+            F.lit("rpc").alias("kind"),
+        ),
+        F.struct(
+            F.when(
+                F.col("meta.socket_id").isNotNull(),
+                F.concat(F.lit(SOCKET_TOPIC_PREFIX), F.col("meta.socket_id")),
+            ).alias("topic"),
+            F.lit("sock").alias("kind"),
+        ),
+    )
+    return F.explode(
+        F.filter(dests, lambda d: d.getField("topic").isNotNull())
+    ).alias("_d")
+
+
+@lru_cache(maxsize=128)
+def _flat_env(payload_fields: tuple) -> F.Column:
+    """Envelope struct rebuilt from FLAT (meta + payload fields) rows."""
+    return F.struct(
+        F.col("meta").alias("meta"),
+        F.struct(*[F.col(c) for c in payload_fields]).alias("payload"),
     )
 
 
@@ -134,7 +218,7 @@ def _trace_rows(
         F.lit(service_name).alias("service"), env.alias("event")
     )
     out_env = F.struct(
-        new_meta(trace_fqn).alias("meta"), payload.alias("payload")
+        _static_meta(trace_fqn).alias("meta"), payload.alias("payload")
     )
     return traced.select(
         F.lit(None).cast("binary").alias("key"),
@@ -143,9 +227,8 @@ def _trace_rows(
     )
 
 
-def _dead_letter(raw: DataFrame, message: str) -> DataFrame:
-    """Wrap raw bus rows as ServiceException envelopes
-    (produceErrorReport, bus/package.scala:93-125)."""
+@lru_cache(maxsize=32)
+def _dead_letter_cols(message: str) -> tuple:
     payload = F.struct(
         F.lit(message).alias("message"),
         F.lit("java.lang.RuntimeException").alias("throwable_type"),
@@ -155,13 +238,20 @@ def _dead_letter(raw: DataFrame, message: str) -> DataFrame:
         ).alias("extra"),
     )
     env = F.struct(
-        new_meta("typebus.ServiceException").alias("meta"), payload.alias("payload")
+        _static_meta("typebus.ServiceException").alias("meta"),
+        payload.alias("payload"),
     )
-    return raw.select(
+    return (
         F.lit(None).cast("binary").alias("key"),
         F.to_json(env).cast("binary").alias("value"),
         F.lit(DEAD_LETTER_TOPIC).alias("topic"),
     )
+
+
+def _dead_letter(raw: DataFrame, message: str) -> DataFrame:
+    """Wrap raw bus rows as ServiceException envelopes
+    (produceErrorReport, bus/package.scala:93-125)."""
+    return raw.select(*_dead_letter_cols(message))
 
 
 def run_batch(
@@ -171,6 +261,7 @@ def run_batch(
     now_epoch: int | None = None,
     lazy: bool = True,
     materialize: bool = True,
+    live_topics: set[str] | None = None,
 ) -> BatchResult:
     """Route one batch of raw bus rows through every registered stream.
 
@@ -197,6 +288,16 @@ def run_batch(
     res = BatchResult()
     if materialize:
         raw = raw.localCheckpoint(eager=True)
+    # Live-topic pruning: one tiny scan of the materialized batch tells
+    # us which topics actually carry rows, so streams with no input this
+    # batch contribute NO decode job and NO branches (a service with S
+    # streams otherwise pays S decode checkpoints per micro-batch even
+    # when one topic is active — the common case).
+    live = (
+        live_topics
+        if live_topics is not None
+        else {r[0] for r in raw.select("topic").distinct().collect()}
+    )
     now = F.lit(now_epoch) if now_epoch is not None else None
 
     # R1 routing: topic-per-type makes dispatch a source-level filter.
@@ -209,12 +310,16 @@ def run_batch(
     # RPC correlation path (streaming/rpc.py), not a registered stream —
     # never dead-letter them as unroutable.
     ignored = handled | {service.name}
-    unhandled = raw.filter(~F.col("topic").isin(*ignored))
-    if lazy or not unhandled.isEmpty():
-        res._add(DEAD_LETTER_TOPIC, _dead_letter(unhandled, "no handler for topic"))
+    if live - ignored:
+        unhandled = raw.filter(~F.col("topic").isin(*ignored))
+        res._add(
+            DEAD_LETTER_TOPIC, _dead_letter(unhandled, "no handler for topic")
+        )
 
     for in_fqn, sd in service.streams.items():
         topics = [in_fqn] + ([retry_topic(in_fqn)] if sd.retry else [])
+        if not (set(topics) & live):
+            continue  # no rows for this stream in the batch
         topic_rows = raw.filter(F.col("topic").isin(*topics))
         payload_schema = service.catalog.schema_for(in_fqn)
         # Materialize the decode ONCE per stream: ~5 downstream branches
@@ -235,10 +340,8 @@ def run_batch(
                 res._add(
                     retry_topic(in_fqn),
                     pending.select(
-                        F.lit(None).cast("binary").alias("key"),
-                        F.to_json(F.struct("meta", "payload"))
-                        .cast("binary")
-                        .alias("value"),
+                        _null_key(),
+                        _envelope_value(),
                         F.lit(retry_topic(in_fqn)).alias("topic"),
                     ),
                 )
@@ -250,10 +353,8 @@ def run_batch(
                 DEAD_LETTER_TOPIC,
                 _dead_letter(
                     bad.select(
-                        F.lit(None).cast("binary").alias("key"),
-                        F.to_json(F.struct("meta", "payload"))
-                        .cast("binary")
-                        .alias("value"),
+                        _null_key(),
+                        _envelope_value(),
                         F.lit(in_fqn).alias("topic"),
                     ),
                     "undecodable payload",
@@ -271,7 +372,7 @@ def run_batch(
             _trace_rows(
                 service.name,
                 good.filter(_trace_gate(trace)),
-                F.struct("meta", "payload"),
+                _meta_payload_env(),
                 TRACE_IN_TOPIC,
             ),
         )
@@ -330,10 +431,8 @@ def run_batch(
                     DEAD_LETTER_TOPIC,
                     _dead_letter(
                         gave_up.select(
-                            F.lit(None).cast("binary").alias("key"),
-                            F.to_json(F.struct("meta")).cast("binary").alias(
-                                "value"
-                            ),
+                            _null_key(),
+                            _meta_only_value(),
                             F.lit(in_fqn).alias("topic"),
                         ),
                         "handler failed",
@@ -348,12 +447,7 @@ def run_batch(
                     _trace_rows(
                         service.name,
                         gave_up.filter(_trace_gate(trace)),
-                        F.struct(
-                            F.col("meta").alias("meta"),
-                            F.struct(
-                                *[F.col(c) for c in payload_fields]
-                            ).alias("payload"),
-                        ),
+                        _flat_env(tuple(payload_fields)),
                         TRACE_EXCEPTION_TOPIC,
                     ),
                 )
@@ -380,50 +474,42 @@ def run_batch(
                 f"handler for {in_fqn} output is missing declared "
                 f"{sd.out_type} fields: {missing}"
             )
-        pk = sd.partition_key
-        key_col = (
-            F.col(pk).cast("string")
-            if isinstance(pk, str)
-            else (pk.cast("string") if pk is not None else F.lit(None).cast("string"))
-        )
-        reply_meta = new_meta(
-            sd.out_type,
-            key=key_col,
-            correlation_id=F.col("meta.correlation_id"),
-            response_to=F.col("meta.event_id"),
-            direct_reply_path=F.col("meta.direct_reply.path"),
-            direct_reply_service=F.col("meta.direct_reply.service_name"),
-            socket_id=F.col("meta.socket_id"),
-        )
-        env = F.struct(
-            reply_meta.alias("meta"),
-            F.struct(*[F.col(c) for c in out_cols]).alias("payload"),
-        )
-        # Multicast fan-out: one computed reply row explodes into its
-        # destination set — the out-type topic, plus the caller's
-        # service-name topic when the request carried a direct_reply
-        # (RPC2, KafkaBus.scala:60-73,157-169), plus a per-socket push
-        # topic when it carried a socket_id (event/package.scala:156-159).
-        # A single explode branch computes handler+to_json ONCE, where
-        # three union branches would each re-run them.
-        dests = F.array(
-            F.struct(
-                F.lit(sd.out_type).alias("topic"), F.lit("out").alias("kind")
-            ),
-            F.struct(
-                F.col("meta.direct_reply.service_name").alias("topic"),
-                F.lit("rpc").alias("kind"),
-            ),
-            F.struct(
-                F.when(
-                    F.col("meta.socket_id").isNotNull(),
-                    F.concat(
-                        F.lit(SOCKET_TOPIC_PREFIX), F.col("meta.socket_id")
-                    ),
-                ).alias("topic"),
-                F.lit("sock").alias("kind"),
-            ),
-        )
+        # the reply expression trees are pure functions of the StreamDef
+        # (out type, partition key, declared columns) — build once and
+        # pin on the StreamDef; per-micro-batch rebuilds are pure py4j
+        # overhead
+        cached = getattr(sd, "_reply_plan", None)
+        if cached is not None and cached[0] == tuple(out_cols):
+            _, key_col, env = cached
+        else:
+            pk = sd.partition_key
+            key_col = (
+                F.col(pk).cast("string")
+                if isinstance(pk, str)
+                else (
+                    pk.cast("string")
+                    if pk is not None
+                    else F.lit(None).cast("string")
+                )
+            )
+            reply_meta = new_meta(
+                sd.out_type,
+                key=key_col,
+                correlation_id=F.col("meta.correlation_id"),
+                response_to=F.col("meta.event_id"),
+                direct_reply_path=F.col("meta.direct_reply.path"),
+                direct_reply_service=F.col("meta.direct_reply.service_name"),
+                socket_id=F.col("meta.socket_id"),
+            )
+            env = F.struct(
+                reply_meta.alias("meta"),
+                F.struct(*[F.col(c) for c in out_cols]).alias("payload"),
+            )
+            sd._reply_plan = (tuple(out_cols), key_col, env)
+        fan_cols = getattr(sd, "_fan_cols", None)
+        if fan_cols is None:
+            fan_cols = _fan_cols(sd.out_type)
+            sd._fan_cols = fan_cols
         # OutEventTrace (KafkaBus.scala:75): publish-side trace of the
         # reply envelope, gated by the request's meta.trace / global flag
         res._add(
@@ -438,9 +524,7 @@ def run_batch(
         fanned = out.select(
             key_col.cast("binary").alias("key"),
             F.to_json(env).cast("binary").alias("value"),
-            F.explode(
-                F.filter(dests, lambda d: d.getField("topic").isNotNull())
-            ).alias("_d"),
+            fan_cols,
         ).select(
             "key",
             "value",
@@ -470,36 +554,44 @@ def drain_batches(
     retry queue is empty (the in-process analog of the streaming retry
     loop — used for deterministic tests and batch reprocessing jobs)."""
     merged = BatchResult()
-    # ONE materialization per round: localCheckpoint the round's entire
-    # routed output (retry + terminal topics together), then split from
-    # the materialized rows. This cuts the lineage (round N would
+    # Per round, materialize ONLY what the next round needs: the retry
+    # queue (coalesced + localCheckpointed — cuts the lineage that would
     # otherwise re-execute every previous round's decode+handler
-    # pipeline — multiplicative with drain depth), decides termination
-    # from a cheap scan, and leaves the merged result shallow.
+    # pipeline, multiplicatively with drain depth). Terminal outputs
+    # (done/dead-letter/trace topics) stay lazy over each round's
+    # already-checkpointed decode, so their envelope encoding runs ONCE
+    # when the caller materializes the merged result, not once per round
+    # plus again at the end.
     raw = raw.localCheckpoint(eager=True)
+    par = raw.sparkSession.sparkContext.defaultParallelism
     now = now_epoch
+    round_live: set[str] | None = None  # round 1 probes the checkpoint;
+    # later rounds know the topic set from the retry split
     for _ in range(max_rounds):
         res = run_batch(
-            service, raw, now_epoch=now, lazy=True, materialize=False
+            service,
+            raw,
+            now_epoch=now,
+            lazy=True,
+            materialize=False,
+            live_topics=round_live,
         )
-        allout = res.union_all()
-        if allout is None:
+        merged.absorb(res, skip=lambda t: t.endswith(".retry"))
+        retry_frames = [
+            df for t, df in res.outputs.items() if t.endswith(".retry")
+        ]
+        if not retry_frames:
             break
-        # coalesce BEFORE checkpointing: the union of ~8 branches/stream
-        # multiplies partition counts every round (32 → 256 → 1542 → …)
-        # and task-scheduling overhead swamps the work; coalesce is a
-        # narrow merge (no shuffle) back to one wave of tasks.
-        par = raw.sparkSession.sparkContext.defaultParallelism
-        allout = allout.coalesce(par).localCheckpoint(eager=True)
-        live = [
-            r[0] for r in allout.select("topic").distinct().collect()
-        ]  # cheap: scans the checkpointed rows
-        for top in live:
-            if not top.endswith(".retry"):
-                merged._add(top, allout.filter(F.col("topic") == top))
-        if not any(top.endswith(".retry") for top in live):
+        retry = retry_frames[0]
+        for d in retry_frames[1:]:
+            retry = retry.unionByName(d)
+        retry = retry.coalesce(par).localCheckpoint(eager=True)
+        if retry.isEmpty():  # scan of the checkpoint — cheap
             break
-        raw = allout.filter(F.col("topic").endswith(".retry"))
+        raw = retry
+        round_live = {
+            t for t in res.outputs if t.endswith(".retry")
+        }
         now += clock_step
     return merged
 
