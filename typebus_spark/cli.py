@@ -14,7 +14,12 @@ import argparse
 import json
 import sys
 
-from typebus_spark.catalog.codegen import to_ddl, to_python, to_sql_views
+from typebus_spark.catalog.codegen import (
+    to_ddl,
+    to_python,
+    to_rpc_client,
+    to_sql_views,
+)
 from typebus_spark.catalog.types import TypeCatalog
 
 
@@ -28,10 +33,16 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument(
         "-l",
         "--lang",
-        choices=["python", "ddl", "views"],
+        choices=["python", "ddl", "views", "client"],
         default="python",
     )
     g.add_argument("--data-dir", default=".", help="data dir for views")
+    g.add_argument(
+        "--descriptor",
+        default=None,
+        help="ServiceDescriptor JSON file (required for --lang client; "
+        "the descriptor a service broadcasts on the bus)",
+    )
 
     d = sub.add_parser("describe", help="print catalog descriptor JSON")
     d.add_argument("-t", "--types", required=True, help="catalog directory")
@@ -39,6 +50,17 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
+        if args.lang == "client":
+            if not args.descriptor:
+                p.error("--lang client requires --descriptor")
+            with open(args.descriptor) as f:
+                out = to_rpc_client(json.load(f))
+            if args.out == "-":
+                print(out)
+            else:
+                with open(args.out, "w") as fo:
+                    fo.write(out)
+            return 0
         cat = TypeCatalog(args.types)
         if args.lang == "python":
             out = to_python(cat)
