@@ -29,7 +29,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from typebus_spark.functions.text import (
-    hamming64,
     norm_text,
     shingles,
     tokens,
@@ -227,36 +226,50 @@ def minhash_lsh_pairs(
     )
 
 
+# SimHash is 60-bit: the first 15 hex chars of md5(token) parse into a
+# signed BIGINT identically on both engines (Spark conv(…,16,10) ==
+# DuckDB ('0x'||…)::BIGINT, verified bit-identical), so every stage —
+# per-token hash, bit sums, packed signature, banding, hamming — runs as
+# fast integer ops AND verifies against a DuckDB oracle end-to-end.
+# (xxhash64, the usual pick, is engine-local; 64-bit md5 prefixes would
+# overflow the signed range.)
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: explode distinct tokens → one groupBy
-    with 64 conditional sums (single aggregation pass, fully partial-agg),
-    sign per bit → packed long."""
+    """60-bit SimHash per document: explode distinct tokens → one groupBy
+    with 60 conditional sums (single aggregation pass, fully map-side
+    partial), sign per bit → signature packed into a BIGINT."""
     from typebus_spark.session import ensure_parallelism
 
     tok = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-
-    def _mask(i: int) -> int:
-        # bit 63 as a SIGNED long (1<<63 overflows java long in F.lit)
-        v = 1 << i
-        return v - (1 << 64) if v >= (1 << 63) else v
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("tok"), 1, SIMHASH_BITS // 4), 16, 10).cast(
+            "long"
+        ),
+    )
 
     aggs = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(_mask(i))) != 0, 1).otherwise(-1)
+            F.when(
+                F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     sums = tok.groupBy("_id").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"b{i}") >= 0, F.lit(_mask(i)).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        )
+    # disjoint bits → plain sum packs the signature (no overflow: < 2^60)
+    sig = sum(
+        [
+            F.when(F.col(f"b{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(SIMHASH_BITS)
+        ],
+        F.lit(0),
+    ).cast("long")
     return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
 
 
@@ -268,9 +281,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
-    Banded by the four 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least
-    one chunk equal) → sub-quadratic candidate join, exact hamming verify.
-    """
+    Banded by four 15-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least
+    one chunk equal) → sub-quadratic candidate join, exact hamming
+    verify (bit_count of XOR) on the candidate set only."""
+    from typebus_spark.functions.text import hamming64
+
+    span = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << span) - 1
     sig = simhash_signatures(df, id_col, text_col)
     chunks = sig.select(
         id_col,
@@ -280,11 +297,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", span * c)
+                        .bitwiseAND(F.lit(mask))
                         .alias("v"),
                     )
-                    for c in range(4)
+                    for c in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("cv"),
@@ -295,13 +312,15 @@ def simhash_pairs(
     b = chunks.select(
         F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "chunk", "v"
     )
-    return (
+    cand = (
         a.join(b, ["chunk", "v"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", hamming64("sig_a", "sig_b").alias("hamming"))
+        .select("a", "b", "sig_a", "sig_b")
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
+    return cand.select(
+        "a", "b", hamming64("sig_a", "sig_b").cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def embedding_dup_pairs(

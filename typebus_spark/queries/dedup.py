@@ -143,11 +143,51 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    from typebus_spark.operators.dedup import SIMHASH_BITS, SIMHASH_CHUNKS
+
+    span = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << span) - 1
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{i} >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i in range(SIMHASH_BITS)
+    )
+    chunk_structs = ", ".join(
+        "{'c': %d, 'v': (sig >> %d) & %d}" % (c, span * c, mask)
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tt),
+hh AS (SELECT doc_id,
+              ('0x' || substr(md5(tok), 1, {SIMHASH_BITS // 4}))::BIGINT AS h
+       FROM tok),
+s AS (SELECT doc_id,
+       {sums}
+      FROM hh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {sig} AS sig FROM s),
+bands AS (SELECT doc_id, sig,
+                 unnest([{chunk_structs}], recursive := true) FROM sigs),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                a.sig AS sa, b.sig AS sb
+         FROM bands a JOIN bands b
+           ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 @query(
     "q_dedup_simhash",
-    oracle=None,  # xxhash64 is engine-local → rows-only check
+    oracle=_simhash_oracle(),
     doc=(
-        "SimHash near-dup: 64-bit signatures via one explode+groupBy pass, "
+        "SimHash near-dup: 64-bit signatures via one explode+groupBy pass "
+        "(md5-hex bit extraction — engine-portable, fully oracle-checked), "
         "16-bit-chunk banding (pigeonhole) for sub-quadratic candidates."
     ),
 )
