@@ -113,18 +113,41 @@ def _nearest_centroid(vec_col: str, centroids: list[list[float]]) -> F.Column:
 
 
 def train_centroids(
-    corpus: DataFrame, vec_col: str, n_centroids: int, seed: int = 42
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int = 42,
+    id_col: str | None = None,
+    id_prefix: int = 256,
 ) -> list[list[float]]:
-    """Cheap deterministic centroid pick: a seeded SAMPLE of corpus
-    vectors (k-means init without iterations — adequate bucketing for
-    IVF routing; swap for pyspark.ml KMeans on a real cluster).
+    """Cheap centroid pick (k-means init without iterations — adequate
+    bucketing for IVF routing; swap for pyspark.ml KMeans on a real
+    cluster). Two scale-safe modes, neither sorts the corpus:
 
-    Scale shape: parquet metadata count (no data scan) → seeded
-    ``sample`` sized to ~50× the centroid count (one narrow pass, no
-    shuffle) → hash-order the tiny sample for layout independence. The
-    previous form globally sorted the ENTIRE corpus to pick a handful
-    of rows — a cluster-wide sort feeding a driver collect at 100 TB.
+    - With ``id_col``: FULLY DETERMINISTIC and SQL-expressible — restrict
+      to ``id < id_prefix`` (predicate pushdown prunes the scan), order
+      that tiny subset by ``md5(seed:id)`` (ids stringify identically on
+      every engine), take n. A DuckDB oracle can reproduce the exact
+      centroid set, making downstream IVF results oracle-checkable.
+    - Without: seeded ``sample`` sized ~50× the centroid count over a
+      metadata-only count — layout-dependent but shuffle-free, for
+      corpora without a usable id column.
     """
+    if id_col is not None:
+        rows = (
+            corpus.filter(F.col(id_col) < id_prefix)
+            .select(F.col(vec_col).alias("v"))
+            .orderBy(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:"), F.col(id_col).cast("string")
+                    )
+                )
+            )
+            .limit(n_centroids)
+            .collect()
+        )
+        return [[float(x) for x in r["v"]] for r in rows]
     total = corpus.count()  # parquet count() is metadata-only
     fraction = min(1.0, (n_centroids * 50) / max(total, 1))
     rows = (

@@ -64,47 +64,147 @@ def q_knn_cosine_topk(spark, sf_dir):
     )
 
 
-@query(
-    "q_lsh_embedding_bucketed",
-    oracle=None,  # probabilistic recall by construction → rows-only check
-    doc=(
-        "Hyperplane-LSH bucketed embedding near-dup: seeded random planes "
-        "as plan literals, sign-signature equality as the bucket join — "
-        "sub-quadratic pair generation (scale path of q_dedup_embedding)."
-    ),
-)
-def q_lsh_embedding_bucketed(spark, sf_dir):
-    import random
-
-    from typebus_spark.operators.dedup import embedding_dup_pairs
-
+def _lsh_planes() -> list[list[float]]:
     # 4 planes / threshold 0.3, calibrated to the synthetic fixture
     # (same-label cosines top out ≈0.51): collision probability per
     # plane at cos 0.3 is ~0.6 → ~13% bucket recall, enough for a
-    # non-trivial rows-only check while staying bucket-join-only
+    # non-trivial check while staying bucket-join-only
+    import random
+
     rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    return [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+
+
+def _lsh_oracle(threshold: float = 0.3) -> str:
+    """The planes are driver-side literals, so the oracle replicates the
+    exact bucket signatures: repr(float) round-trips into DuckDB DOUBLE,
+    and the sign test uses the same ordered double fold — the
+    probabilistic LSH path is therefore hash-checked, not rows-only."""
+    planes = _lsh_planes()
+
+    def lit_list(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    signs = " || ".join(
+        "(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)".format(
+            d=_DOT.format(a="embedding", b=lit_list(p))
+        )
+        for p in planes
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding,
+         {_NORM.format(a='embedding')} AS nn,
+         {signs} AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT x.id AS a, y.id AS b,
+         {_DOT.format(a='x.embedding', b='y.embedding')}
+           / (x.nn * y.nn) AS cos
+  FROM base x JOIN base y ON x.bucket = y.bucket AND x.id < y.id)
+SELECT a, b, round(cos, 6) AS cos
+FROM pairs WHERE cos >= {threshold}
+"""
+
+
+@query(
+    "q_lsh_embedding_bucketed",
+    oracle=_lsh_oracle(),
+    doc=(
+        "Hyperplane-LSH bucketed embedding near-dup: seeded random planes "
+        "as plan literals, sign-signature equality as the bucket join — "
+        "sub-quadratic pair generation (scale path of q_dedup_embedding), "
+        "fully oracle-checked via literal plane replication."
+    ),
+)
+def q_lsh_embedding_bucketed(spark, sf_dir):
+    from typebus_spark.operators.dedup import embedding_dup_pairs
+
     e = t(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.3, planes=planes
+        e, "vec_id", "embedding", threshold=0.3, planes=_lsh_planes()
     )
+
+
+IVF_N_CEN = 8
+IVF_NPROBE = 2
+IVF_SEED = 42
+IVF_PREFIX = 256
+
+
+def _ivf_oracle() -> str:
+    """Mirror the ENTIRE IVF pipeline in DuckDB: deterministic prefix
+    centroid pick → argmax bucket assignment → nprobe probing → cosine
+    rank. Possible because centroid selection hashes vec_id (identical
+    string form on both engines) and every dot/norm is the verified
+    ordered double fold — so even the approximate ANN path is
+    hash-checked, not rows-only."""
+    dot_v_cv = _DOT.format(a="corp.v", b="cen.cv")
+    dot_q_cv = _DOT.format(a="qs.qv", b="cen.cv")
+    dot_q_v = _DOT.format(a="p.qv", b="b.v")
+    return f"""
+WITH cen0 AS (
+  SELECT embedding AS cv,
+         md5('{IVF_SEED}:' || CAST(vec_id AS VARCHAR)) AS hk
+  FROM embeddings WHERE vec_id < {IVF_PREFIX}
+  ORDER BY hk LIMIT {IVF_N_CEN}),
+cen AS (SELECT row_number() OVER (ORDER BY hk) - 1 AS c, cv FROM cen0),
+corp AS (SELECT vec_id AS cid, embedding AS v,
+                {_NORM.format(a='embedding')} AS nn
+         FROM embeddings),
+assign AS (
+  SELECT corp.cid, corp.v, corp.nn, cen.c,
+         row_number() OVER (PARTITION BY corp.cid
+                            ORDER BY {dot_v_cv} DESC, cen.c) AS rnk
+  FROM corp CROSS JOIN cen),
+bucketed AS (SELECT cid, v, nn, c FROM assign WHERE rnk = 1),
+qs AS (SELECT vec_id AS qid, embedding AS qv,
+              {_NORM.format(a='embedding')} AS qn
+       FROM embeddings WHERE vec_id < {N_QUERIES}),
+qprobe AS (
+  SELECT qs.qid, qs.qv, qs.qn, cen.c,
+         row_number() OVER (PARTITION BY qs.qid
+                            ORDER BY {dot_q_cv} DESC, cen.c) AS rnk
+  FROM qs CROSS JOIN cen),
+probes AS (SELECT qid, qv, qn, c FROM qprobe WHERE rnk <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.qid, b.cid,
+         round({dot_q_v} / (p.qn * b.nn), 6) AS cos
+  FROM probes p JOIN bucketed b ON p.c = b.c
+  WHERE p.qid <> b.cid),
+r AS (SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rank
+      FROM scored)
+SELECT qid AS query_id, cid AS neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+FROM r WHERE rank <= {K}
+"""
 
 
 @query(
     "q_knn_ivf",
-    oracle=None,  # probabilistic recall by construction → rows-only check
+    oracle=_ivf_oracle(),
     doc=(
         "IVF-bucketed ANN: corpus partitioned by nearest centroid, queries "
-        "probe nprobe buckets — shuffle bounded by corpus size (scale path)."
+        "probe nprobe buckets — shuffle bounded by corpus size (scale "
+        "path). Deterministic prefix centroid pick makes the whole "
+        "approximate pipeline oracle-checked."
     ),
 )
 def q_knn_ivf(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    centroids = train_centroids(e, "embedding", n_centroids=8, seed=42)
+    centroids = train_centroids(
+        e,
+        "embedding",
+        n_centroids=IVF_N_CEN,
+        seed=IVF_SEED,
+        id_col="vec_id",
+        id_prefix=IVF_PREFIX,
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(
+    out = ivf_topk(
         q,
         e.select(
             F.col("vec_id").alias("corpus_id"),
@@ -112,5 +212,11 @@ def q_knn_ivf(spark, sf_dir):
         ),
         k=K,
         centroids=centroids,
-        nprobe=2,
+        nprobe=IVF_NPROBE,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "cos",
     )

@@ -224,10 +224,39 @@ def q_multimodal_blob_stats(spark, sf_dir):
     )
 
 
+def _multimodal_decode_oracle() -> str:
+    """The deterministic fake decoder derives every output from
+    sha256(blob) bytes (operators/multimodal.py:_fake_decode), and DuckDB
+    has sha256 — so the oracle replicates the decode spec in SQL and the
+    Arrow/mapInPandas plumbing is hash-checked end-to-end, not rows-only.
+    Byte i of the digest is ('0x' || substr(hex, 2i+1, 2))::INT."""
+
+    def byte(i: int) -> str:
+        return f"('0x' || substr(sha256(text), {2 * i + 1}, 2))::INT"
+
+    feats = ", ".join(
+        f"printf('%.6f', {byte(i)} / 255.0)" for i in range(8)
+    )
+    return f"""
+SELECT doc_id,
+       CAST(16 + ({byte(0)} % 64) AS BIGINT) AS width,
+       CAST(16 + ({byte(1)} % 64) AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_frames,
+       concat_ws(',', {feats}) AS features,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM documents
+"""
+
+
 @query(
     "q_multimodal_decode",
-    oracle=None,  # fake decoder is Python-side; rows-only check
-    doc="Multimodal decode stage: Arrow-batched mapInPandas over media structs (decoder stubbed).",
+    oracle=_multimodal_decode_oracle(),
+    doc=(
+        "Multimodal decode stage: Arrow-batched mapInPandas over media "
+        "structs (decoder stubbed deterministically; the oracle "
+        "replicates the fake-decode spec from sha256 bytes, so the "
+        "UDF plumbing is hash-checked)."
+    ),
 )
 def q_multimodal_decode(spark, sf_dir):
     from typebus_spark.operators.multimodal import attach_blob, decode_media
@@ -235,14 +264,15 @@ def q_multimodal_decode(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     media = attach_blob(docs, "text", "text/plain", "doc_id")
     decoded = decode_media(media, "doc_id")
-    # stringify the features array for the driver canonicalizer
+    # fixed-precision feature formatting matches the oracle's printf
     return decoded.select(
         "doc_id",
-        "width",
-        "height",
-        "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
         F.concat_ws(
-            ",", F.transform("features", lambda x: x.cast("string"))
+            ",",
+            F.transform("features", lambda x: F.format_string("%.6f", x)),
         ).alias("features"),
         "decode_error",
     )
