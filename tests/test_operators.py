@@ -125,3 +125,37 @@ def test_decode_media_real_decoder_is_stubbed(spark):
     media = attach_blob(docs, "text", "image/png", "doc_id")
     with pytest.raises(NotImplementedError):
         decode_media(media, "doc_id", decoder="real")
+
+
+def test_hash_split_deterministic_disjoint(spark, sf_dir):
+    """hash_split: every row lands in exactly one split, assignment is
+    stable across reruns/partitionings, and fractions are honored
+    approximately (hash uniformity)."""
+    import pyspark.sql.functions as F
+
+    from typebus_spark.operators.sampling import hash_sample, hash_split
+    from typebus_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = hash_split(docs, "doc_id", splits)
+    counts = {
+        r["split"]: r["n"]
+        for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert total == docs.count()  # exhaustive + disjoint (one row, one split)
+    assert 0.7 < counts["train"] / total < 0.9
+    # stability: different partitioning, same assignment
+    s2 = hash_split(docs.repartition(7), "doc_id", splits)
+    diff = (
+        s1.select("doc_id", "split")
+        .exceptAll(s2.select("doc_id", "split"))
+        .count()
+    )
+    assert diff == 0
+    # hash_sample is a prefix of the same bucket space: a 10% sample is a
+    # subset of the 20% sample
+    s10 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    s20 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    assert s10 <= s20 and len(s10) > 0

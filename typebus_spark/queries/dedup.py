@@ -293,6 +293,49 @@ def q_pipeline_clean_corpus(spark, sf_dir):
     )
 
 
+@query(
+    "q_corpus_split",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, {TOKS} AS toks,
+         (('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT % 10000) AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+FROM b
+GROUP BY 1
+""",
+    doc=(
+        "Deterministic train/val/test split (90/5/5): 60-bit md5 bucket "
+        "of the doc id — a document keeps its split forever as the "
+        "corpus grows (no contamination drift), pure expression, "
+        "engine-portable and hash-checked."
+    ),
+)
+def q_corpus_split(spark, sf_dir):
+    from typebus_spark.functions.text import tokens
+    from typebus_spark.operators.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}, seed=42
+    )
+    return (
+        split.select(
+            "split", F.size(tokens("text")).cast("long").alias("n_tokens")
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 _DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
