@@ -47,6 +47,10 @@ def main() -> None:
         except Exception as e:  # one broken query must not sink the run
             failures.append(f"{name}: {type(e).__name__}")
             timings[name] = -1.0
+        # Queries persist intermediates (shingle indexes, ANN buckets) that
+        # only their own plan needs; drop them so leaked blocks don't build
+        # memory pressure that taxes every LATER query's measurement.
+        spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     out = {

@@ -73,6 +73,12 @@ class BatchResult:
     outputs: dict[str, DataFrame] = field(default_factory=dict)
     _views: dict[str, DataFrame] = field(default_factory=dict)
     _shared: list[DataFrame] = field(default_factory=list)
+    # DECODED retry feedback (``run_batch(emit_decoded_retry=True)``):
+    # per-stream ``(meta, payload, topic)`` frames an in-process drain
+    # loop feeds straight back in, skipping the JSON encode→decode
+    # round-trip of the durable retry-topic path. Not part of
+    # ``union_all`` — these are loop state, not bus output.
+    decoded_retry: dict[str, DataFrame] = field(default_factory=dict)
 
     def topic(self, name: str) -> DataFrame | None:
         if name in self.outputs:
@@ -87,6 +93,12 @@ class BatchResult:
     def _add(self, topic: str, df: DataFrame) -> None:
         cur = self.outputs.get(topic)
         self.outputs[topic] = cur.unionByName(df) if cur is not None else df
+
+    def _add_decoded_retry(self, in_fqn: str, df: DataFrame) -> None:
+        cur = self.decoded_retry.get(in_fqn)
+        self.decoded_retry[in_fqn] = (
+            cur.unionByName(df) if cur is not None else df
+        )
 
     def _add_shared(self, fanned: DataFrame, names: dict[str, str]) -> None:
         """Register a multicast frame (columns key/value/topic/_kind);
@@ -256,12 +268,14 @@ def _dead_letter(raw: DataFrame, message: str) -> DataFrame:
 
 def run_batch(
     service: Service,
-    raw: DataFrame,
+    raw: DataFrame | None,
     trace: bool = False,
     now_epoch: int | None = None,
     lazy: bool = True,
     materialize: bool = True,
     live_topics: set[str] | None = None,
+    decoded_inputs: dict[str, DataFrame] | None = None,
+    emit_decoded_retry: bool = False,
 ) -> BatchResult:
     """Route one batch of raw bus rows through every registered stream.
 
@@ -284,59 +298,89 @@ def run_batch(
     only when the caller already checkpointed (drain_batches rounds).
     The per-stream DECODE is always checkpointed (see inline note) — the
     routing fan-out re-parses the envelope JSON per branch otherwise.
+
+    ``decoded_inputs`` maps in-type FQN → an ALREADY-DECODED ``(meta,
+    payload, topic)`` frame, unioned past the decode stage (the drain
+    loop's retry feedback — no JSON round-trip, caller checkpoints).
+    ``raw=None`` runs on decoded inputs alone. ``emit_decoded_retry``
+    diverts retry rows (backoff-pending + failed-eligible) into
+    ``BatchResult.decoded_retry`` in that decoded shape instead of
+    encoding them to the retry topic.
     """
     res = BatchResult()
-    if materialize:
-        raw = raw.localCheckpoint(eager=True)
-    # Live-topic pruning: one tiny scan of the materialized batch tells
-    # us which topics actually carry rows, so streams with no input this
-    # batch contribute NO decode job and NO branches (a service with S
-    # streams otherwise pays S decode checkpoints per micro-batch even
-    # when one topic is active — the common case).
-    live = (
-        live_topics
-        if live_topics is not None
-        else {r[0] for r in raw.select("topic").distinct().collect()}
-    )
+    decoded_inputs = decoded_inputs or {}
     now = F.lit(now_epoch) if now_epoch is not None else None
-
-    # R1 routing: topic-per-type makes dispatch a source-level filter.
-    # Retry topics route back to their base stream (U1 merge analog).
-    handled = set(service.streams) | {
-        retry_topic(f) for f, s in service.streams.items() if s.retry
-    }
-    # The service-name topic is the RPC back-channel (KafkaBus.scala:184):
-    # replies addressed to this service land there and are consumed by the
-    # RPC correlation path (streaming/rpc.py), not a registered stream —
-    # never dead-letter them as unroutable.
-    ignored = handled | {service.name}
-    if live - ignored:
-        unhandled = raw.filter(~F.col("topic").isin(*ignored))
-        res._add(
-            DEAD_LETTER_TOPIC, _dead_letter(unhandled, "no handler for topic")
+    if raw is not None:
+        if materialize:
+            raw = raw.localCheckpoint(eager=True)
+        # Live-topic pruning: one tiny scan of the materialized batch tells
+        # us which topics actually carry rows, so streams with no input
+        # this batch contribute NO decode job and NO branches (a service
+        # with S streams otherwise pays S decode checkpoints per
+        # micro-batch even when one topic is active — the common case).
+        live = (
+            live_topics
+            if live_topics is not None
+            else {r[0] for r in raw.select("topic").distinct().collect()}
         )
+
+        # R1 routing: topic-per-type makes dispatch a source-level filter.
+        # Retry topics route back to their base stream (U1 merge analog).
+        handled = set(service.streams) | {
+            retry_topic(f) for f, s in service.streams.items() if s.retry
+        }
+        # The service-name topic is the RPC back-channel
+        # (KafkaBus.scala:184): replies addressed to this service land
+        # there and are consumed by the RPC correlation path
+        # (streaming/rpc.py), not a registered stream — never dead-letter
+        # them as unroutable.
+        ignored = handled | {service.name}
+        if live - ignored:
+            unhandled = raw.filter(~F.col("topic").isin(*ignored))
+            res._add(
+                DEAD_LETTER_TOPIC,
+                _dead_letter(unhandled, "no handler for topic"),
+            )
+    else:
+        live = set()
 
     for in_fqn, sd in service.streams.items():
         topics = [in_fqn] + ([retry_topic(in_fqn)] if sd.retry else [])
-        if not (set(topics) & live):
+        fed = decoded_inputs.get(in_fqn)
+        if not (set(topics) & live) and fed is None:
             continue  # no rows for this stream in the batch
-        topic_rows = raw.filter(F.col("topic").isin(*topics))
         payload_schema = service.catalog.schema_for(in_fqn)
-        # Materialize the decode ONCE per stream: ~5 downstream branches
-        # consume it, and Catalyst has no cross-branch CSE through a
-        # Union — without this every branch re-parses the envelope JSON
-        # (the single most expensive expression in the router). One
-        # bounded job per stream; every branch then scans decoded rows.
-        decoded = decode_envelope(topic_rows, payload_schema).localCheckpoint(
-            eager=True
-        )
+        if set(topics) & live:
+            topic_rows = raw.filter(F.col("topic").isin(*topics))
+            # Materialize the decode ONCE per stream: ~5 downstream
+            # branches consume it, and Catalyst has no cross-branch CSE
+            # through a Union — without this every branch re-parses the
+            # envelope JSON (the single most expensive expression in the
+            # router). One bounded job per stream; every branch then
+            # scans decoded rows.
+            decoded = decode_envelope(
+                topic_rows, payload_schema
+            ).localCheckpoint(eager=True)
+            if fed is not None:
+                decoded = decoded.unionByName(fed)
+        else:
+            decoded = fed  # caller already checkpointed
 
         if sd.retry:
             # Backoff gate: rows whose not_before hasn't passed are
             # re-queued untouched (KafkaBus.scala:188-197 merge semantics,
             # minus the 16-element dropHead load-shed — nothing is shed).
             pending = not_yet_eligible(decoded, now)
-            if lazy or not pending.isEmpty():
+            if emit_decoded_retry:
+                res._add_decoded_retry(
+                    in_fqn,
+                    pending.select(
+                        "meta",
+                        "payload",
+                        F.lit(retry_topic(in_fqn)).alias("topic"),
+                    ),
+                )
+            elif lazy or not pending.isEmpty():
                 res._add(
                     retry_topic(in_fqn),
                     pending.select(
@@ -416,7 +460,14 @@ def run_batch(
                 )
 
             payload_fields = [f.name for f in payload_schema.fields]
-            if sd.retry:
+            if sd.retry and emit_decoded_retry:
+                from typebus_spark.streaming.retry import retry_decoded
+
+                retry_dec, gave_up = retry_decoded(
+                    _orig(retryable_ids), in_fqn, sd.retry, payload_fields, now
+                )
+                res._add_decoded_retry(in_fqn, retry_dec)
+            elif sd.retry:
                 retry_rows, gave_up = encode_retry(
                     _orig(retryable_ids), in_fqn, sd.retry, payload_fields, now
                 )
@@ -555,18 +606,21 @@ def drain_batches(
     loop — used for deterministic tests and batch reprocessing jobs)."""
     merged = BatchResult()
     # Per round, materialize ONLY what the next round needs: the retry
-    # queue (coalesced + localCheckpointed — cuts the lineage that would
-    # otherwise re-execute every previous round's decode+handler
-    # pipeline, multiplicatively with drain depth). Terminal outputs
-    # (done/dead-letter/trace topics) stay lazy over each round's
-    # already-checkpointed decode, so their envelope encoding runs ONCE
-    # when the caller materializes the merged result, not once per round
-    # plus again at the end.
+    # queue, kept in DECODED form (``emit_decoded_retry``) — the loop
+    # feeds it back through ``decoded_inputs``, so rounds 2+ skip the
+    # retry-topic JSON encode AND the decode stage entirely (the two
+    # most expensive expressions in the router; the durable bus path
+    # still pays them, an in-process drain needn't). Coalesce +
+    # localCheckpoint cuts the lineage that would otherwise re-execute
+    # every previous round's decode+handler pipeline, multiplicatively
+    # with drain depth. Terminal outputs (done/dead-letter/trace topics)
+    # stay lazy over round 1's checkpointed decode, so their envelope
+    # encoding runs ONCE when the caller materializes the merged result,
+    # not once per round plus again at the end.
     raw = raw.localCheckpoint(eager=True)
     par = raw.sparkSession.sparkContext.defaultParallelism
     now = now_epoch
-    round_live: set[str] | None = None  # round 1 probes the checkpoint;
-    # later rounds know the topic set from the retry split
+    feedback: dict[str, DataFrame] | None = None
     for _ in range(max_rounds):
         res = run_batch(
             service,
@@ -574,24 +628,20 @@ def drain_batches(
             now_epoch=now,
             lazy=True,
             materialize=False,
-            live_topics=round_live,
+            decoded_inputs=feedback,
+            emit_decoded_retry=True,
         )
+        raw = None  # only round 1 consumes the raw batch
         merged.absorb(res, skip=lambda t: t.endswith(".retry"))
-        retry_frames = [
-            df for t, df in res.outputs.items() if t.endswith(".retry")
-        ]
-        if not retry_frames:
+        if not res.decoded_retry:
             break
-        retry = retry_frames[0]
-        for d in retry_frames[1:]:
-            retry = retry.unionByName(d)
-        retry = retry.coalesce(par).localCheckpoint(eager=True)
-        if retry.isEmpty():  # scan of the checkpoint — cheap
+        feedback = {}
+        for fqn, df in res.decoded_retry.items():
+            ck = df.coalesce(par).localCheckpoint(eager=True)
+            if not ck.isEmpty():  # scan of the checkpoint — cheap
+                feedback[fqn] = ck
+        if not feedback:
             break
-        raw = retry
-        round_live = {
-            t for t in res.outputs if t.endswith(".retry")
-        }
         now += clock_step
     return merged
 

@@ -69,20 +69,25 @@ def backoff_seconds_col(policy: RetryPolicy, attempt: F.Column) -> F.Column:
     return d
 
 
-def encode_retry(
+def retry_decoded(
     failed: DataFrame,
     in_fqn: str,
     policy: RetryPolicy,
     payload_cols: list[str],
     now: F.Column | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Failed decoded rows → (retry-topic rows, gave-up rows).
+    """Failed decoded rows → (DECODED retry rows, gave-up rows).
 
     Retry rows keep the ORIGINAL meta (same event_id — the retry state key,
     KafkaBus.scala:205) with ``extra.attempt`` incremented and
     ``extra.not_before_epoch`` = now + backoff(attempt). Rows past
     ``max_attempts`` are returned for dead-lettering (give-up path
     KafkaBus.scala:219-221).
+
+    Output shape is the decoded-stream shape ``(meta, payload, topic)`` —
+    an in-process drain loop feeds it straight back into the router
+    without the encode→publish→decode JSON round-trip the durable bus
+    path pays (see ``encode_retry`` for that form).
     """
     now = now if now is not None else F.unix_timestamp(F.current_timestamp())
     nxt = attempt_col() + 1
@@ -108,13 +113,28 @@ def encode_retry(
             ),
         ),
     )
-    env = F.struct(
+    decoded = eligible.select(
         new_meta.alias("meta"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
+        F.lit(retry_topic(in_fqn)).alias("topic"),
     )
-    retry_rows = eligible.select(
+    return decoded, gave_up
+
+
+def encode_retry(
+    failed: DataFrame,
+    in_fqn: str,
+    policy: RetryPolicy,
+    payload_cols: list[str],
+    now: F.Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Failed decoded rows → (retry-TOPIC bus rows, gave-up rows): the
+    durable form of ``retry_decoded`` — same meta update, envelope
+    re-encoded for publishing to the per-stream retry topic."""
+    decoded, gave_up = retry_decoded(failed, in_fqn, policy, payload_cols, now)
+    retry_rows = decoded.select(
         F.lit(None).cast("binary").alias("key"),
-        F.to_json(env).cast("binary").alias("value"),
+        F.to_json(F.struct("meta", "payload")).cast("binary").alias("value"),
         F.lit(retry_topic(in_fqn)).alias("topic"),
     )
     return retry_rows, gave_up
