@@ -84,7 +84,15 @@ def jaccard_pairs(
     join loses nothing. Plan: explode (narrow) → shuffle on shingle →
     pair-count agg → join per-doc sizes (broadcast-able) → filter.
     """
-    sh = distinct_shingles(df, id_col, text_col, shingle_n)
+    from pyspark import StorageLevel
+
+    # The shingle index feeds THREE consumers (per-doc sizes + both pair
+    # sides); persist it (spills to disk at scale) or the upstream
+    # explode + distinct shuffle — and whatever pipeline produced ``df``
+    # — re-executes once per consumer.
+    sh = distinct_shingles(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_freq is not None:
         freq_ok = (
@@ -239,8 +247,14 @@ SIMHASH_CHUNKS = 4
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per document: explode distinct tokens → one groupBy
-    with 60 conditional sums (single aggregation pass, fully map-side
-    partial), sign per bit → signature packed into a BIGINT."""
+    with 60 plain bit sums + a count (single aggregation pass, fully
+    map-side partial), sign per bit → signature packed into a BIGINT.
+
+    The classic ±1 sign sum over bit i is ``2*popcount_i - n``, so its
+    sign test ``>= 0`` is ``2*cnt_i >= n`` — plain unconditional
+    ``sum((h>>i)&1)`` per bit beats 60 branchy CASE aggregates in
+    codegen, identical semantics (and identical to the DuckDB oracle's
+    CASE formulation)."""
     from typebus_spark.session import ensure_parallelism
 
     tok = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
@@ -254,18 +268,16 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
     aggs = [
-        F.sum(
-            F.when(
-                F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
         for i in range(SIMHASH_BITS)
-    ]
+    ] + [F.count(F.lit(1)).alias("_n")]
     sums = tok.groupBy("_id").agg(*aggs)
     # disjoint bits → plain sum packs the signature (no overflow: < 2^60)
     sig = sum(
         [
-            F.when(F.col(f"b{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            F.when(F.col(f"c{i}") * 2 >= F.col("_n"), F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
             for i in range(SIMHASH_BITS)
         ],
         F.lit(0),

@@ -269,7 +269,13 @@ def q_pipeline_clean_corpus(spark, sf_dir):
     canon = exact_dedup(passed, "doc_id", "text").select(
         F.col("canonical_id").alias("doc_id")
     )
-    survivors = passed.join(canon, "doc_id")
+    # survivors feeds the near-dup index AND the anti-join left side —
+    # persist, or the quality+dedup join chain re-executes per consumer
+    from pyspark import StorageLevel
+
+    survivors = passed.join(canon, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     near_b = jaccard_pairs(
         survivors, "doc_id", "text", shingle_n=8, threshold=0.5
