@@ -49,8 +49,13 @@ def main() -> None:
             timings[name] = -1.0
         # Queries persist intermediates (shingle indexes, ANN buckets) that
         # only their own plan needs; drop them so leaked blocks don't build
-        # memory pressure that taxes every LATER query's measurement.
+        # memory pressure that taxes every LATER query's measurement. The
+        # gc.collect() releases py4j references so the ContextCleaner can
+        # actually reap the dropped blocks + shuffle files asynchronously.
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     out = {
