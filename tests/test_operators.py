@@ -159,3 +159,73 @@ def test_hash_split_deterministic_disjoint(spark, sf_dir):
     s10 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
     s20 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect()}
     assert s10 <= s20 and len(s10) > 0
+
+
+def test_contamination_report_finds_cross_split_ngram_overlap(spark):
+    """A train doc sharing an 8-gram with a test doc is flagged; docs
+    sharing nothing (or sharing only within-split) are not."""
+    from typebus_spark.operators.corpus_stats import contamination_report
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail tokens here", "train"),
+            (2, "totally different words with no overlap at all", "train"),
+            (3, f"prefix {shared}", "test"),
+            (4, "another unrelated held out document text", "test"),
+            (5, f"{shared} but in val", "val"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    rows = contamination_report(docs, "doc_id", "text", shingle_n=8).collect()
+    assert [(r.train_doc_id, r.n_test_docs) for r in rows] == [(1, 1)]
+    assert rows[0].max_shared == rows[0].total_shared == 1
+
+
+def test_contamination_max_shingle_freq_drops_hub_shingles(spark):
+    """A shingle present in more docs than the cap contributes no pairs."""
+    from typebus_spark.operators.corpus_stats import contamination_report
+
+    boiler = "common header repeated on every single page okay"
+    docs = spark.createDataFrame(
+        [(i, boiler, "train" if i % 2 else "test") for i in range(6)],
+        "doc_id long, text string, split string",
+    )
+    assert (
+        contamination_report(
+            docs, "doc_id", "text", shingle_n=8, max_shingle_freq=3
+        ).count()
+        == 0
+    )
+
+
+def test_top_ngrams_doc_frequency_and_tiebreak(spark):
+    from typebus_spark.operators.corpus_stats import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c x y"),
+            (3, "a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(docs, "doc_id", "text", n=3, k=2).collect()
+    # 'a b c' in all 3 docs; 'b c d'/'c d e' in 2 — lexicographic tiebreak
+    assert [(r.shingle, r.doc_freq) for r in rows] == [
+        ("a b c", 3),
+        ("b c d", 2),
+    ]
+
+
+def test_repetition_stats_counts_duplicate_ngrams(spark):
+    from typebus_spark.operators.corpus_stats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs, "doc_id", "text", n=2).collect()}
+    # doc 1 bigrams: xy yx xy yx xy -> 5 total, 2 distinct, 3 repeated
+    assert (rows[1].n_ngrams, rows[1].n_distinct, rows[1].n_repeated) == (5, 2, 3)
+    assert (rows[2].n_ngrams, rows[2].n_distinct, rows[2].n_repeated) == (3, 3, 0)

@@ -1,0 +1,134 @@
+"""Corpus-level statistics for training-data curation.
+
+North-star extensions past the reference's event-bus surface (which has
+no analytics; SURVEY.md §2's LLM-pipeline addendum): the three checks a
+corpus pipeline runs between dedup and training —
+
+- **contamination**: does any train-split document share verbatim
+  n-grams with the held-out split? (the classic benchmark-leak check);
+- **boilerplate**: which n-grams appear across the most documents?
+  (headers/footers/licence text to strip);
+- **repetition**: how internally repetitive is each document? (the
+  repeated-n-gram quality signal used by C4/Gopher-style filters).
+
+All three stay JVM-side: expression-only per-row work plus at most one
+shuffle on the shingle key — the shapes that survive a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from typebus_spark.functions.text import shingles, tokens
+
+
+def contamination_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    train: str = "train",
+    test: str = "test",
+    shingle_n: int = 8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Per-train-document contamination against the held-out split.
+
+    A train document is contaminated when it shares ≥1 distinct word
+    ``shingle_n``-gram with any ``test`` document. Returns one row per
+    contaminated train doc: ``(train_doc_id, n_test_docs, max_shared,
+    total_shared)``.
+
+    Plan shape: explode both splits' distinct shingles ONCE (narrow),
+    shuffle on the shingle key, train×test matches aggregate map-side —
+    the same inverted-index join as ``jaccard_pairs``, so cost is
+    bounded by shared-shingle volume, not |train|×|test|.
+    ``max_shingle_freq`` caps hub shingles (boilerplate present in many
+    docs would otherwise quadratically inflate the match space —
+    at corpus scale ALWAYS set it; boilerplate is not contamination).
+    """
+    sh = (
+        df.filter(F.col(split_col).isin(train, test))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(split_col).alias("_split"),
+            F.explode(
+                F.array_distinct(shingles(tokens(text_col), shingle_n))
+            ).alias("shingle"),
+        )
+    )
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
+    tr = sh.filter(F.col("_split") == train).select(
+        F.col("_id").alias("train_doc_id"), "shingle"
+    )
+    te = sh.filter(F.col("_split") == test).select(
+        F.col("_id").alias("test_doc_id"), "shingle"
+    )
+    pairs = (
+        tr.join(te, "shingle")
+        .groupBy("train_doc_id", "test_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return pairs.groupBy("train_doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_docs"),
+        F.max("shared").cast("long").alias("max_shared"),
+        F.sum("shared").cast("long").alias("total_shared"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` word n-grams by DOCUMENT frequency (boilerplate scan).
+
+    One explode + one shuffle on the shingle key; the global top-k runs
+    as ``TakeOrdered`` (per-partition heaps + driver merge of k rows),
+    never a cluster-wide sort. Tie-break on the shingle text makes the
+    cut deterministic across engines and partitionings.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(shingles(tokens(text_col), n))
+        ).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("shingle"))
+        .limit(k)
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document repeated n-gram counts (internal repetition signal).
+
+    Pure projection — no explode, no shuffle, scan-speed at any scale:
+    ``n_repeated = n_ngrams - n_distinct`` within each document.
+    """
+    sh = shingles(tokens(text_col), n)
+    return df.select(
+        F.col(id_col),
+        F.size(sh).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct"),
+        (F.size(sh) - F.size(F.array_distinct(sh)))
+        .cast("long")
+        .alias("n_repeated"),
+    )

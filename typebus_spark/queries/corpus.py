@@ -1,0 +1,111 @@
+"""Corpus-curation inventory queries: contamination, boilerplate,
+repetition — the checks between dedup and training, each oracle-checked
+against DuckDB over the same parquet."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from typebus_spark.operators.corpus_stats import (
+    contamination_report,
+    repetition_stats,
+    top_ngrams,
+)
+from typebus_spark.operators.sampling import hash_split
+from typebus_spark.queries.text import TOKS, _shingles_sql
+from typebus_spark.suite import query, t
+
+# The 90/5/5 hash split of q_corpus_split, as oracle SQL (same md5
+# bucket scheme — see operators/sampling.py for the engine-portability
+# argument).
+_SPLIT_SQL = f"""
+SELECT doc_id, text, {TOKS} AS toks,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, text,
+             (('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                ::BIGINT % 10000) AS bucket
+      FROM documents)
+"""
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+WITH lab AS ({_SPLIT_SQL}),
+sh AS (SELECT DISTINCT doc_id, split,
+              unnest(list_distinct({_shingles_sql(8)})) AS shingle
+       FROM lab WHERE split IN ('train', 'test')),
+hits AS (SELECT tr.doc_id AS train_doc_id, te.doc_id AS test_doc_id,
+                count(*) AS shared
+         FROM sh tr JOIN sh te ON tr.shingle = te.shingle
+         WHERE tr.split = 'train' AND te.split = 'test'
+         GROUP BY 1, 2)
+SELECT train_doc_id,
+       CAST(count(*) AS BIGINT) AS n_test_docs,
+       CAST(max(shared) AS BIGINT) AS max_shared,
+       CAST(sum(shared) AS BIGINT) AS total_shared
+FROM hits
+GROUP BY train_doc_id
+""",
+    doc=(
+        "Train/test contamination check over the deterministic hash "
+        "split: train docs sharing verbatim 8-gram shingles with any "
+        "held-out doc, via the inverted shingle-index join (one shuffle "
+        "on the shingle key — never |train| x |test|)."
+    ),
+)
+def q_contamination(spark, sf_dir):
+    docs = hash_split(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.90, "val": 0.05, "test": 0.05},
+        seed=42,
+    )
+    return contamination_report(docs, "doc_id", "text", shingle_n=8)
+
+
+@query(
+    "q_ngram_boilerplate",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_distinct({_shingles_sql(5)})) AS shingle
+       FROM tt)
+SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+FROM sh
+GROUP BY shingle
+ORDER BY doc_freq DESC, shingle
+LIMIT 20
+""",
+    doc=(
+        "Boilerplate scan: top-20 word 5-grams by document frequency — "
+        "explode + one shuffle, global top-k as TakeOrdered (no "
+        "cluster-wide sort); deterministic (doc_freq, shingle) "
+        "tie-break."
+    ),
+)
+def q_ngram_boilerplate(spark, sf_dir):
+    return top_ngrams(t(spark, sf_dir, "documents"), "doc_id", "text", n=5, k=20)
+
+
+@query(
+    "q_repetition_stats",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len({_shingles_sql(3)}) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct({_shingles_sql(3)})) AS BIGINT) AS n_distinct,
+       CAST(len({_shingles_sql(3)})
+            - len(list_distinct({_shingles_sql(3)})) AS BIGINT) AS n_repeated
+FROM tt
+""",
+    doc=(
+        "Per-document repeated 3-gram counts (C4/Gopher-style internal "
+        "repetition signal) — pure projection, no shuffle, scan-speed "
+        "at any corpus size."
+    ),
+)
+def q_repetition_stats(spark, sf_dir):
+    return repetition_stats(t(spark, sf_dir, "documents"), "doc_id", "text", n=3)

@@ -54,6 +54,7 @@ from typebus_spark.queries import dataflow  # noqa: E402,F401
 from typebus_spark.queries import dedup  # noqa: E402,F401
 from typebus_spark.queries import similarity  # noqa: E402,F401
 from typebus_spark.queries import text  # noqa: E402,F401
+from typebus_spark.queries import corpus  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
