@@ -310,19 +310,30 @@ def run_batch(
     res = BatchResult()
     decoded_inputs = decoded_inputs or {}
     now = F.lit(now_epoch) if now_epoch is not None else None
+    # Streams sharing a payload schema decode TOGETHER (one from_json
+    # checkpoint per schema group, not per stream — a service with N
+    # same-shaped streams pays one decode job instead of N; per-stream
+    # views are cheap topic filters over the checkpointed rows).
+    schema_groups: dict[str, list[str]] = {}
+    for f in service.streams:
+        key = service.catalog.schema_for(f).json()
+        schema_groups.setdefault(key, []).append(f)
     if raw is not None:
         if materialize:
             raw = raw.localCheckpoint(eager=True)
-        # Live-topic pruning: one tiny scan of the materialized batch tells
-        # us which topics actually carry rows, so streams with no input
-        # this batch contribute NO decode job and NO branches (a service
-        # with S streams otherwise pays S decode checkpoints per
-        # micro-batch even when one topic is active — the common case).
-        live = (
-            live_topics
-            if live_topics is not None
-            else {r[0] for r in raw.select("topic").distinct().collect()}
-        )
+        # Live-topic pruning: one tiny scan of the materialized batch
+        # tells us which topics actually carry rows, so streams with no
+        # input this batch contribute NO decode job and NO branches.
+        # Only worth a driver action when it can actually skip decode
+        # jobs — with ≤2 schema groups the probe job costs as much as it
+        # could ever save, so assume everything is live (empty groups
+        # then decode an empty filter: same price as the probe).
+        if live_topics is not None:
+            live = live_topics
+        elif len(schema_groups) > 2:
+            live = {r[0] for r in raw.select("topic").distinct().collect()}
+        else:
+            live = None  # unknown → treat every registered topic as live
 
         # R1 routing: topic-per-type makes dispatch a source-level filter.
         # Retry topics route back to their base stream (U1 merge analog).
@@ -335,7 +346,7 @@ def run_batch(
         # (streaming/rpc.py), not a registered stream — never dead-letter
         # them as unroutable.
         ignored = handled | {service.name}
-        if live - ignored:
+        if live is None or live - ignored:
             unhandled = raw.filter(~F.col("topic").isin(*ignored))
             res._add(
                 DEAD_LETTER_TOPIC,
@@ -344,26 +355,47 @@ def run_batch(
     else:
         live = set()
 
+    def _stream_topics(fqn: str) -> list[str]:
+        return [fqn] + ([retry_topic(fqn)] if service.streams[fqn].retry else [])
+
+    def _is_live(fqn: str) -> bool:
+        return live is None or bool(set(_stream_topics(fqn)) & live)
+
+    # One decode checkpoint per schema group with live rows; per-stream
+    # frames are topic filters over it (plus any decoded feedback).
+    decoded_by_fqn: dict[str, DataFrame] = {}
+    for fqns in schema_groups.values():
+        group_live = [
+            f for f in fqns if raw is not None and _is_live(f)
+        ]
+        if group_live:
+            gtopics = [t for f in group_live for t in _stream_topics(f)]
+            payload_schema = service.catalog.schema_for(group_live[0])
+            # Materialize the decode ONCE per schema group: ~5 downstream
+            # branches per stream consume it, and Catalyst has no
+            # cross-branch CSE through a Union — without this every
+            # branch re-parses the envelope JSON (the single most
+            # expensive expression in the router). One bounded job;
+            # every branch then scans decoded rows.
+            gdec = decode_envelope(
+                raw.filter(F.col("topic").isin(*gtopics)), payload_schema
+            ).localCheckpoint(eager=True)
+            for f in group_live:
+                decoded_by_fqn[f] = (
+                    gdec
+                    if len(group_live) == 1
+                    else gdec.filter(F.col("topic").isin(*_stream_topics(f)))
+                )
+
     for in_fqn, sd in service.streams.items():
-        topics = [in_fqn] + ([retry_topic(in_fqn)] if sd.retry else [])
         fed = decoded_inputs.get(in_fqn)
-        if not (set(topics) & live) and fed is None:
+        decoded = decoded_by_fqn.get(in_fqn)
+        if decoded is None and fed is None:
             continue  # no rows for this stream in the batch
         payload_schema = service.catalog.schema_for(in_fqn)
-        if set(topics) & live:
-            topic_rows = raw.filter(F.col("topic").isin(*topics))
-            # Materialize the decode ONCE per stream: ~5 downstream
-            # branches consume it, and Catalyst has no cross-branch CSE
-            # through a Union — without this every branch re-parses the
-            # envelope JSON (the single most expensive expression in the
-            # router). One bounded job per stream; every branch then
-            # scans decoded rows.
-            decoded = decode_envelope(
-                topic_rows, payload_schema
-            ).localCheckpoint(eager=True)
-            if fed is not None:
-                decoded = decoded.unionByName(fed)
-        else:
+        if decoded is not None and fed is not None:
+            decoded = decoded.unionByName(fed)
+        elif decoded is None:
             decoded = fed  # caller already checkpointed
 
         if sd.retry:
