@@ -48,15 +48,22 @@ def contamination_report(
     docs would otherwise quadratically inflate the match space —
     at corpus scale ALWAYS set it; boilerplate is not contamination).
     """
-    sh = (
-        df.filter(F.col(split_col).isin(train, test))
-        .select(
+    from typebus_spark.session import ensure_parallelism
+
+    # Spread BEFORE the shingle explode: small parquet arrives as one
+    # partition and the per-row n-gram build would serialize on one core.
+    sh = ensure_parallelism(
+        df.filter(F.col(split_col).isin(train, test)).select(
             F.col(id_col).alias("_id"),
             F.col(split_col).alias("_split"),
-            F.explode(
-                F.array_distinct(shingles(tokens(text_col), shingle_n))
-            ).alias("shingle"),
+            F.col(text_col),
         )
+    ).select(
+        "_id",
+        "_split",
+        F.explode(
+            F.array_distinct(shingles(tokens(text_col), shingle_n))
+        ).alias("shingle"),
     )
     if max_shingle_freq is not None:
         freq_ok = (
@@ -98,8 +105,12 @@ def top_ngrams(
     never a cluster-wide sort. Tie-break on the shingle text makes the
     cut deterministic across engines and partitionings.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
+    from typebus_spark.session import ensure_parallelism
+
+    sh = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    ).select(
+        "_id",
         F.explode(
             F.array_distinct(shingles(tokens(text_col), n))
         ).alias("shingle"),
@@ -123,8 +134,10 @@ def repetition_stats(
     Pure projection — no explode, no shuffle, scan-speed at any scale:
     ``n_repeated = n_ngrams - n_distinct`` within each document.
     """
+    from typebus_spark.session import ensure_parallelism
+
     sh = shingles(tokens(text_col), n)
-    return df.select(
+    return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.size(sh).cast("long").alias("n_ngrams"),
         F.size(F.array_distinct(sh)).cast("long").alias("n_distinct"),
