@@ -318,8 +318,16 @@ def run_batch(
     for f in service.streams:
         key = service.catalog.schema_for(f).json()
         schema_groups.setdefault(key, []).append(f)
+    # With exactly ONE schema group the whole batch decodes as one frame
+    # that ALSO carries the unroutable topics (dead-letter only needs the
+    # envelope-level ``topic`` column) — so the raw checkpoint is skipped
+    # entirely: one materialization per batch instead of two full passes
+    # over the wire bytes.
+    single_group = (
+        raw is not None and live_topics is None and len(schema_groups) == 1
+    )
     if raw is not None:
-        if materialize:
+        if materialize and not single_group:
             raw = raw.localCheckpoint(eager=True)
         # Live-topic pruning: one tiny scan of the materialized batch
         # tells us which topics actually carry rows, so streams with no
@@ -334,26 +342,20 @@ def run_batch(
             live = {r[0] for r in raw.select("topic").distinct().collect()}
         else:
             live = None  # unknown → treat every registered topic as live
-
-        # R1 routing: topic-per-type makes dispatch a source-level filter.
-        # Retry topics route back to their base stream (U1 merge analog).
-        handled = set(service.streams) | {
-            retry_topic(f) for f, s in service.streams.items() if s.retry
-        }
-        # The service-name topic is the RPC back-channel
-        # (KafkaBus.scala:184): replies addressed to this service land
-        # there and are consumed by the RPC correlation path
-        # (streaming/rpc.py), not a registered stream — never dead-letter
-        # them as unroutable.
-        ignored = handled | {service.name}
-        if live is None or live - ignored:
-            unhandled = raw.filter(~F.col("topic").isin(*ignored))
-            res._add(
-                DEAD_LETTER_TOPIC,
-                _dead_letter(unhandled, "no handler for topic"),
-            )
     else:
         live = set()
+
+    # R1 routing: topic-per-type makes dispatch a source-level filter.
+    # Retry topics route back to their base stream (U1 merge analog).
+    handled = set(service.streams) | {
+        retry_topic(f) for f, s in service.streams.items() if s.retry
+    }
+    # The service-name topic is the RPC back-channel
+    # (KafkaBus.scala:184): replies addressed to this service land
+    # there and are consumed by the RPC correlation path
+    # (streaming/rpc.py), not a registered stream — never dead-letter
+    # them as unroutable.
+    ignored = handled | {service.name}
 
     def _stream_topics(fqn: str) -> list[str]:
         return [fqn] + ([retry_topic(fqn)] if service.streams[fqn].retry else [])
@@ -364,6 +366,7 @@ def run_batch(
     # One decode checkpoint per schema group with live rows; per-stream
     # frames are topic filters over it (plus any decoded feedback).
     decoded_by_fqn: dict[str, DataFrame] = {}
+    deadletter_src: DataFrame | None = None
     for fqns in schema_groups.values():
         group_live = [
             f for f in fqns if raw is not None and _is_live(f)
@@ -377,15 +380,39 @@ def run_batch(
             # branch re-parses the envelope JSON (the single most
             # expensive expression in the router). One bounded job;
             # every branch then scans decoded rows.
-            gdec = decode_envelope(
-                raw.filter(F.col("topic").isin(*gtopics)), payload_schema
-            ).localCheckpoint(eager=True)
-            for f in group_live:
-                decoded_by_fqn[f] = (
-                    gdec
-                    if len(group_live) == 1
-                    else gdec.filter(F.col("topic").isin(*_stream_topics(f)))
-                )
+            src = (
+                raw
+                if single_group
+                else raw.filter(F.col("topic").isin(*gtopics))
+            )
+            gdec = decode_envelope(src, payload_schema)
+            if materialize or not single_group:
+                gdec = gdec.localCheckpoint(eager=True)
+            if single_group:
+                # gdec carries foreign topics too → per-stream frames
+                # always topic-filter; the unroutable rows dead-letter
+                # from the same checkpoint below.
+                deadletter_src = gdec
+                for f in group_live:
+                    decoded_by_fqn[f] = gdec.filter(
+                        F.col("topic").isin(*_stream_topics(f))
+                    )
+            else:
+                for f in group_live:
+                    decoded_by_fqn[f] = (
+                        gdec
+                        if len(group_live) == 1
+                        else gdec.filter(F.col("topic").isin(*_stream_topics(f)))
+                    )
+
+    if raw is not None and (live is None or live - ignored):
+        unhandled = (deadletter_src if single_group else raw).filter(
+            ~F.col("topic").isin(*ignored)
+        )
+        res._add(
+            DEAD_LETTER_TOPIC,
+            _dead_letter(unhandled, "no handler for topic"),
+        )
 
     for in_fqn, sd in service.streams.items():
         fed = decoded_inputs.get(in_fqn)
