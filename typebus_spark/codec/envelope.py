@@ -277,6 +277,7 @@ def decode_envelope(
     raw: DataFrame,
     payload_schema: StructType,
     wire_format: str = "json",
+    keep_value: bool = False,
 ) -> DataFrame:
     """Bus rows → ``meta`` struct + typed ``payload`` struct (D1+D2).
 
@@ -285,6 +286,12 @@ def decode_envelope(
     Catalyst ``from_json`` (or ``from_avro`` with
     ``wire_format="avro"``). Undecodable rows yield NULL payloads →
     routed to the dead-letter path by the runtime (O2).
+
+    ``keep_value`` carries the raw wire bytes through so a different
+    payload schema can be re-decoded later from the SAME materialized
+    frame (the runtime's single-data-schema fast path re-parses
+    control-plane slices this way instead of checkpointing ``raw``
+    twice).
     """
     if wire_format == "avro":
         _require_avro(raw)
@@ -296,10 +303,11 @@ def decode_envelope(
         )
     else:
         decoded = _json_decode_expr(payload_schema.json())
+    tail = ("topic", "value") if keep_value else ("topic",)
     return raw.select(
         decoded.alias("e"),
-        *[c for c in ("topic", "key") if c in raw.columns],
-    ).select("e.meta", "e.payload", *[c for c in ("topic",) if c in raw.columns])
+        *[c for c in ("topic", "key", "value") if c in raw.columns],
+    ).select("e.meta", "e.payload", *[c for c in tail if c in raw.columns])
 
 
 def fresh_uuid() -> str:

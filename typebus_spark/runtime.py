@@ -220,23 +220,41 @@ def _flat_env(payload_fields: tuple) -> F.Column:
     )
 
 
-def _trace_rows(
-    service_name: str, traced: DataFrame, env: F.Column, trace_fqn: str
-) -> DataFrame:
-    """Wrap envelopes as a typed Trace event — payload = (service,
-    event), meta = fresh, eventType = the trace FQN, trace=false
-    (bus/package.scala:75-89)."""
+_trace_cols_cache: dict = {}
+
+
+def _trace_cols(service_name: str, env: F.Column, trace_fqn: str) -> tuple:
+    # keyed on the env Column by identity (Column is unhashable) —
+    # callers pass lru-cached singletons (_meta_payload_env/_flat_env),
+    # so hits are real and ids stable; env is pinned in the value to
+    # keep its id from being reused. The wrapper tree is pure and this
+    # build was a measured per-branch driver hotspot.
+    key = (service_name, id(env), trace_fqn)
+    hit = _trace_cols_cache.get(key)
+    if hit is not None:
+        return hit[0]
     payload = F.struct(
         F.lit(service_name).alias("service"), env.alias("event")
     )
     out_env = F.struct(
         _static_meta(trace_fqn).alias("meta"), payload.alias("payload")
     )
-    return traced.select(
+    cols = (
         F.lit(None).cast("binary").alias("key"),
         F.to_json(out_env).cast("binary").alias("value"),
         F.lit(trace_fqn).alias("topic"),
     )
+    _trace_cols_cache[key] = (cols, env)
+    return cols
+
+
+def _trace_rows(
+    service_name: str, traced: DataFrame, env: F.Column, trace_fqn: str
+) -> DataFrame:
+    """Wrap envelopes as a typed Trace event — payload = (service,
+    event), meta = fresh, eventType = the trace FQN, trace=false
+    (bus/package.scala:75-89)."""
+    return traced.select(*_trace_cols(service_name, env, trace_fqn))
 
 
 @lru_cache(maxsize=32)
@@ -318,14 +336,25 @@ def run_batch(
     for f in service.streams:
         key = service.catalog.schema_for(f).json()
         schema_groups.setdefault(key, []).append(f)
-    # With exactly ONE schema group the whole batch decodes as one frame
-    # that ALSO carries the unroutable topics (dead-letter only needs the
-    # envelope-level ``topic`` column) — so the raw checkpoint is skipped
-    # entirely: one materialization per batch instead of two full passes
-    # over the wire bytes.
+    # With exactly ONE DATA-PLANE schema group the whole batch decodes as
+    # one frame that ALSO carries the unroutable topics (dead-letter only
+    # needs the envelope-level ``topic`` column) — so the raw checkpoint
+    # is skipped entirely: one materialization per batch instead of two
+    # full passes over the wire bytes. Control-plane groups (streams all
+    # marked ``service_level``, e.g. the auto-registered discovery
+    # stream) are expected near-empty every batch; they re-decode their
+    # topic-filtered slice from the SAME checkpoint via the retained wire
+    # bytes (``keep_value``) rather than forcing the two-pass path.
+    def _all_service_level(fqns: list[str]) -> bool:
+        return all(service.streams[f].service_level for f in fqns)
+
+    data_keys = [
+        k for k, fqns in schema_groups.items() if not _all_service_level(fqns)
+    ]
     single_group = (
-        raw is not None and live_topics is None and len(schema_groups) == 1
+        raw is not None and live_topics is None and len(data_keys) == 1
     )
+    dominant_key = data_keys[0] if single_group else None
     if raw is not None:
         if materialize and not single_group:
             raw = raw.localCheckpoint(eager=True)
@@ -338,7 +367,7 @@ def run_batch(
         # then decode an empty filter: same price as the probe).
         if live_topics is not None:
             live = live_topics
-        elif len(schema_groups) > 2:
+        elif not single_group and len(schema_groups) > 2:
             live = {r[0] for r in raw.select("topic").distinct().collect()}
         else:
             live = None  # unknown → treat every registered topic as live
@@ -367,7 +396,11 @@ def run_batch(
     # frames are topic filters over it (plus any decoded feedback).
     decoded_by_fqn: dict[str, DataFrame] = {}
     deadletter_src: DataFrame | None = None
-    for fqns in schema_groups.values():
+    # Dominant group first: control-plane groups re-decode from its frame.
+    group_order = sorted(
+        schema_groups.items(), key=lambda kv: kv[0] != dominant_key
+    )
+    for key, fqns in group_order:
         group_live = [
             f for f in fqns if raw is not None and _is_live(f)
         ]
@@ -380,24 +413,39 @@ def run_batch(
             # branch re-parses the envelope JSON (the single most
             # expensive expression in the router). One bounded job;
             # every branch then scans decoded rows.
-            src = (
-                raw
-                if single_group
-                else raw.filter(F.col("topic").isin(*gtopics))
-            )
-            gdec = decode_envelope(src, payload_schema)
-            if materialize or not single_group:
-                gdec = gdec.localCheckpoint(eager=True)
-            if single_group:
-                # gdec carries foreign topics too → per-stream frames
-                # always topic-filter; the unroutable rows dead-letter
-                # from the same checkpoint below.
+            if single_group and key == dominant_key:
+                # gdec carries foreign topics (and the wire bytes) too →
+                # per-stream frames always topic-filter; unroutable rows
+                # dead-letter and control-plane slices re-decode from the
+                # same checkpoint below.
+                gdec = decode_envelope(raw, payload_schema, keep_value=True)
+                if materialize:
+                    gdec = gdec.localCheckpoint(eager=True)
                 deadletter_src = gdec
                 for f in group_live:
                     decoded_by_fqn[f] = gdec.filter(
                         F.col("topic").isin(*_stream_topics(f))
+                    ).drop("value")
+            elif single_group:
+                # Control-plane slice: tiny topic filter over the
+                # checkpointed dominant frame, payload re-parsed from the
+                # retained bytes — no extra materialization.
+                sdec = decode_envelope(
+                    deadletter_src.filter(
+                        F.col("topic").isin(*gtopics)
+                    ).select("value", "topic"),
+                    payload_schema,
+                )
+                for f in group_live:
+                    decoded_by_fqn[f] = (
+                        sdec
+                        if len(group_live) == 1
+                        else sdec.filter(F.col("topic").isin(*_stream_topics(f)))
                     )
             else:
+                gdec = decode_envelope(
+                    raw.filter(F.col("topic").isin(*gtopics)), payload_schema
+                ).localCheckpoint(eager=True)
                 for f in group_live:
                     decoded_by_fqn[f] = (
                         gdec
@@ -522,8 +570,17 @@ def run_batch(
             if sd.retry and emit_decoded_retry:
                 from typebus_spark.streaming.retry import retry_decoded
 
+                # Drain mode: cut the semi-join lineage HERE, once per
+                # round — retry rows, give-up dead-letters, and the
+                # exception trace all derive from this joined frame, and
+                # without the checkpoint each of those arms (plus the
+                # caller's final materialization) re-executes the
+                # broadcast join per round.
+                orig_failed = _orig(retryable_ids).localCheckpoint(
+                    eager=True
+                )
                 retry_dec, gave_up = retry_decoded(
-                    _orig(retryable_ids), in_fqn, sd.retry, payload_fields, now
+                    orig_failed, in_fqn, sd.retry, payload_fields, now
                 )
                 res._add_decoded_retry(in_fqn, retry_dec)
             elif sd.retry:
@@ -672,12 +729,11 @@ def drain_batches(
     # still pays them, an in-process drain needn't). Coalesce +
     # localCheckpoint cuts the lineage that would otherwise re-execute
     # every previous round's decode+handler pipeline, multiplicatively
-    # with drain depth. Terminal outputs (done/dead-letter/trace topics)
-    # stay lazy over round 1's checkpointed decode, so their envelope
-    # encoding runs ONCE when the caller materializes the merged result,
-    # not once per round plus again at the end.
-    raw = raw.localCheckpoint(eager=True)
-    par = raw.sparkSession.sparkContext.defaultParallelism
+    # with drain depth. Round 1 lets ``run_batch`` place the checkpoint
+    # itself (``materialize=True``): on the single-data-schema fast path
+    # that lands PAST the decode, so terminal outputs (done/dead-letter/
+    # trace topics) and the round-1 retry snapshot all scan decoded rows
+    # — the decode runs exactly once per drain, not once per branch.
     now = now_epoch
     feedback: dict[str, DataFrame] | None = None
     for _ in range(max_rounds):
@@ -686,7 +742,6 @@ def drain_batches(
             raw,
             now_epoch=now,
             lazy=True,
-            materialize=False,
             decoded_inputs=feedback,
             emit_decoded_retry=True,
         )
@@ -694,8 +749,15 @@ def drain_batches(
         merged.absorb(res, skip=lambda t: t.endswith(".retry"))
         if not res.decoded_retry:
             break
+        # Materialize the (small) next-round queue: the snapshot makes
+        # the emptiness check free and keeps the pending-backoff filter
+        # chain from deepening across rounds. The expensive part of the
+        # round — the give-up semi-join — was already cut inside
+        # ``run_batch`` (orig_failed checkpoint), so this job is a cheap
+        # filter scan.
         feedback = {}
         for fqn, df in res.decoded_retry.items():
+            par = df.sparkSession.sparkContext.defaultParallelism
             ck = df.coalesce(par).localCheckpoint(eager=True)
             if not ck.isEmpty():  # scan of the checkpoint — cheap
                 feedback[fqn] = ck

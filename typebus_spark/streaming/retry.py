@@ -69,6 +69,43 @@ def backoff_seconds_col(policy: RetryPolicy, attempt: F.Column) -> F.Column:
     return d
 
 
+from functools import lru_cache
+
+# Constant SQL fragments for the retry meta update, parsed JVM-side in
+# ONE py4j round-trip each instead of the ~50 a python-built
+# map_filter-lambda tree costs — this runs once per drain ROUND, and the
+# per-call build time was a measured driver hotspot.
+_NXT_SQL = f"(coalesce(cast(meta.extra['{ATTEMPT_KEY}'] as int), 0) + 1)"
+
+
+@lru_cache(maxsize=64)
+def _retry_parts(policy: RetryPolicy) -> tuple:
+    """(eligible_cond, gaveup_cond, kept_extra_map, next_attempt_str,
+    backoff_seconds_long) — pure, policy-keyed expression trees."""
+    if policy.shape.value == "linear":
+        backoff_sql = f"({_NXT_SQL} * {policy.delay_seconds!r})"
+    elif policy.shape.value == "exponential":
+        backoff_sql = f"({_NXT_SQL} * {_NXT_SQL} * {policy.delay_seconds!r})"
+    else:
+        backoff_sql = repr(policy.delay_seconds)
+    return (
+        F.expr(f"{_NXT_SQL} <= {policy.max_attempts}"),
+        F.expr(f"{_NXT_SQL} > {policy.max_attempts}"),
+        F.expr(
+            "map_filter("
+            "coalesce(meta.extra, cast(map() as map<string,string>)), "
+            f"(k, v) -> k NOT IN ('{ATTEMPT_KEY}', '{NOT_BEFORE_KEY}'))"
+        ),
+        F.expr(f"cast({_NXT_SQL} as string)"),
+        F.expr(f"cast({backoff_sql} as long)"),
+    )
+
+
+@lru_cache(maxsize=128)
+def _payload_struct(payload_cols: tuple) -> F.Column:
+    return F.struct(*[F.col(c) for c in payload_cols]).alias("payload")
+
+
 def retry_decoded(
     failed: DataFrame,
     in_fqn: str,
@@ -90,32 +127,27 @@ def retry_decoded(
     path pays (see ``encode_retry`` for that form).
     """
     now = now if now is not None else F.unix_timestamp(F.current_timestamp())
-    nxt = attempt_col() + 1
-    eligible = failed.filter(nxt <= F.lit(policy.max_attempts))
-    gave_up = failed.filter(nxt > F.lit(policy.max_attempts))
+    eligible_cond, gaveup_cond, kept_map, nxt_str, backoff = _retry_parts(
+        policy
+    )
+    eligible = failed.filter(eligible_cond)
+    gave_up = failed.filter(gaveup_cond)
 
     new_meta = F.col("meta").withField(
         "extra",
         F.map_concat(
-            F.map_filter(
-                F.coalesce(
-                    F.col("meta.extra"), F.create_map().cast("map<string,string>")
-                ),
-                lambda k, _: ~k.isin(ATTEMPT_KEY, NOT_BEFORE_KEY),
-            ),
+            kept_map,
             F.create_map(
                 F.lit(ATTEMPT_KEY),
-                nxt.cast("string"),
+                nxt_str,
                 F.lit(NOT_BEFORE_KEY),
-                (now + backoff_seconds_col(policy, nxt).cast("long")).cast(
-                    "string"
-                ),
+                (now + backoff).cast("string"),
             ),
         ),
     )
     decoded = eligible.select(
         new_meta.alias("meta"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
+        _payload_struct(tuple(payload_cols)),
         F.lit(retry_topic(in_fqn)).alias("topic"),
     )
     return decoded, gave_up
