@@ -451,6 +451,8 @@ def q_stream_hourly(spark, sf_dir):
     import shutil
     import tempfile
 
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src)
@@ -458,11 +460,12 @@ def q_stream_hourly(spark, sf_dir):
     # driver file into a temp dir for replay
     stage = tempfile.mkdtemp(prefix="stream_hourly_")
     shutil.copy(src, os.path.join(stage, "events.parquet"))
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(stage)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    # TIMESTAMP(NANOS) arrives as INT64 where the legacy conf is honored
+    # (convert), or natively as TIMESTAMP_NTZ truncated to micros on newer
+    # readers (already what DuckDB sees — leave as-is).
+    if isinstance(batch.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
