@@ -71,7 +71,7 @@ def main() -> None:
         gc.collect()
 
     timings: dict[str, float] = {}
-    failures: list[str] = []
+    errors: dict[str, str] = {}
     for _pass in range(2):
         for name, q in suite.QUERIES.items():
             start = time.perf_counter()
@@ -83,9 +83,8 @@ def main() -> None:
                 prev = timings.get(name)
                 timings[name] = t if prev is None or prev < 0 else min(prev, t)
             except Exception as e:  # one broken query must not sink the run
-                if name not in timings:
-                    failures.append(f"{name}: {type(e).__name__}")
-                    timings[name] = -1.0
+                errors.setdefault(name, type(e).__name__)
+                timings.setdefault(name, -1.0)
             # Queries persist intermediates (shingle indexes, ANN buckets)
             # that only their own plan needs; drop them so leaked blocks
             # don't build memory pressure that taxes every LATER query's
@@ -95,6 +94,14 @@ def main() -> None:
             spark.catalog.clearCache()
             gc.collect()
 
+    # Reconcile per-pass status: a query is FAILED only if no pass ever
+    # timed it (timing stayed -1); a query that both failed and succeeded
+    # keeps its successful timing and is reported as flaky, never both
+    # failed and timed.
+    failures = [
+        f"{n}: {e}" for n, e in errors.items() if timings.get(n, -1.0) < 0
+    ]
+    flaky = [n for n in errors if timings.get(n, -1.0) >= 0]
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     out = {
         "metric": "inventory_total_wall_sec",
@@ -105,6 +112,8 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
+    if flaky:
+        out["flaky"] = flaky
     print(json.dumps(out))
     spark.stop()
 

@@ -80,15 +80,40 @@ class BatchResult:
     # ``union_all`` — these are loop state, not bus output.
     decoded_retry: dict[str, DataFrame] = field(default_factory=dict)
 
+    # (fanned_df, {name: kind}) pairs registered by _add_shared; the
+    # filtered per-name views are built ON DEMAND in _view — most
+    # consumers only ever call union_all(), and eagerly building one
+    # filter+select per destination class per stream was a measured
+    # driver-side (py4j) hotspot of every micro-batch.
+    _shared_named: list = field(default_factory=list)
+
     def topic(self, name: str) -> DataFrame | None:
         if name in self.outputs:
             return self.outputs[name]
-        return self._views.get(name)
+        return self._view(name)
 
     def named(self) -> dict[str, DataFrame]:
         """Every logical output by name (exclusive topics + multicast
         views). For inspection; bulk consumers should ``union_all()``."""
-        return {**self.outputs, **self._views}
+        names = {n for _, kinds in self._shared_named for n in kinds}
+        views = {n: self._view(n) for n in names}
+        return {**self.outputs, **{n: v for n, v in views.items() if v is not None}}
+
+    def _view(self, name: str) -> DataFrame | None:
+        if name in self._views:
+            return self._views[name]
+        built = None
+        for fanned, kinds in self._shared_named:
+            kind = kinds.get(name)
+            if kind is None:
+                continue
+            v = fanned.filter(F.col("_kind") == kind).select(
+                "key", "value", "topic"
+            )
+            built = v if built is None else built.unionByName(v)
+        if built is not None:
+            self._views[name] = built
+        return built
 
     def _add(self, topic: str, df: DataFrame) -> None:
         cur = self.outputs.get(topic)
@@ -103,14 +128,10 @@ class BatchResult:
     def _add_shared(self, fanned: DataFrame, names: dict[str, str]) -> None:
         """Register a multicast frame (columns key/value/topic/_kind);
         ``names`` maps a logical output name to its ``_kind`` tag so
-        ``topic()`` lookups still work per destination class."""
+        ``topic()`` lookups still work per destination class (built
+        lazily in ``_view``)."""
         self._shared.append(fanned.select("key", "value", "topic"))
-        for name, kind in names.items():
-            v = fanned.filter(F.col("_kind") == kind).select(
-                "key", "value", "topic"
-            )
-            cur = self._views.get(name)
-            self._views[name] = cur.unionByName(v) if cur is not None else v
+        self._shared_named.append((fanned, dict(names)))
 
     def absorb(self, other: "BatchResult", skip=None) -> None:
         """Merge another result's outputs into this one (optionally
@@ -119,9 +140,10 @@ class BatchResult:
             if skip is None or not skip(topic):
                 self._add(topic, df)
         self._shared.extend(other._shared)
-        for name, v in other._views.items():
-            cur = self._views.get(name)
-            self._views[name] = cur.unionByName(v) if cur is not None else v
+        self._shared_named.extend(other._shared_named)
+        # drop any views cached before this merge — they would miss the
+        # absorbed frames; _view rebuilds over the full _shared_named list
+        self._views.clear()
 
     def union_all(self) -> DataFrame | None:
         """All outputs as ONE (key, value, topic) frame — every branch
@@ -233,6 +255,11 @@ def _trace_cols(service_name: str, env: F.Column, trace_fqn: str) -> tuple:
     hit = _trace_cols_cache.get(key)
     if hit is not None:
         return hit[0]
+    # Bounded: long-running services can churn env structs (rebuilt
+    # _reply_plan structs, evicted _flat_env entries) — evict oldest
+    # entries past a generous cap instead of pinning Columns forever.
+    while len(_trace_cols_cache) >= 512:
+        _trace_cols_cache.pop(next(iter(_trace_cols_cache)))
     payload = F.struct(
         F.lit(service_name).alias("service"), env.alias("event")
     )
@@ -429,7 +456,14 @@ def run_batch(
             elif single_group:
                 # Control-plane slice: tiny topic filter over the
                 # checkpointed dominant frame, payload re-parsed from the
-                # retained bytes — no extra materialization.
+                # retained bytes — no extra materialization. The dominant
+                # data-plane group is guaranteed processed first (the
+                # group_order stable sort puts dominant_key in front), so
+                # its checkpointed frame must exist here.
+                assert deadletter_src is not None, (
+                    "single-group ordering invariant broken: control-plane "
+                    "slice decoded before the dominant data-plane frame"
+                )
                 sdec = decode_envelope(
                     deadletter_src.filter(
                         F.col("topic").isin(*gtopics)
@@ -575,7 +609,11 @@ def run_batch(
                 # exception trace all derive from this joined frame, and
                 # without the checkpoint each of those arms (plus the
                 # caller's final materialization) re-executes the
-                # broadcast join per round.
+                # broadcast join per round. (A fused variant that folded
+                # the pending queue into one combined checkpoint per
+                # round measured consistently SLOWER — the extra union
+                # degrades the join materialization more than the saved
+                # job costs; see drain_batches for the queue snapshot.)
                 orig_failed = _orig(retryable_ids).localCheckpoint(
                     eager=True
                 )
@@ -751,10 +789,12 @@ def drain_batches(
             break
         # Materialize the (small) next-round queue: the snapshot makes
         # the emptiness check free and keeps the pending-backoff filter
-        # chain from deepening across rounds. The expensive part of the
-        # round — the give-up semi-join — was already cut inside
-        # ``run_batch`` (orig_failed checkpoint), so this job is a cheap
-        # filter scan.
+        # chain from deepening across rounds (without it the queue is a
+        # union tree that grows a leaf per round and re-scans every prior
+        # round's checkpoint from every consumer — measured 3-4x slower).
+        # The expensive part of the round — the give-up semi-join — was
+        # already cut inside ``run_batch`` (orig_failed checkpoint), so
+        # this job is a cheap filter scan.
         feedback = {}
         for fqn, df in res.decoded_retry.items():
             par = df.sparkSession.sparkContext.defaultParallelism
