@@ -90,6 +90,36 @@ def test_minhash_has_partial_aggregation(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_relational3_plan_discipline(spark, sf_dir):
+    # Q6: every predicate reaches the parquet scan
+    pf = " ".join(pushed_filters(_df(spark, sf_dir, "q6_forecast_revenue")))
+    assert "l_shipdate" in pf, pf
+    # Q18: the HAVING set drives a semi-join, broadcast to the fact side
+    plan = formatted_plan(_df(spark, sf_dir, "q18_large_orders"))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    # Q22: dormancy is an anti-join; the scalar average is a broadcast,
+    # never a shuffled cross product
+    plan = formatted_plan(_df(spark, sf_dir, "q22_dormant_customers"))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    # Q17: the correlated-average rewrite stays a broadcast join +
+    # partial aggregation, not a per-row subquery
+    plan = formatted_plan(_df(spark, sf_dir, "q17_small_quantity_revenue"))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_entropy_partial_aggs(spark, sf_dir):
+    for q in ("q_vocab_topk", "q_token_entropy"):
+        df = _df(spark, sf_dir, q)
+        plan = formatted_plan(df)
+        assert plan.count("HashAggregate") >= 2, (q, plan)
+        assert "CartesianProduct" not in plan, q
+    # vocab top-k must be TakeOrdered, not a global sort
+    assert not has_global_sort(_df(spark, sf_dir, "q_vocab_topk"))
+
+
 def test_no_cartesian_anywhere_except_knn(spark, sf_dir):
     whitelist = {"q_knn_cosine_topk", "q_knn_ivf", "q_dedup_embedding"}
     for name, q in QUERIES.items():

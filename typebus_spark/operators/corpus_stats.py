@@ -123,6 +123,76 @@ def top_ngrams(
     )
 
 
+def vocab_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 40,
+) -> DataFrame:
+    """Vocabulary build: top-``k`` lowercased tokens by term frequency,
+    with document frequency alongside — the first step of any tokenizer/
+    vocab pipeline over a corpus.
+
+    One explode + one shuffle on the token key; ``count`` and
+    ``count_distinct(doc)`` share the single aggregation (the distinct
+    rewrites to a two-stage partial agg). Global top-k is TakeOrdered
+    (per-partition heaps), never a full sort; (tf, token) tie-break is
+    deterministic across engines.
+    """
+    from typebus_spark.session import ensure_parallelism
+
+    tok = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    ).select(
+        "_id",
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.countDistinct("_id").cast("long").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram token entropy (bits) — the vocabulary-
+    diversity quality signal (low entropy ⇒ repetitive/templated text).
+
+    ``H = log2(n) - Σ c·log2(c) / n`` over per-token counts ``c`` —
+    computed as two hash aggregations (token counts per doc, then the
+    entropy fold per doc), both with map-side partials; no windows, no
+    driver collects. The per-doc float sum spans only the document's
+    distinct-token counts, so cross-engine accumulation-order error is
+    ~1e-14 — far inside the round(6) guard.
+    """
+    from typebus_spark.session import ensure_parallelism
+
+    tok = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
+    )
+    counts = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c")
+    c = F.col("c").cast("double")
+    return counts.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log2(n.cast("double"))
+            - F.sum(c * F.log2(c)) / n.cast("double"),
+            6,
+        ).alias("entropy"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str,

@@ -9,7 +9,9 @@ import pyspark.sql.functions as F
 from typebus_spark.operators.corpus_stats import (
     contamination_report,
     repetition_stats,
+    token_entropy,
     top_ngrams,
+    vocab_topk,
 )
 from typebus_spark.operators.sampling import hash_split
 from typebus_spark.queries.text import TOKS, _shingles_sql
@@ -88,6 +90,54 @@ LIMIT 20
 )
 def q_ngram_boilerplate(spark, sf_dir):
     return top_ngrams(t(spark, sf_dir, "documents"), "doc_id", "text", n=5, k=20)
+
+
+@query(
+    "q_vocab_topk",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(list_transform({TOKS}, x -> lower(x))) AS token
+             FROM documents)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 40
+""",
+    doc=(
+        "Vocabulary build: top-40 tokens by corpus term frequency with "
+        "document frequency — one explode + one token-key shuffle, "
+        "TakeOrdered top-k, deterministic (tf, token) tie-break."
+    ),
+)
+def q_vocab_topk(spark, sf_dir):
+    return vocab_topk(t(spark, sf_dir, "documents"), "doc_id", "text", k=40)
+
+
+@query(
+    "q_token_entropy",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(list_transform({TOKS}, x -> lower(x))) AS token
+             FROM documents),
+counts AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(log2(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) AS entropy
+FROM counts
+GROUP BY doc_id
+""",
+    doc=(
+        "Per-document unigram token entropy (vocabulary-diversity "
+        "quality signal, Gopher-style): two hash aggregations with "
+        "map-side partials, no windows, no collects."
+    ),
+)
+def q_token_entropy(spark, sf_dir):
+    return token_entropy(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(

@@ -1,0 +1,474 @@
+"""Relational inventory, part 3 — the remaining TPC-H query shapes the
+star schema supports (no ``partsupp``/``l_commitdate``/``l_shipmode``
+columns exist in the driver tables, so Q2/Q9/Q11/Q12/Q16/Q20/Q21 are
+out of reach and Q4/Q8/Q14/Q17/Q22 are adapted to the available
+columns; adaptations are noted per query).
+
+Like ``relational.py``, every query is unmodified Spark built-ins —
+broadcast dims, one fact shuffle, map-side partials, exact integer-cents
+money — with the physical-plan discipline pinned by
+``tests/test_plans.py``. Exact-arithmetic rewrites keep every oracled
+comparison integer-only until a final deterministic division:
+``x < 0.2 * avg(y)`` becomes ``5 * x * n < sum(y)`` (Q17),
+``bal > avg(bal)`` becomes ``bal_cents * n > sum_cents`` (Q22) — no
+float threshold ever crosses an engine boundary.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from typebus_spark.functions.money import cents, money
+from typebus_spark.suite import query, t
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+       / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+    doc=(
+        "TPC-H Q6: pure scan+filter+agg — every predicate pushes to the "
+        "parquet scan, zero joins, one partial-agg reduce. The discount "
+        "band compares exact cents, not floats."
+    ),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    dc = cents("l_discount")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & dc.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(money(F.sum(cents("l_extendedprice") * dc), 10000).alias("revenue"))
+    )
+
+
+@query(
+    "q4_priority_exists",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc=(
+        "TPC-H Q4 adapted (no l_commitdate in the fixture: 'late' = "
+        "shipped after the order date): correlated EXISTS as a LEFT SEMI "
+        "join with a non-equi term, then hash agg."
+    ),
+)
+def q4_priority_exists(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+""",
+    doc=(
+        "TPC-H Q13: left-outer join keeping order-less customers (count "
+        "0 bucket), double aggregation — orders-per-customer then "
+        "customers-per-count."
+    ),
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01')
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4
+                                   ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_e4) AS DOUBLE), 6) AS promo_revenue_pct
+FROM li JOIN part ON l_partkey = p_partkey
+""",
+    doc=(
+        "TPC-H Q14 adapted (fixture p_type is single-word): promo revenue "
+        "share — broadcast part join, conditional aggregation, one exact-"
+        "integer ratio divided once at the end."
+    ),
+)
+def q14_promo_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0))
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * promo.cast("double") / F.sum(rev_e4).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100, 0) AS BIGINT)      AS qc,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc
+  FROM lineitem),
+parts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+stats AS (
+  SELECT l_partkey, sum(qc) AS sum_qc, count(*) AS n
+  FROM li JOIN parts ON l_partkey = p_partkey
+  GROUP BY l_partkey)
+SELECT CAST(sum(epc) AS DOUBLE) / 700.0 AS avg_yearly
+FROM li
+JOIN stats USING (l_partkey)
+WHERE 5 * qc * n < sum_qc
+""",
+    doc=(
+        "TPC-H Q17 adapted (no p_container): small-quantity orders below "
+        "20%% of the part's average quantity. The correlated average is "
+        "an exact integer rewrite (5*q*n < sum) — no float threshold — "
+        "computed as a broadcast self-aggregation, not a per-row "
+        "subquery."
+    ),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        cents("l_quantity").alias("qc"),
+        cents("l_extendedprice").alias("epc"),
+    )
+    parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    filtered = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    stats = filtered.groupBy("l_partkey").agg(
+        F.sum("qc").alias("sum_qc"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        filtered.join(F.broadcast(stats), "l_partkey")
+        .filter(F.lit(5) * F.col("qc") * F.col("n") < F.col("sum_qc"))
+        .agg((F.sum("epc").cast("double") / F.lit(700.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 30000)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+       / 100.0 AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+""",
+    doc=(
+        "TPC-H Q18: large-volume orders — HAVING-filtered aggregate as a "
+        "semi-join against the fact table, then the 3-way join re-"
+        "aggregates. The big-order key set is tiny → broadcast semi."
+    ),
+)
+def q18_large_orders(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", cents("l_quantity").alias("qc")
+    )
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("qc").alias("sum_qc"))
+        .filter(F.col("sum_qc") > 30000)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        l.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(money(F.sum("qc"), 100).alias("total_qty"))
+    )
+
+
+@query(
+    "q19_disjunctive_join",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 10
+       AND l_quantity >= 1  AND l_quantity <= 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1  AND 20
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1  AND 30
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+    doc=(
+        "TPC-H Q19 adapted (no p_container/l_shipmode): disjunctive "
+        "predicate spanning both join sides — equi-join on partkey stays "
+        "the join condition (broadcast), the OR-of-ANDs evaluates as a "
+        "post-join filter, never a cartesian."
+    ),
+)
+def q19_disjunctive_join(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 20)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 30)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(money(F.sum(rev_e4), 10000).alias("revenue"))
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bc
+  FROM customer),
+pos AS (
+  SELECT sum(bc) AS sum_bc, count(*) AS n FROM bal WHERE bc > 0)
+SELECT c_nationkey AS nation,
+       count(*) AS numcust,
+       CAST(sum(bc) AS DOUBLE) / 100.0 AS totacctbal
+FROM bal, pos
+WHERE bc * n > sum_bc
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""",
+    doc=(
+        "TPC-H Q22 adapted (no c_phone: nationkey stands in for the "
+        "country code; dormant = no order since 2000 so the fixture "
+        "yields a non-trivial result): above-average-balance customers "
+        "gone dormant — scalar aggregate broadcast to every row as an "
+        "exact integer comparison (bc*n > sum), LEFT ANTI join against "
+        "recent orders."
+    ),
+)
+def q22_dormant_customers(spark, sf_dir):
+    bal = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", cents("c_acctbal").alias("bc")
+    )
+    pos = bal.filter(F.col("bc") > 0).agg(
+        F.sum("bc").alias("sum_bc"), F.count(F.lit(1)).alias("n")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        bal.crossJoin(F.broadcast(pos))
+        .filter(F.col("bc") * F.col("n") > F.col("sum_bc"))
+        .join(o, bal.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money(F.sum("bc"), 100).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4,
+         s_nationkey
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n ON c_nationkey = n.n_nationkey
+  JOIN region   ON n.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+SELECT o_year,
+       round(CAST(sum(CASE WHEN s_nationkey = 2 THEN rev_e4 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(sum(rev_e4) AS DOUBLE), 6) AS mkt_share
+FROM rev
+GROUP BY o_year
+""",
+    doc=(
+        "TPC-H Q8 adapted (no p_type filter — fixture part types are "
+        "coarse): NATION_2 suppliers' share of ASIA-customer revenue per "
+        "order year. 6-way join, all dims broadcast, exact integer "
+        "numerator/denominator with one final division."
+    ),
+)
+def q8_market_share(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+            "rev_e4"
+        ),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "rev_e4",
+            "s_nationkey",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("s_nationkey") == 2, F.col("rev_e4")).otherwise(F.lit(0))
+    )
+    return rev.groupBy("o_year").agg(
+        F.round(num.cast("double") / F.sum("rev_e4").cast("double"), 6).alias(
+            "mkt_share"
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH srev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+           AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       CAST(rev_e4 AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier JOIN srev ON s_suppkey = l_suppkey
+WHERE rev_e4 = (SELECT max(rev_e4) FROM srev)
+""",
+    doc=(
+        "TPC-H Q15: top supplier by quarterly revenue — the 'view' is a "
+        "reused aggregate frame, the max is a broadcast scalar, and the "
+        "tie-safe equality is exact integer cents (never a float max)."
+    ),
+)
+def q15_top_supplier(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    srev = l.groupBy("l_suppkey").agg(
+        F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+            "rev_e4"
+        )
+    )
+    mx = srev.agg(F.max("rev_e4").alias("mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_e4") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            money(F.col("rev_e4"), 10000).alias("total_revenue"),
+        )
+    )
