@@ -276,3 +276,95 @@ def q_multimodal_decode(spark, sf_dir):
         ).alias("features"),
         "decode_error",
     )
+
+
+def _sha_byte(i: int) -> str:
+    """DuckDB SQL for byte ``i`` of sha256(text) as an INT (the fake
+    decoder's source of pseudo dimensions)."""
+    return f"('0x' || substr(sha256(text), {2 * i + 1}, 2))::INT"
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         16 + ({_sha_byte(0)} % 64) AS w,
+         16 + ({_sha_byte(1)} % 64) AS h
+  FROM documents),
+fit AS (
+  SELECT doc_id, text, w, h, greatest(w, h) AS mx,
+         CASE WHEN greatest(w, h) <= 32 THEN w
+              ELSE greatest(1, (w * 32) // greatest(w, h)) END AS out_w,
+         CASE WHEN greatest(w, h) <= 32 THEN h
+              ELSE greatest(1, (h * 32) // greatest(w, h)) END AS out_h
+  FROM dims)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+       sha256(text || '|' || out_w::VARCHAR || 'x' || out_h::VARCHAR)
+         AS resized_sha,
+       CAST(NULL AS VARCHAR) AS resize_error
+FROM fit
+""",
+    doc=(
+        "Multimodal resize stage: decode + aspect-fit resize FUSED in "
+        "one Arrow-batched mapInPandas pass (pixels never shuffle "
+        "between stages); integer floor-division target dims and the "
+        "stub resample sha are replicated by the oracle, so the fused "
+        "UDF plumbing is hash-checked end-to-end."
+    ),
+)
+def q_multimodal_resize(spark, sf_dir):
+    from typebus_spark.operators.multimodal import attach_blob, resize_media
+
+    docs = t(spark, sf_dir, "documents")
+    media = attach_blob(docs, "text", "image/png", "doc_id")
+    resized = resize_media(media, "doc_id", max_w=32, max_h=32)
+    return resized.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("out_w").cast("long").alias("out_w"),
+        F.col("out_h").cast("long").alias("out_h"),
+        "resized_sha",
+        "resize_error",
+    )
+
+
+@query(
+    "q_multimodal_framesample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 1 + ({_sha_byte(2)} % 8)
+              ELSE 1 END AS n_frames
+  FROM documents)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx
+FROM d
+WHERE n_frames > 1
+""",
+    doc=(
+        "Multimodal frame sampling over a mixed-modality table (every "
+        "third doc is 'video/'): decode yields per-item frame counts, "
+        "sampled indices explode as a pure sequence expression — no "
+        "UDF, no shuffle; only sampled frames would feed the (stubbed) "
+        "per-frame decode."
+    ),
+)
+def q_multimodal_framesample(spark, sf_dir):
+    from typebus_spark.operators.multimodal import (
+        attach_blob,
+        decode_media,
+        frame_sample,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    mime = F.when(F.col("doc_id") % 3 == 0, F.lit("video/mp4")).otherwise(
+        F.lit("image/png")
+    )
+    media = attach_blob(docs, "text", mime, "doc_id")
+    decoded = decode_media(media, "doc_id")
+    return frame_sample(decoded, "doc_id", every_n=2).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
