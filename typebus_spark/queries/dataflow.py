@@ -526,6 +526,77 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @query(
+    "q_stream_session",
+    oracle="""
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM g GROUP BY user_id, sid
+""",
+    doc=(
+        "STREAMING sessionization: session_window (30 min gap) over a "
+        "replayed event stream — the stateful merging-window operator. "
+        "Complete mode emits every session for the deterministic oracle "
+        "compare; production uses withWatermark + append so state is "
+        "bounded and only closed sessions emit. Oracle is the same "
+        "gaps-and-islands SQL as the batch form."
+    ),
+)
+def q_stream_session(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    stage = tempfile.mkdtemp(prefix="stream_session_")
+    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    if isinstance(batch.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(cents("value")), 100).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@query(
     "q_sketch_cardinality",
     oracle=None,  # HLL/KLL estimates are engine-specific → rows-only
     doc=(
