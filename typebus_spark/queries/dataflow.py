@@ -597,6 +597,66 @@ def q_stream_session(spark, sf_dir):
 
 
 @query(
+    "q_stream_entity_state",
+    oracle="""
+SELECT user_id, ts, event_id, event_type, value
+FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc=(
+        "E1 CUSTOM STATEFUL STREAMING: per-key last-write-wins entity "
+        "state via applyInPandasWithState (Arrow-batched, state-store "
+        "backed — RocksDB on clusters) over a replayed event stream. "
+        "The availableNow replay lands in one batch, so update-mode "
+        "emits exactly the final state per key — hash-checked against "
+        "the batch window oracle."
+    ),
+)
+def q_stream_entity_state(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    from typebus_spark.streaming.entity import streaming_fold_last
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    stage = tempfile.mkdtemp(prefix="stream_entity_")
+    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    if isinstance(batch.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    stream = stream.select(*cols)
+    # DDL from the live schema: ts is TIMESTAMP_NTZ or TIMESTAMP
+    # depending on how the reader surfaced the parquet nanos
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.schema.fields
+    )
+    state = streaming_fold_last(
+        stream, "user_id", "ts", ddl, tiebreak=["event_id"]
+    )
+    name = f"entity_{uuid.uuid4().hex[:8]}"
+    q = (
+        state.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@query(
     "q_sketch_cardinality",
     oracle=None,  # HLL/KLL estimates are engine-specific → rows-only
     doc=(

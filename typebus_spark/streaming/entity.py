@@ -144,15 +144,20 @@ def streaming_fold_last(
     ts_col: str,
     state_ddl: str,
     ttl_seconds: int | None = None,
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Streaming last-write-wins fold via ``applyInPandasWithState``:
     per-key state in the state store, optional processing-time TTL (the
     passivation analog — reference actors live forever, ours expire).
 
     ``state_ddl`` must cover (key_col, ts_col, value columns) of the
-    emitted state rows.
+    emitted state rows. ``tiebreak`` columns make equal-``ts`` events
+    within a batch resolve deterministically (across batches, arrival
+    order wins — the same at-least-once semantics as the reference's
+    actor mailbox).
     """
     out_fields = [f.strip().split()[0] for f in state_ddl.split(",")]
+    sort_cols = [ts_col] + (tiebreak or [])
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -161,7 +166,7 @@ def streaming_fold_last(
             state.remove()
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(ts_col, kind="mergesort")
+        rows = rows.sort_values(sort_cols, kind="mergesort")
         latest = rows.iloc[-1]
         prev_ts = state.get[0] if state.exists else None
         latest_ts = latest[ts_col].isoformat()
