@@ -387,6 +387,48 @@ def q_asof_enrich(spark, sf_dir):
 
 
 @query(
+    "q_range_join",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type IN ('view', 'click'))
+SELECT p.event_id, p.user_id, p.ts,
+       v.ts AS r_ts, v.event_id AS r_event_id
+FROM p JOIN v ON p.user_id = v.user_id
+  AND v.ts >= p.ts - INTERVAL 30 MINUTE
+  AND v.ts <= p.ts
+""",
+    doc=(
+        "Interval (range) join: every view/click within the 30 minutes "
+        "before each purchase by the same user (attribution window) — "
+        "bucketized to an equi-join on (key, coarse time bucket) + exact "
+        "band filter, so cost is bounded by bucket collisions, never the "
+        "per-key cross product (operators.asof.range_join)."
+    ),
+)
+def q_range_join(spark, sf_dir):
+    from typebus_spark.operators.asof import range_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_id"
+    )
+    return range_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_seconds=-1800.0,
+        upper_seconds=0.0,
+    ).select("event_id", "user_id", "ts", "r_ts", "r_event_id")
+
+
+@query(
     "q_sessionize",
     oracle="""
 WITH m AS (
