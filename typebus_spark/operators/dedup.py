@@ -191,9 +191,15 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # One (doc, band, hash) row per band per document — tiny. Persisted
+    # because the candidate self-join reads it twice; without this the
+    # 16-min-aggregate signature pass (over the exploded shingles) runs
+    # once per pair side.
     with_bands = sig.select(
         "_id", F.explode(band_structs).alias("bh")
-    ).select("_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    ).select(
+        "_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     a = with_bands.select(F.col("_id").alias("a"), "band", "h")
     b = with_bands.select(F.col("_id").alias("b"), "band", "h")
@@ -298,9 +304,17 @@ def simhash_pairs(
     verify (bit_count of XOR) on the candidate set only."""
     from typebus_spark.functions.text import hamming64
 
+    from pyspark import StorageLevel
+
     span = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << span) - 1
-    sig = simhash_signatures(df, id_col, text_col)
+    # One signature row per document — tiny relative to the corpus. The
+    # banding self-join consumes it TWICE (both pair sides); without the
+    # persist the whole explode+60-bit-sum aggregation runs twice
+    # (measured ~2x the operator's wall at sf0.1).
+    sig = simhash_signatures(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = sig.select(
         id_col,
         "simhash",
