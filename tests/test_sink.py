@@ -1,0 +1,78 @@
+"""Partitioned-write sink: bounded file counts per partition directory."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from typebus_spark.operators.sink import compact_partitions, write_partitioned
+from typebus_spark.session import load_table
+
+
+def _files_per_dir(path: str, col: str) -> dict[str, int]:
+    out = {}
+    for d in glob.glob(os.path.join(path, f"{col}=*")):
+        out[os.path.basename(d)] = len(
+            [f for f in os.listdir(d) if f.endswith(".parquet")]
+        )
+    return out
+
+
+def test_write_partitioned_one_file_per_value(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "by_type")
+    write_partitioned(ev, path, ["event_type"])
+    counts = _files_per_dir(path, "event_type")
+    assert counts, "no partition dirs written"
+    # hash-aligned tasks: exactly one file per partition value
+    assert all(n == 1 for n in counts.values()), counts
+    # round-trip: nothing lost
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_write_partitioned_salted_spreads_hot_value(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "salted")
+    write_partitioned(ev, path, ["event_type"], files_per_partition=4)
+    counts = _files_per_dir(path, "event_type")
+    assert counts
+    # salting bounds files per dir at files_per_partition (rand salt may
+    # produce fewer for sparse values, never more)
+    assert all(1 <= n <= 4 for n in counts.values()), counts
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_max_records_per_file_splits_large_partitions(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    path = str(tmp_path / "capped")
+    write_partitioned(
+        ev, path, ["event_type"], max_records_per_file=200
+    )
+    counts = _files_per_dir(path, "event_type")
+    # the dominant values exceed 200 rows at any SF → those dirs split;
+    # sparse values may legitimately stay at one file
+    assert any(v > 1 for v in counts.values()), counts
+    assert spark.read.parquet(path).count() == n
+
+
+def test_compact_partitions_folds_small_files(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    path = str(tmp_path / "compact")
+    # simulate streaming appends: several small writes accumulate files
+    for i in range(3):
+        write_partitioned(
+            ev.filter(F.col("event_id") % 3 == i),
+            path,
+            ["event_type"],
+            mode="append",
+        )
+    before = _files_per_dir(path, "event_type")
+    assert all(v >= 3 for v in before.values()), before
+    n = spark.read.parquet(path).count()
+    compact_partitions(spark, path, ["event_type"])
+    after = _files_per_dir(path, "event_type")
+    assert all(v == 1 for v in after.values()), after
+    assert spark.read.parquet(path).count() == n

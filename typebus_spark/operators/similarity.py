@@ -90,6 +90,29 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distributed per-group centroid: mean vector per label, emitted as
+    (label, dim, centroid, n_vectors) rows — the E-step/M-step primitive
+    of k-means-style IVF training done as ONE posexplode + hash
+    aggregate with map-side partials. No vector ever reaches the driver
+    (contrast: collecting vectors to average them), so this is the shape
+    that trains codebooks over a 100 TB embedding table.
+    """
+    pe = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    )
+    return pe.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("x").cast("double")), round_to).alias("centroid"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+    ).select("label", F.col("dim").cast("long").alias("dim"), "centroid", "n_vectors")
+
+
 def _nearest_centroid(vec_col: str, centroids: list[list[float]]) -> F.Column:
     """Argmax centroid by dot product — centroids are plan literals.
 

@@ -1,0 +1,73 @@
+"""Partition-aware parquet sinks: the write-path discipline at 100 TB.
+
+A naive ``df.write.partitionBy(col)`` emits one file per (task ×
+partition value) — a 1000-task job over 100 partition values scatters
+100,000 files, and downstream scans pay an open/footer cost per file
+(the classic small-files problem). The fixes composed here:
+
+- **hash-align tasks to partition values** (``repartition(cols)``): each
+  partition value lands in exactly one task → one file per directory;
+- **cap file size** (``maxRecordsPerFile``): a skewed partition value
+  splits into bounded files instead of one multi-GB file;
+- **spread a hot value over N writers** (``files_per_partition``): salt
+  appended to the repartition key when one value dominates — N files
+  per directory, written in parallel.
+
+The reference has no storage layer at all (Kafka-only; SURVEY.md §2.2
+"file formats: none") — this is engine-native surface for the
+training-data pipelines the north star adds.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet write with bounded file counts.
+
+    ``files_per_partition`` > 1 salts the repartition key so a hot
+    partition value is written by that many tasks in parallel (useful
+    when one date/language dominates the batch).
+    """
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        salt = (F.rand() * files_per_partition).cast("int")
+        out = df.repartition(*keys, salt)
+    else:
+        out = df.repartition(*keys)
+    writer = out.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Rewrite an existing partitioned dataset with bounded file counts
+    (the periodic compaction job every streaming sink needs — appends
+    accumulate small files; this folds them back to
+    ``files_per_partition`` per directory)."""
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compact_tmp"
+    write_partitioned(
+        df, tmp, partition_cols, files_per_partition, mode="overwrite"
+    )
+    # atomic-enough swap for a filesystem sink; table formats (Delta,
+    # Iceberg — not on this classpath) do this transactionally
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

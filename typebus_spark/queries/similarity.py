@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from typebus_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
+    label_centroids,
     train_centroids,
 )
 from typebus_spark.queries.dedup import _DOT, _NORM
@@ -62,6 +63,27 @@ def q_knn_cosine_topk(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         "cos",
     )
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+SELECT label, CAST(i AS BIGINT) AS dim,
+       round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings, range(64) AS r(i)
+GROUP BY label, i
+""",
+    doc=(
+        "Distributed centroid training primitive: mean vector per label "
+        "as (label, dim, value) rows — posexplode + one hash aggregate "
+        "with map-side partials; no vector ever reaches the driver "
+        "(the k-means E/M-step shape for a 100 TB embedding table)."
+    ),
+)
+def q_embedding_centroids(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return label_centroids(e, "label", "embedding")
 
 
 def _lsh_planes() -> list[list[float]]:
