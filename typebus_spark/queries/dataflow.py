@@ -86,6 +86,74 @@ def q_route_counts(spark, sf_dir):
 
 
 @query(
+    "q_route_traced",
+    oracle="""
+WITH routed AS (
+  SELECT CASE WHEN event_type IN ('purchase', 'view')
+              THEN 'api.' || event_type || '.done'
+              ELSE 'typebus.DeadLetter' END AS topic
+  FROM events),
+counted AS (
+  SELECT topic, count(*) AS n FROM routed GROUP BY topic),
+handled AS (
+  SELECT sum(n) AS h FROM counted WHERE topic <> 'typebus.DeadLetter')
+SELECT topic, n FROM counted
+UNION ALL
+SELECT 'typebus.InEventTrace', h FROM handled
+UNION ALL
+SELECT 'typebus.OutEventTrace', h FROM handled
+""",
+    doc=(
+        "O1 typed trace side-outputs through the live router with "
+        "tracing ON: every consumed event re-publishes an InEventTrace "
+        "and every reply an OutEventTrace (loop-guarded — traces are "
+        "never traced), alongside the normal route/dead-letter flow "
+        "(bus/package.scala:66-90 parity)."
+    ),
+)
+def q_route_traced(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from typebus_spark.session import ensure_parallelism
+
+    events = t(spark, sf_dir, "events")
+    payload_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    svc = Service("router-traced-query")
+    for et in ("purchase", "view"):
+        svc.declare_type(f"api.{et}", payload_schema)
+        svc.declare_type(f"api.{et}.done", payload_schema)
+        svc.register_stream(
+            f"api.{et}",
+            f"api.{et}.done",
+            lambda df: df.select("meta", "event_id", "user_id", "value"),
+        )
+    raw = encode_envelope(
+        ensure_parallelism(events),
+        F.concat(F.lit("api."), F.col("event_type")),
+        payload_cols=["event_id", "user_id", "value"],
+    )
+    res = run_batch(svc, raw, trace=True)
+    par = spark.sparkContext.defaultParallelism
+    return (
+        res.union_all()
+        .coalesce(par)
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "q_retry_drain",
     oracle="""
 SELECT CASE WHEN event_id % 4 = 3 THEN 'typebus.DeadLetter'
