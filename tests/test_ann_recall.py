@@ -1,0 +1,87 @@
+"""Approximation-quality gates: the ANN paths must actually be good
+approximations of the exact baseline, not just produce rows.
+
+Recall@k is THE figure of merit for an ANN index; a refactor that
+silently degrades bucketing (wrong centroid assignment, broken probe
+ordering) keeps every rows-only/oracle check green while destroying
+result quality. These tests pin a floor.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from typebus_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    train_centroids,
+)
+from typebus_spark.session import load_table
+
+K = 5
+N_QUERIES = 20
+
+
+def _topk_sets(df, id_col="query_id", n_col="neighbor_id"):
+    rows = df.select(id_col, n_col).collect()
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[0], set()).add(r[1])
+    return out
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    exact = _topk_sets(cosine_topk(q, c, k=K))
+    centroids = train_centroids(
+        e, "embedding", n_centroids=8, seed=7, id_col="vec_id", id_prefix=256
+    )
+    approx = _topk_sets(
+        ivf_topk(q, c, k=K, centroids=centroids, nprobe=2)
+    )
+    hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # nprobe=2 of 8 prefix-picked centroids measures 0.41 on this
+    # fixture; random bucket assignment would land near 2/8 = 0.25. The
+    # floor sits between — a broken assignment collapses below it while
+    # fixture drift across SFs keeps headroom above.
+    assert recall >= 0.35, f"IVF recall@{K} = {recall:.2f}"
+
+
+def test_ivf_recall_improves_with_nprobe(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    exact = _topk_sets(cosine_topk(q, c, k=K))
+    centroids = train_centroids(
+        e, "embedding", n_centroids=8, seed=7, id_col="vec_id", id_prefix=256
+    )
+
+    def recall(nprobe: int) -> float:
+        approx = _topk_sets(
+            ivf_topk(q, c, k=K, centroids=centroids, nprobe=nprobe)
+        )
+        hits = sum(
+            len(exact[qid] & approx.get(qid, set())) for qid in exact
+        )
+        return hits / sum(len(v) for v in exact.values())
+
+    r2, r8 = recall(2), recall(8)
+    # probing every bucket is exhaustive search → exact results
+    assert r8 == 1.0, r8
+    assert r2 <= r8
