@@ -360,6 +360,82 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @query(
+    "q_full_outer_activity",
+    oracle="""
+WITH p AS (SELECT user_id, count(*) AS n_purchases FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id),
+     e AS (SELECT user_id, count(*) AS n_errors FROM events
+           WHERE event_type = 'error' GROUP BY user_id)
+SELECT coalesce(p.user_id, e.user_id) AS user_id,
+       coalesce(n_purchases, 0) AS n_purchases,
+       coalesce(n_errors, 0) AS n_errors
+FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+""",
+    doc=(
+        "FULL OUTER join: purchase counts vs error counts per user — "
+        "users appearing on either side survive with zero-filled "
+        "partners (the §2.2 outer-join surface)."
+    ),
+)
+def q_full_outer_activity(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        p.join(e, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+    )
+
+
+@query(
+    "q_pivot_activity",
+    oracle="""
+SELECT user_id,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup
+FROM events
+GROUP BY user_id
+""",
+    doc=(
+        "PIVOT: per-user activity matrix via groupBy().pivot() with an "
+        "explicit value list (no extra distinct-values job — the scale "
+        "form; Catalyst rewrites it to one conditional aggregate pass). "
+        "Oracle is the portable CASE-sum formulation."
+    ),
+)
+def q_pivot_activity(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    kinds = ["purchase", "view", "click", "error", "signup"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
+            for k in kinds
+        ],
+    )
+
+
+@query(
     "q8_market_share",
     oracle="""
 WITH rev AS (
