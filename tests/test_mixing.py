@@ -1,0 +1,77 @@
+"""Training-mix operator invariants (beyond the oracle equality)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from typebus_spark.functions.text import tokens
+from typebus_spark.operators.mixing import (
+    pack_sequences,
+    stratified_sample,
+    token_budget_mix,
+)
+from typebus_spark.session import load_table
+
+
+def test_stratified_sample_is_stable_and_proportional(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"src0": 1.0, "src1": 0.5}
+    a = stratified_sample(docs, "doc_id", "source", fr, 0.0, seed=42)
+    b = stratified_sample(docs, "doc_id", "source", fr, 0.0, seed=42)
+    ids_a = {r[0] for r in a.select("doc_id").collect()}
+    ids_b = {r[0] for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # deterministic membership
+    n0 = docs.filter(F.col("source") == "src0").count()
+    k0 = a.filter(F.col("source") == "src0").count()
+    assert k0 == n0  # fraction 1.0 keeps everything
+    # growing the corpus must never evict a previously-kept doc
+    shrunk = stratified_sample(
+        docs.limit(200), "doc_id", "source", fr, 0.0, seed=42
+    )
+    ids_small = {r[0] for r in shrunk.select("doc_id").collect()}
+    assert ids_small <= ids_a
+
+
+def test_token_budget_respected_up_to_one_straddler(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens("text")).cast("long")
+    )
+    budget = 1500
+    mixed = token_budget_mix(
+        docs, "doc_id", "source", "n_tokens", budget_per_source=budget
+    )
+    stats = (
+        mixed.groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.max("n_tokens").alias("biggest"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        # only the final (straddling) doc may cross the budget line
+        assert r["total"] < budget + r["biggest"], r
+        assert r["n"] >= 1  # first doc always admitted
+
+
+def test_pack_sequences_spans_are_contiguous_and_complete(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(tokens("text")).cast("long")
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_tok", max_tokens=256, n_shards=4
+    )
+    assert packed.filter(F.col("start_seq") > F.col("end_seq")).count() == 0
+    # token conservation: packing reassigns every document exactly once
+    assert packed.count() == docs.count()
+    per_shard = (
+        packed.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("end_seq").alias("last"))
+        .collect()
+    )
+    for r in per_shard:
+        # the final sequence index is exactly ceil(shard_tokens/256) - 1:
+        # concat-and-chunk leaves no empty sequences and no token gaps
+        assert r["last"] == (r["tok"] + 255) // 256 - 1, r

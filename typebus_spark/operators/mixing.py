@@ -1,0 +1,143 @@
+"""Training-mix construction: the operators between a clean corpus and
+a tokenized training run.
+
+- **stratified_sample**: per-stratum keep fractions (rebalance a source/
+  language mix) — md5-bucket thresholding, so the sample is exactly
+  reproducible on any engine and STABLE as the corpus grows (a kept doc
+  stays kept; contrast ``DataFrame.sampleBy``, whose membership changes
+  with partitioning and seed plumbing).
+- **token_budget_mix**: cap each source at a token budget — docs taken
+  in deterministic md5 order until the budget fills. One window cumsum
+  per source partition; no collects.
+- **pack_sequences**: concat-and-chunk sequence packing (the standard
+  pretraining shape: shard text is concatenated then split every
+  ``max_tokens``). Docs are sharded by id hash, ordered by hash within
+  the shard, and each doc learns which sequence range it spans. Shards
+  are independent → embarrassingly parallel at 100 TB; the window
+  cumsum partitions by shard, never a global order.
+
+All three are pure expression pipelines (md5 + window sums) — exactly
+reproducible cross-engine, hence fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+# 60-bit md5 prefix → BIGINT, the engine-portable uniform hash used by
+# operators/sampling.py (same scheme, same DuckDB translation).
+_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: str, seed: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BUCKETS
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep ``fractions[stratum]`` of each stratum, deterministically.
+
+    Membership depends only on (seed, id), so re-runs, engine changes,
+    and corpus growth never flip a document's fate — the property a
+    training-mix manifest needs.
+    """
+    bucket = _hash_bucket(id_col, seed)
+    thr = F.lit(int(default_fraction * _BUCKETS))
+    for value, frac in fractions.items():
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * _BUCKETS))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    tokens_col: str,
+    budget_per_source: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Take documents per source, in deterministic md5 order, until the
+    source's token budget fills (first doc always admitted).
+
+    One shuffle on the source key; the running total is a window cumsum
+    within each source partition. ``budget_per_source`` can be a dict at
+    the call site by unioning per-source calls; the common uniform-cap
+    case stays one pass.
+    """
+    h = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    ).alias("_h")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_cum = df.withColumn("_h", h).withColumn(
+        "_cum_before", F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    )
+    return with_cum.filter(
+        F.col("_cum_before") < budget_per_source
+    ).drop("_h", "_cum_before")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    n_shards: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-and-chunk packing: each shard's documents are concatenated
+    in hash order and split every ``max_tokens``; each doc reports the
+    sequence range it spans.
+
+    Output: (id, shard, start_seq, end_seq, n_tokens) where seq indices
+    are shard-local. Shards are independent, so the only window runs
+    within a shard partition — the packing of a 100 TB corpus is
+    n_shards-way parallel with bounded per-task state.
+    """
+    shard = (_hash_bucket(id_col, seed) % n_shards).alias("shard")
+    h = F.md5(
+        F.concat(F.lit(f"pack{seed}:"), F.col(id_col).cast("string"))
+    ).alias("_h")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_cum = (
+        df.select(F.col(id_col), F.col(tokens_col).alias("_tok"), shard, h)
+        .withColumn(
+            "_cum_before", F.coalesce(F.sum("_tok").over(w), F.lit(0))
+        )
+    )
+    return with_cum.select(
+        F.col(id_col),
+        F.col("shard").cast("long").alias("shard"),
+        F.floor(F.col("_cum_before") / max_tokens).alias("start_seq"),
+        F.floor(
+            (F.col("_cum_before") + F.col("_tok") - 1) / max_tokens
+        ).alias("end_seq"),
+        F.col("_tok").cast("long").alias("n_tokens"),
+    )

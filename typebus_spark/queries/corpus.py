@@ -13,6 +13,11 @@ from typebus_spark.operators.corpus_stats import (
     top_ngrams,
     vocab_topk,
 )
+from typebus_spark.operators.mixing import (
+    pack_sequences,
+    stratified_sample,
+    token_budget_mix,
+)
 from typebus_spark.operators.sampling import hash_split
 from typebus_spark.queries.text import TOKS, _shingles_sql
 from typebus_spark.suite import query, t
@@ -90,6 +95,125 @@ LIMIT 20
 )
 def q_ngram_boilerplate(spark, sf_dir):
     return top_ngrams(t(spark, sf_dir, "documents"), "doc_id", "text", n=5, k=20)
+
+
+_BUCKET_SQL = (
+    "(('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 10000)"
+)
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_BUCKET_SQL.format(seed=42)} <
+      CASE source WHEN 'src0' THEN 10000
+                  WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 2500
+                  ELSE 1000 END
+""",
+    doc=(
+        "Deterministic stratified sampling for training-mix rebalancing: "
+        "per-source keep fractions via md5-bucket thresholds — exactly "
+        "reproducible on any engine and stable as the corpus grows "
+        "(membership depends only on seed+id, unlike rand()-based "
+        "sampleBy)."
+    ),
+)
+def q_stratified_sample(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+        seed=42,
+    ).select("doc_id", "source")
+
+
+@query(
+    "q_token_budget_mix",
+    oracle=f"""
+WITH tt AS (
+  SELECT doc_id, source, len({TOKS}) AS n_tokens,
+         md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM tt)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM cum
+WHERE cum_before < 2000
+GROUP BY source
+""",
+    doc=(
+        "Token-budget mixing: each source contributes documents in "
+        "deterministic md5 order until its 2000-token budget fills — "
+        "one shuffle on the source key, window cumsum per partition, "
+        "no collects (the data-mixing step of a pretraining recipe)."
+    ),
+)
+def q_token_budget_mix(spark, sf_dir):
+    from typebus_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens("text")).cast("long")
+    )
+    mixed = token_budget_mix(
+        docs, "doc_id", "source", "n_tokens", budget_per_source=2000, seed=42
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+WITH tt AS (
+  SELECT doc_id, len({TOKS}) AS tok,
+         ({_BUCKET_SQL.format(seed=42)} % 8) AS shard,
+         md5('pack42:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+cum AS (
+  SELECT doc_id, shard, tok,
+         coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM tt)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       cum_before // 512 AS start_seq,
+       (cum_before + tok - 1) // 512 AS end_seq,
+       CAST(tok AS BIGINT) AS n_tokens
+FROM cum
+""",
+    doc=(
+        "Sequence packing (concat-and-chunk, the standard pretraining "
+        "shape): shard by id hash, concatenate in hash order, split "
+        "every 512 tokens; each doc reports the sequence range it "
+        "spans. Shards are independent — the only window partitions by "
+        "shard, so packing parallelizes across the corpus with bounded "
+        "per-task state."
+    ),
+)
+def q_pack_sequences(spark, sf_dir):
+    from typebus_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(tokens("text")).cast("long")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tok", max_tokens=512, n_shards=8, seed=42
+    )
 
 
 @query(
