@@ -229,3 +229,27 @@ def test_repetition_stats_counts_duplicate_ngrams(spark):
     # doc 1 bigrams: xy yx xy yx xy -> 5 total, 2 distinct, 3 repeated
     assert (rows[1].n_ngrams, rows[1].n_distinct, rows[1].n_repeated) == (5, 2, 3)
     assert (rows[2].n_ngrams, rows[2].n_distinct, rows[2].n_repeated) == (3, 3, 0)
+
+
+def test_connected_components_chain_clique_and_pair(spark):
+    from typebus_spark.operators.clustering import connected_components
+
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),
+            (10, 11), (10, 12), (11, 12),
+            (20, 21),
+        ],
+        "a long, b long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+    assert got == want

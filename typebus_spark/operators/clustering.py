@@ -1,0 +1,86 @@
+"""Duplicate-cluster resolution: connected components over near-dup
+pairs.
+
+Pair generators (``jaccard_pairs``, ``minhash_lsh_pairs``, ...) emit
+edges; a training pipeline needs the CLUSTERS — every document linked
+through any chain of near-dup pairs collapses to one canonical keeper.
+That is connected components, the one genuinely ITERATIVE algorithm in
+the corpus pipeline.
+
+Implementation: min-label propagation. Every vertex starts labeled with
+its own id; each round every vertex takes the minimum label in its
+closed neighborhood; converged when no label changes. Rounds needed =
+graph diameter — near-dup clusters are shallow (most are cliques from
+a single bucket, diameter 1-2), so the loop is short in practice and
+``max_iter`` bounds the worst case. Each round is one join + one
+aggregate (shuffle on the vertex key), localCheckpointed so lineage
+stays flat; the convergence probe is an aggregate over the (small)
+label frame, never a collect of it.
+
+At 100 TB-corpus scale the state is one row per DISTINCT PAIRED doc —
+orders of magnitude smaller than the corpus (dup rates are a few
+percent) — and each round shuffles only that.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc appearing in ``pairs``;
+    cluster_id = the minimum doc id reachable through the pair graph."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"),
+                    F.col("label").alias("dst_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("dst_label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.agg(
+            F.sum(F.coalesce(F.col("_changed").cast("int"), F.lit(0)))
+        ).collect()[0][0]
+        labels = updated.drop("_changed")
+        if not changed:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -198,6 +198,53 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 @query(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest({_shingles_sql(NEAR_N)}) AS shingle FROM tt),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS (
+  SELECT s.a, s.b
+  FROM shared s
+  JOIN sizes sa ON s.a = sa.doc_id
+  JOIN sizes sb ON s.b = sb.doc_id
+  WHERE s.shared / (sa.n_sh + sb.n_sh - s.shared) >= {NEAR_THRESHOLD}),
+edges AS (SELECT a AS src, b AS dst FROM p
+          UNION SELECT b AS src, a AS dst FROM p),
+reach(src, dst) AS (
+  (SELECT src, dst FROM edges UNION SELECT src, src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src
+""",
+    doc=(
+        "Duplicate-cluster resolution: connected components over the "
+        "exact-Jaccard near-dup pair graph (min-label propagation — the "
+        "pipeline's one genuinely iterative algorithm; rounds = graph "
+        "diameter, state = one row per PAIRED doc, far smaller than the "
+        "corpus). Oracle walks the same graph with a recursive CTE."
+    ),
+)
+def q_dedup_clusters(spark, sf_dir):
+    from typebus_spark.operators.clustering import connected_components
+
+    pairs = jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=NEAR_N,
+        threshold=NEAR_THRESHOLD,
+    )
+    return connected_components(pairs, "a", "b")
+
+
+@query(
     "q_pipeline_clean_corpus",
     oracle=f"""
 WITH feat AS (
