@@ -1,0 +1,144 @@
+"""Event-analytics batch: funnel conversion, cohort retention, top-k
+per group — the product-analytics idioms an event-bus consumer runs
+over its own topics, delivered entirely by stock Catalyst (conditional
+aggregation, window functions with WindowGroupLimit partial top-k).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from typebus_spark.suite import query, t
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT
+  count(*) AS n_users,
+  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_viewed,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after
+FROM firsts
+""",
+    doc=(
+        "Funnel conversion (view → click → purchase, strictly ordered "
+        "first-touch): one conditional-aggregation pass per user, one "
+        "corpus-level rollup — two hash aggregates, map-side partials, "
+        "no self-joins."
+    ),
+)
+def q_funnel(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("int")).cast("long").alias("n_viewed"),
+        F.sum(clicked.cast("int")).cast("long").alias("n_clicked_after"),
+        F.sum(purchased.cast("int")).cast("long").alias("n_purchased_after"),
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         CAST(datediff('week', c.cohort_week,
+                       date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+  FROM events e JOIN cohorts c ON e.user_id = c.user_id)
+SELECT cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+""",
+    doc=(
+        "Cohort retention: users bucketed by first-seen week, activity "
+        "counted per week offset — first-touch aggregate broadcast back "
+        "onto the event stream, then distinct + rollup. The classic "
+        "retention triangle in three hash-shuffles on the user key."
+    ),
+)
+def q_cohort_retention(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    # to_date: DuckDB date_trunc yields DATE; match the type exactly
+    cohorts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(
+                        F.to_date(F.date_trunc("week", F.col("ts"))),
+                        F.col("cohort_week"),
+                    )
+                    / 7
+                ).cast("long")
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+""",
+    doc=(
+        "Top-k PER GROUP (longest 3 docs per source): rank-filter that "
+        "Catalyst executes with WindowGroupLimit — each map partition "
+        "keeps only k rows per group BEFORE the shuffle, so the "
+        "exchange carries O(k x groups x partitions), not the corpus."
+    ),
+)
+def q_topk_per_group(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "doc_id", "n_chars", F.col("rk").cast("long").alias("rk"))
+    )

@@ -52,6 +52,7 @@ from typebus_spark.queries import relational  # noqa: E402,F401
 from typebus_spark.queries import relational2  # noqa: E402,F401
 from typebus_spark.queries import relational3  # noqa: E402,F401
 from typebus_spark.queries import skewq  # noqa: E402,F401
+from typebus_spark.queries import analytics  # noqa: E402,F401
 from typebus_spark.queries import dataflow  # noqa: E402,F401
 from typebus_spark.queries import dedup  # noqa: E402,F401
 from typebus_spark.queries import similarity  # noqa: E402,F401
