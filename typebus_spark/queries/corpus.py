@@ -265,6 +265,64 @@ def q_token_entropy(spark, sf_dir):
 
 
 @query(
+    "q_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(list_transform({TOKS}, x -> lower(x))) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rk
+  FROM scored)
+SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+""",
+    doc=(
+        "TF-IDF keyword extraction: top-3 terms per document — term "
+        "counts and document frequencies as two partial-agg passes, the "
+        "(term, df) table broadcast back, per-doc rank via "
+        "WindowGroupLimit. Smoothed idf = ln((N+1)/(df+1)); all "
+        "arithmetic double-deterministic per row, round(6)."
+    ),
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    from typebus_spark.functions.text import tokens
+    from typebus_spark.session import ensure_parallelism
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # metadata-only count; becomes a plan literal
+    tok = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(F.transform(tokens("text"), F.lower)).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@query(
     "q_repetition_stats",
     oracle=f"""
 WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents)
