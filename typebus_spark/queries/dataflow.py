@@ -901,13 +901,23 @@ def q_setops_buyers_with_errors(spark, sf_dir):
     "q_anti_unordered_parts",
     oracle="""
 SELECT p_partkey, p_name FROM part p
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey
+                    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                    AND l.l_shipdate <  TIMESTAMP '1998-01-01')
 """,
-    doc="Anti join: parts that never appear in any lineitem.",
+    doc=(
+        "Anti join: parts with no 1997 shipment — windowed so the "
+        "fixture yields a non-trivial result (every part ships at some "
+        "point, so the unwindowed form is vacuously empty)."
+    ),
 )
 def q_anti_unordered_parts(spark, sf_dir):
     p = t(spark, sf_dir, "part")
-    l = t(spark, sf_dir, "lineitem")
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
     return p.join(
         l, p.p_partkey == l.l_partkey, "left_anti"
     ).select("p_partkey", "p_name")

@@ -154,14 +154,23 @@ def q_grouping_sets_orders(spark, sf_dir):
 @query(
     "q_except_viewers_not_buyers",
     oracle="""
-SELECT user_id FROM events WHERE event_type = 'view'
+SELECT user_id FROM events
+WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-08'
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08'
 """,
-    doc="Set operation: EXCEPT (viewers who never purchased).",
+    doc=(
+        "Set operation: EXCEPT — first-week viewers who hadn't "
+        "purchased yet (time-windowed so the fixture yields a "
+        "non-trivial result; over all time every viewer eventually "
+        "buys)."
+    ),
 )
 def q_except_viewers_not_buyers(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
     viewers = ev.filter(F.col("event_type") == "view").select("user_id")
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return viewers.subtract(buyers)  # EXCEPT (distinct semantics)
