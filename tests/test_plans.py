@@ -120,6 +120,16 @@ def test_vocab_entropy_partial_aggs(spark, sf_dir):
     assert not has_global_sort(_df(spark, sf_dir, "q_vocab_topk"))
 
 
+def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
+    """Per-group rank filters must prune to k rows per map partition
+    BEFORE the exchange (WindowGroupLimit), and never sort globally."""
+    for q in ("q_topk_per_group", "q_tfidf_top_terms"):
+        df = _df(spark, sf_dir, q)
+        sp = simple_plan(df)
+        assert "WindowGroupLimit" in sp, (q, sp)
+        assert not has_global_sort(df), q
+
+
 def test_no_cartesian_anywhere_except_knn(spark, sf_dir):
     whitelist = {"q_knn_cosine_topk", "q_knn_ivf", "q_dedup_embedding"}
     for name, q in QUERIES.items():
