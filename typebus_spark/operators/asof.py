@@ -143,7 +143,18 @@ def range_join(
         "_bucket", (F.unix_timestamp(F.col(right_ts)) / F.lit(width)).cast("long")
     )
     j = lb.join(rb, [on, "_bucket"])
-    lo = F.unix_timestamp(F.col(left_ts)) + F.lit(lower_seconds)
-    hi = F.unix_timestamp(F.col(left_ts)) + F.lit(upper_seconds)
-    rts = F.unix_timestamp(F.col(right_ts))
+    # Exact band on FULL-precision event time. unix_timestamp truncates
+    # to whole seconds — fine for the bucket index above (floor of floor
+    # is floor for integer widths, so coverage is unchanged) but wrong
+    # for the band edge: a sub-second ts at the boundary would be
+    # included/excluded differently than true interval arithmetic.
+    # timestamp→double keeps fractional seconds; the intermediate
+    # TIMESTAMP cast covers TIMESTAMP_NTZ inputs (any session-timezone
+    # shift is identical on both sides and cancels in the band compare).
+    def _epoch(c: str) -> F.Column:
+        return F.col(c).cast("timestamp").cast("double")
+
+    lo = _epoch(left_ts) + F.lit(lower_seconds)
+    hi = _epoch(left_ts) + F.lit(upper_seconds)
+    rts = _epoch(right_ts)
     return j.filter((rts >= lo) & (rts <= hi)).drop("_bucket").distinct()

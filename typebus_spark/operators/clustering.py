@@ -52,6 +52,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -81,6 +82,15 @@ def connected_components(
         labels = updated.drop("_changed")
         if not changed:
             break
+    if changed:
+        # No silent caps: labels are still moving — returning them would
+        # silently mis-cluster any component whose diameter exceeds
+        # max_iter (min-label moves one hop per round).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter "
+            "for deep-chain graphs"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -25,24 +25,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-# 60-bit md5 prefix → BIGINT, the engine-portable uniform hash used by
-# operators/sampling.py (same scheme, same DuckDB translation).
-_BUCKETS = 10_000
-
-
-def _hash_bucket(id_col: str, seed: int) -> F.Column:
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _BUCKETS
-    )
+# The ONE engine-portable uniform hash (60-bit md5 prefix → BIGINT):
+# shared with hash_split/hash_sample so the portability-critical scheme
+# has a single definition that can't drift.
+from typebus_spark.operators.sampling import HASH_BUCKETS as _BUCKETS
+from typebus_spark.operators.sampling import hash_bucket as _hash_bucket
 
 
 def stratified_sample(

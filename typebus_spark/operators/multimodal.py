@@ -174,12 +174,17 @@ def resize_media(
                 try:
                     d = fn(bytes(blob) if blob is not None else None, mime)
                     w, h = d["width"], d["height"]
-                    mx = max(w, h)
-                    if mx <= max(max_w, max_h):
+                    # aspect-preserving fit: keep only when BOTH axes
+                    # already fit; otherwise scale both by the limiting
+                    # axis's ratio (integer floor, exact cross-engine)
+                    if w <= max_w and h <= max_h:
                         ow, oh = w, h
-                    else:
-                        ow = max(1, w * max_w // mx)
-                        oh = max(1, h * max_h // mx)
+                    elif w * max_h >= h * max_w:  # width-limited
+                        ow = max_w
+                        oh = max(1, h * max_w // w)
+                    else:  # height-limited
+                        oh = max_h
+                        ow = max(1, w * max_h // h)
                     sha = hashlib.sha256(
                         bytes(blob) + f"|{ow}x{oh}".encode()
                     ).hexdigest()

@@ -102,15 +102,36 @@ def label_centroids(
     aggregate with map-side partials. No vector ever reaches the driver
     (contrast: collecting vectors to average them), so this is the shape
     that trains codebooks over a 100 TB embedding table.
+
+    The mean accumulates in EXACT fixed-point (components quantized to
+    1e-6, summed as integers, divided once) — a float sum's result
+    depends on partial-aggregation order, so ``round(avg(double))``
+    could round differently per engine/partitioning at a digit boundary
+    (the functions.money rationale, applied to vectors).
     """
+    scale = 10 ** round_to
+    q = F.round(F.col("x").cast("double") * scale, 0).cast("long")
     pe = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(vec_col).alias("dim", "x"),
     )
-    return pe.groupBy("label", "dim").agg(
-        F.round(F.avg(F.col("x").cast("double")), round_to).alias("centroid"),
-        F.count(F.lit(1)).cast("long").alias("n_vectors"),
-    ).select("label", F.col("dim").cast("long").alias("dim"), "centroid", "n_vectors")
+    return (
+        pe.groupBy("label", "dim")
+        .agg(
+            F.sum(q).alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(
+                F.col("_s").cast("double")
+                / (F.lit(float(scale)) * F.col("n_vectors")),
+                round_to,
+            ).alias("centroid"),
+            "n_vectors",
+        )
+    )
 
 
 def _nearest_centroid(vec_col: str, centroids: list[list[float]]) -> F.Column:

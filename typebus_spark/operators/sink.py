@@ -65,9 +65,15 @@ def compact_partitions(
     write_partitioned(
         df, tmp, partition_cols, files_per_partition, mode="overwrite"
     )
-    # atomic-enough swap for a filesystem sink; table formats (Delta,
-    # Iceberg — not on this classpath) do this transactionally
+    # swap so the dataset path is NEVER absent: old→aside, new→live,
+    # then drop the aside copy. A crash mid-swap leaves either the old
+    # or the new data at a discoverable path (a crash between the two
+    # moves leaves the live path briefly missing but the data intact at
+    # path__old — recoverable by hand). Table formats (Delta, Iceberg —
+    # not on this classpath) do this transactionally.
     import shutil
 
-    shutil.rmtree(path)
+    old = f"{path}__old"
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)

@@ -557,25 +557,9 @@ GROUP BY 1
     ),
 )
 def q_stream_hourly(spark, sf_dir):
-    import os
-    import shutil
-    import tempfile
+    from typebus_spark.session import stage_events_stream
 
-    from pyspark.sql.types import LongType
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = os.path.join(sf_dir, "events.parquet")
-    batch = spark.read.parquet(src)
-    # the file stream source requires a DIRECTORY; stage the (read-only)
-    # driver file into a temp dir for replay
-    stage = tempfile.mkdtemp(prefix="stream_hourly_")
-    shutil.copy(src, os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(batch.schema).parquet(stage)
-    # TIMESTAMP(NANOS) arrives as INT64 where the legacy conf is honored
-    # (convert), or natively as TIMESTAMP_NTZ truncated to micros on newer
-    # readers (already what DuckDB sees — leave as-is).
-    if isinstance(batch.schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = stage_events_stream(spark, sf_dir, "stream_hourly_")
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
@@ -610,16 +594,9 @@ SELECT DISTINCT user_id, event_type FROM events
     ),
 )
 def q_stream_dedup(spark, sf_dir):
-    import os
-    import shutil
-    import tempfile
+    from typebus_spark.session import stage_events_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = os.path.join(sf_dir, "events.parquet")
-    batch = spark.read.parquet(src)
-    stage = tempfile.mkdtemp(prefix="stream_dedup_")
-    shutil.copy(src, os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    stream = stage_events_stream(spark, sf_dir, "stream_dedup_")
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
@@ -665,20 +642,9 @@ FROM g GROUP BY user_id, sid
     ),
 )
 def q_stream_session(spark, sf_dir):
-    import os
-    import shutil
-    import tempfile
+    from typebus_spark.session import stage_events_stream
 
-    from pyspark.sql.types import LongType
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = os.path.join(sf_dir, "events.parquet")
-    batch = spark.read.parquet(src)
-    stage = tempfile.mkdtemp(prefix="stream_session_")
-    shutil.copy(src, os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(batch.schema).parquet(stage)
-    if isinstance(batch.schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = stage_events_stream(spark, sf_dir, "stream_session_")
     agg = (
         stream.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
@@ -727,22 +693,10 @@ FROM (
     ),
 )
 def q_stream_entity_state(spark, sf_dir):
-    import os
-    import shutil
-    import tempfile
-
-    from pyspark.sql.types import LongType
-
+    from typebus_spark.session import stage_events_stream
     from typebus_spark.streaming.entity import streaming_fold_last
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = os.path.join(sf_dir, "events.parquet")
-    batch = spark.read.parquet(src)
-    stage = tempfile.mkdtemp(prefix="stream_entity_")
-    shutil.copy(src, os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(batch.schema).parquet(stage)
-    if isinstance(batch.schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = stage_events_stream(spark, sf_dir, "stream_entity_")
     cols = ["user_id", "ts", "event_id", "event_type", "value"]
     stream = stream.select(*cols)
     # DDL from the live schema: ts is TIMESTAMP_NTZ or TIMESTAMP

@@ -69,7 +69,9 @@ def q_knn_cosine_topk(spark, sf_dir):
     "q_embedding_centroids",
     oracle="""
 SELECT label, CAST(i AS BIGINT) AS dim,
-       round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid,
+       round(CAST(sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000, 0)
+                           AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * count(*)), 6) AS centroid,
        CAST(count(*) AS BIGINT) AS n_vectors
 FROM embeddings, range(64) AS r(i)
 GROUP BY label, i
@@ -78,7 +80,9 @@ GROUP BY label, i
         "Distributed centroid training primitive: mean vector per label "
         "as (label, dim, value) rows — posexplode + one hash aggregate "
         "with map-side partials; no vector ever reaches the driver "
-        "(the k-means E/M-step shape for a 100 TB embedding table)."
+        "(the k-means E/M-step shape for a 100 TB embedding table). "
+        "Components accumulate in exact 1e-6 fixed point so the mean is "
+        "independent of partial-aggregation order on both engines."
     ),
 )
 def q_embedding_centroids(spark, sf_dir):

@@ -65,6 +65,37 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df
 
 
+def stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
+    """Open ``events.parquet`` as a file-source STREAM.
+
+    The file stream source requires a directory, and the driver's data
+    dir is read-only — so the file is staged into a temp dir (removed at
+    process exit). Applies the same TIMESTAMP(NANOS) normalization as
+    ``load_table``: convert only when the reader surfaced ``ts`` as
+    INT64 (legacy conf honored); newer readers yield TIMESTAMP_NTZ
+    already truncated to micros, identical to what DuckDB sees.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    stage = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    if isinstance(batch.schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        )
+    return stream
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver's parquet tables (TESTDATA.md).
 
