@@ -16,6 +16,7 @@ from typebus_spark.functions.money import cents, money
 from typebus_spark.operators.asof import asof_join
 from typebus_spark.registry import Service
 from typebus_spark.runtime import run_batch
+from typebus_spark.session import pinned_shuffle_partitions
 from typebus_spark.streaming.rpc import correlate_batch
 from typebus_spark.suite import query, t
 
@@ -571,13 +572,14 @@ def q_stream_hourly(spark, sf_dir):
         )
     )
     name = f"hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with pinned_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(120)
     return spark.table(name)
 
@@ -601,13 +603,14 @@ def q_stream_dedup(spark, sf_dir):
         ["user_id", "event_type"]
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with pinned_shuffle_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(120)
     return spark.table(name)
 
@@ -661,13 +664,14 @@ def q_stream_session(spark, sf_dir):
         )
     )
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with pinned_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(120)
     return spark.table(name)
 
@@ -709,13 +713,14 @@ def q_stream_entity_state(spark, sf_dir):
         stream, "user_id", "ts", ddl, tiebreak=["event_id"]
     )
     name = f"entity_{uuid.uuid4().hex[:8]}"
-    q = (
-        state.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with pinned_shuffle_partitions(spark, 8):
+        q = (
+            state.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(120)
     return spark.table(name)
 

@@ -35,6 +35,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # first maximizing parallelism (the Spark-docs-recommended
+        # production setting): post-shuffle reducers are sized to the
+        # data, so a small shuffle schedules a handful of tasks rather
+        # than one per core — less scheduler overhead per query here,
+        # and on a 1000-executor cluster it stops 200.000-partition
+        # shuffles of modest intermediates.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
+        # 64 MB (the default) targets IO-bound reducers; the engine's
+        # hot shuffles carry CPU-dense intermediates (exploded shingles,
+        # hash signatures) where one reducer core per 8 MB keeps the
+        # hashing parallel without reverting to task-per-core-everywhere.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
@@ -96,6 +112,33 @@ def stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
     return stream
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def pinned_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` (around a
+    streaming ``.start()``).
+
+    Stateful streaming shuffles are NOT AQE-coalesced — the state-store
+    partition count is fixed at first start and must match for the
+    query's lifetime (it's part of the checkpoint). Micro-batches are
+    bounded slices, so a partition-per-core layout just multiplies
+    state-store open/commit I/O per trigger; pinning a deliberate count
+    at query start is the production-correct move (and what you'd do
+    before starting any real streaming job on a 1000-executor cluster:
+    size state partitions to peak state, not to cluster cores)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+_TABLE_CACHE: dict[tuple[int, str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver's parquet tables (TESTDATA.md).
 
@@ -105,15 +148,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     timestamps — exactly what DuckDB does when it reads the same file, so
     oracle comparisons stay bit-identical. Integer division (``DIV``) is
     used because ns-since-epoch exceeds double's 2^53 mantissa.
+
+    The analyzed plan is memoized per (session, dir, table): DataFrames
+    are immutable plan handles, so reuse is safe, and it saves a parquet
+    footer read + file listing + a handful of py4j round-trips on every
+    query that touches the same table (the inventory reads the same ten
+    tables ~200 times per bench run).
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    # identity check guards against id() reuse after a session is GC'd
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+        df = spark.read.parquet(path)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(ts DIV 1000)")
+            )
+    _TABLE_CACHE[key] = (spark, df)
     return df
