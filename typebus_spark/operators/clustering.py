@@ -44,13 +44,13 @@ def connected_components(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by round 1's probe
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     changed = None
     for _ in range(max_iter):
@@ -65,6 +65,9 @@ def connected_components(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("dst_label").alias("nmin"))
         )
+        # lazy checkpoint: the convergence aggregate below is the action
+        # that materializes it — one job per round instead of an eager
+        # checkpoint job followed by a separate probe job
         updated = (
             labels.join(neighbor_min, "id", "left_outer")
             .select(
@@ -74,7 +77,7 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = updated.agg(
             F.sum(F.coalesce(F.col("_changed").cast("int"), F.lit(0)))

@@ -614,8 +614,11 @@ def run_batch(
                 # round measured consistently SLOWER — the extra union
                 # degrades the join materialization more than the saved
                 # job costs; see drain_batches for the queue snapshot.)
+                # lazy: materialized by the drain loop's queue-snapshot
+                # count (retry_dec is a projection of this frame), so the
+                # round pays one materialization job, not two
                 orig_failed = _orig(retryable_ids).localCheckpoint(
-                    eager=True
+                    eager=False
                 )
                 retry_dec, gave_up = retry_decoded(
                     orig_failed, in_fqn, sd.retry, payload_fields, now
@@ -798,8 +801,14 @@ def drain_batches(
         feedback = {}
         for fqn, df in res.decoded_retry.items():
             par = df.sparkSession.sparkContext.defaultParallelism
-            ck = df.coalesce(par).localCheckpoint(eager=True)
-            if not ck.isEmpty():  # scan of the checkpoint — cheap
+            # lazy checkpoint + count: ONE job materializes the queue
+            # snapshot AND answers the emptiness probe (an eager
+            # checkpoint followed by isEmpty would be two sequential
+            # driver round-trips per stream per round); the count also
+            # pulls the round's orig_failed checkpoint (its upstream)
+            # into cache, so the dead-letter/trace arms scan cached rows
+            ck = df.coalesce(par).localCheckpoint(eager=False)
+            if ck.count() > 0:
                 feedback[fqn] = ck
         if not feedback:
             break
