@@ -726,6 +726,134 @@ def q_stream_entity_state(spark, sf_dir):
 
 
 @query(
+    "q_stream_stream_join",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts FROM events
+           WHERE event_type IN ('view', 'click'))
+SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+       count(*) AS n_attributed,
+       min(v.ts) AS first_view_ts, max(v.ts) AS last_view_ts
+FROM p JOIN v ON p.user_id = v.user_id
+  AND v.ts >= p.ts - INTERVAL 30 MINUTE
+  AND v.ts <= p.ts
+GROUP BY 1, 2, 3
+""",
+    doc=(
+        "STREAM-STREAM inner join with watermarks + a time-range "
+        "condition (the stateful two-sided join operator): purchases "
+        "joined to the views/clicks of the same user in the preceding "
+        "30 minutes. The range condition bounds each side's state "
+        "retention (Spark derives the state eviction horizon from "
+        "watermark + interval — exactly the production attribution "
+        "shape); the availableNow replay emits every match in append "
+        "mode, and the memory-sink rows are aggregated per purchase in "
+        "batch for a deterministic, bounded result."
+    ),
+)
+def q_stream_stream_join(spark, sf_dir):
+    from typebus_spark.session import stage_events_stream
+
+    left = stage_events_stream(spark, sf_dir, "ssj_left_")
+    right = stage_events_stream(spark, sf_dir, "ssj_right_")
+    # Event-time watermarks require TIMESTAMP (the parquet reader may
+    # surface ts as TIMESTAMP_NTZ): watermark + range condition run on a
+    # cast copy (same wall-clock, so identical join semantics); the
+    # emitted columns stay NTZ for a timezone-free deterministic result.
+    p = (
+        left.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("ts").cast("timestamp").alias("p_wts"),
+        )
+        .withWatermark("p_wts", "1 hour")
+    )
+    v = (
+        right.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+            F.col("ts").cast("timestamp").alias("v_wts"),
+        )
+        .withWatermark("v_wts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_wts") >= F.col("p_wts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_wts") <= F.col("p_wts")),
+        "inner",
+    ).select("p_event_id", "user_id", "p_ts", "v_ts")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    with pinned_shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy("p_event_id", "user_id", "p_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.min("v_ts").alias("first_view_ts"),
+            F.max("v_ts").alias("last_view_ts"),
+        )
+    )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+    doc=(
+        "STREAM-STATIC join: a replayed event stream enriched against "
+        "the static customer dimension (broadcast per micro-batch — no "
+        "stream-side state), then a streaming aggregation per market "
+        "segment in complete mode. The standard streaming-enrichment "
+        "shape: the dim is re-resolvable each batch, so dimension "
+        "updates are picked up without restarting the query."
+    ),
+)
+def q_stream_static_join(spark, sf_dir):
+    from typebus_spark.session import stage_events_stream
+
+    stream = stage_events_stream(spark, sf_dir, "ssd_")
+    dim = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money(F.sum(cents("value")), 100).alias("total_value"),
+    )
+    name = f"ssd_{uuid.uuid4().hex[:8]}"
+    with pinned_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@query(
     "q_sketch_cardinality",
     oracle=None,  # HLL/KLL estimates are engine-specific → rows-only
     doc=(
