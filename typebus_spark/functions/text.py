@@ -97,3 +97,35 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit signatures (e.g. SimHash —
     computed scalably in operators.dedup.simhash_signatures)."""
     return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+# Default scrub patterns for PII-bearing corpora (emails, NANP-ish phone
+# numbers, IPv4, 13-16 digit card-like runs). The synthetic fixture has
+# no digit-bearing text, so the inventory query exercises the same
+# machinery with term patterns; swap in these defaults for a real crawl.
+PII_PATTERNS = [
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    r"\b\d{3}[-.\s]?\d{3}[-.\s]?\d{4}\b",
+    r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    r"\b\d{13,16}\b",
+]
+
+
+def redact(
+    col: Column | str, patterns: list[str], mask: str = "[MASKED]"
+) -> tuple[Column, Column]:
+    """(redacted_text, n_redactions) for a regex pattern list.
+
+    Chained ``regexp_replace`` + summed ``regexp_count`` — pure
+    scan-side expressions (no shuffle, no UDF), so scrubbing a 100 TB
+    corpus runs at read speed and composes with any downstream
+    operator. Patterns use the shared Java/RE2 subset (character
+    classes, ``\\b``, bounded repeats) so the DuckDB oracle replicates
+    them verbatim.
+    """
+    red = _c(col)
+    cnt = F.lit(0).cast("long")
+    for p in patterns:
+        cnt = cnt + F.regexp_count(red, F.lit(p)).cast("long")
+        red = F.regexp_replace(red, p, mask)
+    return red, cnt

@@ -51,3 +51,37 @@ def hyperplane_signs(vec: Column | str, planes: list[list[float]]) -> Column:
         for p in planes
     ]
     return F.concat(*bits)
+
+
+def int8_quantize(vec: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization as a struct
+    ``(scale double, q array<tinyint>)`` with
+    ``q_i = round(127 * x_i / scale)``, ``scale = max|x_i|``.
+
+    4x smaller than float32 on the wire/at rest — the standard storage
+    format for a 100 TB embedding corpus (dequantize with
+    ``q_i * scale / 127``). Pure Catalyst expressions: quantization
+    happens scan-side with no shuffle and no UDF. A zero vector keeps
+    scale 0 and quantizes to zeros.
+    """
+    v = _c(vec)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        v,
+        lambda x: F.when(
+            mx > 0, F.round(x.cast("double") * 127.0 / mx, 0)
+        )
+        .otherwise(F.lit(0.0))
+        .cast("tinyint"),
+    )
+    return F.struct(mx.alias("scale"), q.alias("q"))
+
+
+def int8_dequantize(qstruct: Column | str) -> Column:
+    """Inverse of :func:`int8_quantize`: ``array<double>`` reconstruction
+    ``q_i * scale / 127`` (ordered double ops — engine-portable)."""
+    s = _c(qstruct)
+    return F.transform(
+        s.getField("q"),
+        lambda x: x.cast("double") * s.getField("scale") / 127.0,
+    )

@@ -142,3 +142,59 @@ def q_topk_per_group(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("source", "doc_id", "n_chars", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@query(
+    "q_skew_key_report",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_events
+  FROM events GROUP BY user_id),
+tot AS (SELECT sum(n_events) AS total FROM counts),
+r AS (
+  SELECT user_id, n_events,
+         (n_events * 1000000) // total AS share_ppm,
+         (sum(n_events) OVER (ORDER BY n_events DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) * 1000000)
+           // total AS cum_ppm,
+         row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+  FROM counts, tot)
+SELECT CAST(rank AS BIGINT) AS rank, user_id, n_events,
+       share_ppm, cum_ppm
+FROM r WHERE rank <= 10
+""",
+    doc=(
+        "Key-skew diagnostics (decides when q_skew_salted_* treatment "
+        "is needed): top-10 hottest keys with exact integer parts-per-"
+        "million share and cumulative share. One hash aggregate over "
+        "the key (map-side partials), then window math over the "
+        "per-key frame — orders of magnitude smaller than the input, "
+        "so the single-partition ranking window is safe at any scale."
+    ),
+)
+def q_skew_key_report(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    total = counts.agg(F.sum("n_events").alias("total"))
+    w = Window.orderBy(F.desc("n_events"), F.col("user_id"))
+    cum = Window.orderBy(F.desc("n_events"), F.col("user_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "user_id",
+            "n_events",
+            F.expr("(n_events * 1000000) DIV total").alias("share_ppm"),
+            (F.sum("n_events").over(cum) * 1000000)
+            .cast("long")
+            .alias("_cum"),
+            F.col("total"),
+        )
+        .withColumn("cum_ppm", F.expr("_cum DIV total"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "user_id", "n_events", "share_ppm", "cum_ppm")
+    )

@@ -368,3 +368,56 @@ def q_multimodal_framesample(spark, sf_dir):
     return frame_sample(decoded, "doc_id", every_n=2).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@query(
+    "q_text_redact",
+    oracle=r"""
+WITH r1 AS (
+  SELECT source, text,
+         regexp_replace(text, '\bspark\b', '[MASKED]', 'g') AS red1,
+         len(regexp_extract_all(text, '\bspark\b')) AS c1
+  FROM documents),
+r2 AS (
+  SELECT source,
+         regexp_replace(red1, '\b(table|window)\b', '[MASKED]', 'g')
+           AS red,
+         c1 + len(regexp_extract_all(red1, '\b(table|window)\b')) AS cnt
+  FROM r1)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_redacted,
+       CAST(sum(cnt) AS BIGINT) AS total_redactions,
+       min(md5(red)) AS spot_hash
+FROM r2 GROUP BY source
+""",
+    doc=(
+        "Regex scrubbing/redaction (the PII-removal stage of a "
+        "training-data pipeline; functions.text.PII_PATTERNS carries "
+        "the real email/phone/IP/card defaults — the digit-free "
+        "fixture exercises the machinery with term patterns): chained "
+        "regexp_replace + regexp_count, pure scan-side expressions, "
+        "no shuffle; redacted output is spot-hash-checked (md5) so "
+        "the rewrite itself is oracle-verified, not just the counts."
+    ),
+)
+def q_text_redact(spark, sf_dir):
+    from typebus_spark.functions.text import redact
+
+    docs = t(spark, sf_dir, "documents")
+    red, cnt = redact(
+        "text", [r"\bspark\b", r"\b(table|window)\b"]
+    )
+    return (
+        docs.select("source", red.alias("red"), cnt.alias("cnt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("cnt") > 0).cast("int"))
+            .cast("long")
+            .alias("n_docs_redacted"),
+            F.sum("cnt").cast("long").alias("total_redactions"),
+            F.min(F.md5("red")).alias("spot_hash"),
+        )
+    )
