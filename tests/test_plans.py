@@ -137,3 +137,28 @@ def test_no_cartesian_anywhere_except_knn(spark, sf_dir):
             continue
         plan = formatted_plan(q.fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_q21_aggregated_rewrite(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS pair must be one aggregation + semi join,
+    # with the supplier dim broadcast — never correlated re-scans
+    plan = formatted_plan(_df(spark, sf_dir, "q21_sole_late_supplier"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_quantize_and_redact_are_scan_side(spark, sf_dir):
+    # quantize + error math and regex scrubbing are pure expressions:
+    # exactly the one group-by exchange, and no Python in the plan
+    for q in ("q_embedding_quantize", "q_text_redact"):
+        plan = formatted_plan(_df(spark, sf_dir, q))
+        # the formatted dump names each node twice (tree + detail):
+        # exactly one physical Exchange → exactly two mentions
+        assert plan.count("Exchange") == 2, (q, plan)
+        assert "EvalPython" not in plan, q
+
+
+def test_skew_report_prunes_columns(spark, sf_dir):
+    rs = " ".join(scan_read_schemas(_df(spark, sf_dir, "q_skew_key_report")))
+    assert "props" not in rs and "value" not in rs, rs

@@ -1,7 +1,7 @@
 """Relational inventory, part 3 — the remaining TPC-H query shapes the
 star schema supports (no ``partsupp``/``l_commitdate``/``l_shipmode``
-columns exist in the driver tables, so Q2/Q9/Q11/Q12/Q16/Q20/Q21 are
-out of reach and Q4/Q8/Q14/Q17/Q22 are adapted to the available
+columns exist in the driver tables, so Q2/Q9/Q11/Q12/Q16/Q20 are
+out of reach and Q4/Q8/Q14/Q17/Q21/Q22 are adapted to the available
 columns; adaptations are noted per query).
 
 Like ``relational.py``, every query is unmodified Spark built-ins —
@@ -547,4 +547,85 @@ def q15_top_supplier(spark, sf_dir):
             "s_name",
             money(F.col("rev_e4"), 10000).alias("total_revenue"),
         )
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+WITH ll AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'),
+ok AS (
+  SELECT l_orderkey FROM ll GROUP BY 1
+  HAVING count(DISTINCT l_suppkey) > 1
+     AND count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) = 1),
+w AS (
+  SELECT s.s_name, count(*) AS numwait
+  FROM ll JOIN ok USING (l_orderkey)
+  JOIN supplier s ON ll.l_suppkey = s.s_suppkey
+  WHERE ll.late = 1
+  GROUP BY s.s_name)
+SELECT s_name, numwait FROM w
+ORDER BY numwait DESC, s_name LIMIT 20
+""",
+    doc=(
+        "TPC-H Q21 adapted (no l_commitdate/l_receiptdate: 'late' = "
+        "shipped >60 days after the order date): suppliers who were "
+        "the SOLE late supplier on a multi-supplier finished order. "
+        "The classic EXISTS / NOT-EXISTS double self-join collapses "
+        "into ONE aggregation over the order key (distinct suppliers "
+        "vs distinct late suppliers) — two passes over lineitem "
+        "instead of four, no correlated re-scans; the qualifying-order "
+        "key set then drives a semi-join and the supplier dim is "
+        "broadcast."
+    ),
+)
+def q21_sole_late_supplier(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    ll = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+            )
+            .cast("int")
+            .alias("late"),
+        )
+    )
+    ok = (
+        ll.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey")
+    )
+    return (
+        ll.filter(F.col("late") == 1)
+        .join(ok, "l_orderkey")
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )
