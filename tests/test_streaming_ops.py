@@ -399,3 +399,45 @@ def test_entity_db_lookup_and_modify(spark):
     assert {
         r["id"]: r["status"] for r in db2.snapshot.collect()
     } == {"e1": "paid", "e2": "shipped"}
+
+
+def test_drop_head_global_and_keyed(spark):
+    from typebus_spark.streaming.retry import drop_head
+
+    df = spark.createDataFrame(
+        [(k, i) for k in ("a", "b") for i in range(5)], "k string, seq long"
+    )
+    # global buffer of 3: newest 3 by seq survive regardless of key
+    kept = drop_head(df, 3, "seq").collect()
+    assert len(kept) == 3 and all(r["seq"] >= 3 for r in kept)
+    # keyed buffer of 2: newest 2 PER key survive
+    kept = drop_head(df, 2, "seq", partition_by=["k"]).collect()
+    assert len(kept) == 4
+    assert sorted((r["k"], r["seq"]) for r in kept) == [
+        ("a", 3), ("a", 4), ("b", 3), ("b", 4)
+    ]
+
+
+def test_drain_buffer_requires_order(spark):
+    import pytest as _pytest
+
+    from typebus_spark.codec.envelope import encode_envelope
+    from typebus_spark.registry import RetryPolicy, Service
+    from typebus_spark.runtime import drain_batches
+
+    svc = Service("shed-misuse")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    svc.declare_type("api.X", StructType([StructField("i", LongType())]))
+    svc.declare_type("api.X.done", StructType([StructField("i", LongType())]))
+    svc.register_stream(
+        "api.X",
+        "api.X.done",
+        lambda df: df.select("meta", "i", F.lit("boom").alias("_error")),
+        retry=RetryPolicy(2, 1.0),
+    )
+    raw = encode_envelope(
+        spark.createDataFrame([(1,), (2,)], "i long"), "api.X"
+    )
+    with _pytest.raises(ValueError, match="buffer_order"):
+        drain_batches(svc, raw, buffer_size=1)

@@ -1063,3 +1063,92 @@ def q_scalar_kitchen_sink(spark, sf_dir):
         F.round(F.sqrt(F.abs("value")), 6).alias("sqrt_v"),
         F.round(F.log(F.col("value") + 1), 6).alias("ln_v"),
     )
+
+
+@query(
+    "q_retry_drain_shed",
+    oracle="""
+WITH f AS (SELECT event_id, event_id % 4 AS ft FROM events),
+r1 AS (SELECT ft, row_number() OVER (ORDER BY event_id DESC) AS rn
+       FROM f WHERE ft > 0)
+SELECT 'api.Task.done' AS topic,
+       CAST((SELECT count(*) FROM f WHERE ft = 0)
+            + (SELECT count(*) FROM r1 WHERE rn <= 500 AND ft IN (1, 2))
+            AS BIGINT) AS n
+UNION ALL
+SELECT 'typebus.DeadLetter' AS topic,
+       CAST((SELECT count(*) FROM r1 WHERE rn <= 500 AND ft = 3)
+            AS BIGINT) AS n
+""",
+    doc=(
+        "Retry drain under OVERLOAD with the reference's dropHead "
+        "load-shed (buffer(16, OverflowStrategy.dropHead), "
+        "KafkaBus.scala:186-189; buffer=500 here): each round only the "
+        "newest 500 queued retries re-inject — ranked by the payload "
+        "sequence via TakeOrderedAndProject, never a global sort — and "
+        "older overflow is silently shed. Outcomes are exactly "
+        "derivable: %4==0 succeeds immediately; %4 in (1,2) completes "
+        "only if inside the round-1 buffer; %4==3 inside the buffer "
+        "exhausts retries and dead-letters; everything else is shed "
+        "(liveness over durability, the reference's trade)."
+    ),
+)
+def q_retry_drain_shed(spark, sf_dir):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from typebus_spark.registry import BackoffShape, RetryPolicy
+    from typebus_spark.runtime import drain_batches
+
+    events = t(spark, sf_dir, "events")
+    payload = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("fail_times", LongType()),
+        ]
+    )
+    svc = Service("retry-shed-query")
+    svc.declare_type("api.Task", payload)
+    svc.declare_type("api.Task.done", payload)
+
+    def handler(df):
+        attempt = F.coalesce(
+            F.col("meta.extra").getItem("attempt").cast("int"), F.lit(0)
+        )
+        return df.select(
+            "meta",
+            "event_id",
+            "fail_times",
+            F.when(attempt < F.col("fail_times"), F.lit("transient")).alias(
+                "_error"
+            ),
+        )
+
+    svc.register_stream(
+        "api.Task",
+        "api.Task.done",
+        handler,
+        retry=RetryPolicy(2, 10.0, BackoffShape.EXPONENTIAL),
+    )
+    from typebus_spark.session import ensure_parallelism
+
+    raw = encode_envelope(
+        ensure_parallelism(
+            events.select(
+                "event_id", (F.col("event_id") % 4).alias("fail_times")
+            )
+        ),
+        "api.Task",
+    )
+    res = drain_batches(
+        svc,
+        raw,
+        buffer_size=500,
+        buffer_order=F.col("payload.event_id"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    return (
+        res.union_all()
+        .coalesce(par)
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

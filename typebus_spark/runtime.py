@@ -26,7 +26,7 @@ import os
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from typebus_spark.codec.envelope import (
     decode_envelope,
@@ -756,11 +756,22 @@ def drain_batches(
     now_epoch: int = 1_000_000,
     clock_step: int = 10_000,
     max_rounds: int = 10,
+    buffer_size: int | None = None,
+    buffer_order: Column | str | None = None,
 ) -> BatchResult:
     """Batch-mode retry drain: run ``run_batch``, feed retry topics back
     in with the simulated clock advanced past every backoff, until the
     retry queue is empty (the in-process analog of the streaming retry
-    loop — used for deterministic tests and batch reprocessing jobs)."""
+    loop — used for deterministic tests and batch reprocessing jobs).
+
+    ``buffer_size`` caps each stream's per-round retry queue with the
+    reference's dropHead load-shed semantics (the 16-element
+    ``buffer(16, OverflowStrategy.dropHead)`` at KafkaBus.scala:186-189):
+    only the newest ``buffer_size`` rows by ``buffer_order`` (a column
+    over the DECODED retry shape, e.g. ``payload.<seq>``) re-inject;
+    older overflow is silently shed, exactly like the reference under
+    overload. Default ``None`` = unbounded (nothing shed) — the
+    documented divergence when durability beats liveness."""
     merged = BatchResult()
     # Per round, materialize ONLY what the next round needs: the retry
     # queue, kept in DECODED form (``emit_decoded_retry``) — the loop
@@ -800,6 +811,16 @@ def drain_batches(
         # this job is a cheap filter scan.
         feedback = {}
         for fqn, df in res.decoded_retry.items():
+            if buffer_size is not None:
+                from typebus_spark.streaming.retry import drop_head
+
+                if buffer_order is None:
+                    raise ValueError(
+                        "buffer_size requires buffer_order (a column "
+                        "over the decoded retry rows to rank newest-"
+                        "first, e.g. payload.<sequence field>)"
+                    )
+                df = drop_head(df, buffer_size, buffer_order)
             par = df.sparkSession.sparkContext.defaultParallelism
             # lazy checkpoint + count: ONE job materializes the queue
             # snapshot AND answers the emptiness probe (an eager

@@ -241,3 +241,34 @@ def row_handler(
         return df.mapInPandas(run, schema=f"{meta_ddl}, {out_ddl}")
 
     return transform
+
+
+def drop_head(
+    df: DataFrame,
+    size: int,
+    order_by: F.Column | str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """akka-streams ``buffer(size, OverflowStrategy.dropHead)`` analog:
+    keep the NEWEST ``size`` rows (highest ``order_by``), silently shed
+    the rest — the reference attaches exactly this 16-element dropHead
+    buffer to the retry re-injection stream (KafkaBus.scala:186-189) as
+    its back-pressure escape valve under overload.
+
+    Global form: ``orderBy(desc).limit(size)`` compiles to
+    TakeOrderedAndProject — O(size) state per partition plus one tiny
+    merge, never a cluster-wide sort. Keyed form: rank window, which
+    Catalyst executes with WindowGroupLimit (per-map-partition pruning
+    to ``size`` rows per key BEFORE the exchange).
+    """
+    order = F.col(order_by) if isinstance(order_by, str) else order_by
+    if not partition_by:
+        return df.orderBy(order.desc()).limit(size)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_by).orderBy(order.desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size)
+        .drop("_rn")
+    )
