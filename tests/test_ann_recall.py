@@ -85,3 +85,42 @@ def test_ivf_recall_improves_with_nprobe(spark, sf_dir):
     # probing every bucket is exhaustive search → exact results
     assert r8 == 1.0, r8
     assert r2 <= r8
+
+
+def test_kmeans_centroids_beat_or_match_prefix_pick(spark, sf_dir):
+    """Real Lloyd's iterations must produce buckets at least as good as
+    the oracle-checkable prefix pick (they're the production trainer)."""
+    from typebus_spark.operators.similarity import train_centroids_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    exact = _topk_sets(cosine_topk(q, c, k=K))
+
+    def recall(centroids):
+        approx = _topk_sets(
+            ivf_topk(q, c, k=K, centroids=centroids, nprobe=2)
+        )
+        hits = sum(
+            len(exact[qid] & approx.get(qid, set())) for qid in exact
+        )
+        return hits / sum(len(v) for v in exact.values())
+
+    prefix = recall(
+        train_centroids(
+            e, "embedding", n_centroids=8, seed=7,
+            id_col="vec_id", id_prefix=256,
+        )
+    )
+    kmeans = recall(
+        train_centroids_kmeans(e, "embedding", n_centroids=8, seed=7)
+    )
+    # allow a small tolerance: k-means optimizes quantization error, and
+    # on a tiny fixture the tie can break either way by one neighbor
+    assert kmeans >= prefix - 0.05, (kmeans, prefix)

@@ -76,3 +76,21 @@ def test_compact_partitions_folds_small_files(spark, sf_dir, tmp_path):
     after = _files_per_dir(path, "event_type")
     assert all(v == 1 for v in after.values()), after
     assert spark.read.parquet(path).count() == n
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """Reading one partition value back must scan ONLY that directory:
+    the predicate lands in PartitionFilters (metadata pruning — zero IO
+    for other partitions), not PushedFilters/post-scan."""
+    from typebus_spark.plans.checks import formatted_plan
+    from typebus_spark.session import load_table
+
+    out = str(tmp_path / "by_type")
+    ev = load_table(spark, sf_dir, "events")
+    write_partitioned(ev, out, ["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = formatted_plan(back)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf and "event_type" in pf[0], plan
+    n = back.count()
+    assert n == ev.filter(F.col("event_type") == "purchase").count()

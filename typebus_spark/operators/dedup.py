@@ -401,3 +401,88 @@ def embedding_dup_pairs(
         pairs.filter(cos >= threshold)
         .select("a", "b", F.round(cos, 6).alias("cos"))
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (semantic dedup, Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings to a small codebook, then drop near-duplicates
+    WITHIN each cluster — pair cost is per-bucket, never corpus².
+
+    Greedy keep-lowest-id: for every intra-bucket pair with cosine ≥
+    ``threshold`` the higher id is dropped. Returns per-bucket
+    ``(bucket, n_vecs, n_dropped, n_kept)``.
+
+    Scale shape: centroid assignment is a scan-side literal-argmax
+    expression (no shuffle, no UDF — ``_nearest_centroid``), the only
+    shuffles are the bucket-key self-join and one aggregate; the
+    bucketed frame is persisted once for its three consumers. With a
+    deterministic centroid pick (train_centroids id-prefix mode) the
+    whole pipeline is engine-reproducible and oracle-checkable.
+    """
+    from pyspark import StorageLevel
+
+    from typebus_spark.operators.similarity import _nearest_centroid
+    from typebus_spark.functions.vector import dot, norm
+    from typebus_spark.session import ensure_parallelism
+
+    b = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            norm(vec_col).alias("_nn"),
+            _nearest_centroid(vec_col, centroids).alias("bucket"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    x = b.select(
+        "bucket",
+        F.col("_id").alias("a"),
+        F.col("_v").alias("_va"),
+        F.col("_nn").alias("_na"),
+    )
+    y = b.select(
+        "bucket",
+        F.col("_id").alias("b"),
+        F.col("_v").alias("_vb"),
+        F.col("_nn").alias("_nb"),
+    )
+    drops = (
+        x.join(y, ["bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos",
+            F.round(dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), round_to),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("bucket", "b")
+        .distinct()
+    )
+    d = drops.select(
+        F.col("bucket").alias("_dbucket"), F.col("b").alias("_dropped_id")
+    )
+    return (
+        b.join(
+            d,
+            (b["bucket"] == d["_dbucket"])
+            & (b["_id"] == d["_dropped_id"]),
+            "left_outer",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("_dropped_id").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.col("_dropped_id").isNull().cast("int"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

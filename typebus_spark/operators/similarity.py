@@ -269,3 +269,34 @@ def ivf_topk(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Production IVF codebook: real Lloyd's iterations via pyspark.ml
+    KMeans (k-means|| init) — distributed E/M steps, only the k
+    centroid vectors ever reach the driver.
+
+    The prefix-pick :func:`train_centroids` stays the oracle-checkable
+    default (deterministic across engines); this trainer gives tighter
+    buckets (higher recall at the same nprobe) when engine-portable
+    determinism isn't required. Same contract: returns plain
+    ``list[list[float]]`` ready for ``ivf_topk``/``semdedup``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]

@@ -315,3 +315,81 @@ def q_embedding_quantize(spark, sf_dir):
             (F.max("err_u").cast("double") / 1e9).alias("max_abs_err"),
         )
     )
+
+
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def _semdedup_oracle() -> str:
+    """Mirror the whole SemDeDup pipeline: the deterministic prefix
+    centroid pick and the argmax assignment are the same CTEs as the
+    IVF oracle; the intra-bucket pair join + greedy higher-id drop is
+    plain SQL."""
+    dot_v_cv = _DOT.format(a="corp.v", b="cen.cv")
+    dot_x_y = _DOT.format(a="x.v", b="y.v")
+    return f"""
+WITH cen0 AS (
+  SELECT embedding AS cv,
+         md5('{IVF_SEED}:' || CAST(vec_id AS VARCHAR)) AS hk
+  FROM embeddings WHERE vec_id < {IVF_PREFIX}
+  ORDER BY hk LIMIT {IVF_N_CEN}),
+cen AS (SELECT row_number() OVER (ORDER BY hk) - 1 AS c, cv FROM cen0),
+corp AS (SELECT vec_id AS cid, embedding AS v,
+                {_NORM.format(a='embedding')} AS nn
+         FROM embeddings),
+assign AS (
+  SELECT corp.cid, corp.v, corp.nn, cen.c,
+         row_number() OVER (PARTITION BY corp.cid
+                            ORDER BY {dot_v_cv} DESC, cen.c) AS rnk
+  FROM corp CROSS JOIN cen),
+bucketed AS (SELECT cid, v, nn, c FROM assign WHERE rnk = 1),
+drops AS (
+  SELECT DISTINCT x.c, y.cid AS b
+  FROM bucketed x JOIN bucketed y ON x.c = y.c AND x.cid < y.cid
+  WHERE round({dot_x_y} / (x.nn * y.nn), 6) >= {SEMDEDUP_THRESHOLD})
+SELECT bk.c AS bucket,
+       count(*) AS n_vecs,
+       CAST(sum(CASE WHEN d.b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM bucketed bk
+LEFT JOIN drops d ON bk.c = d.c AND bk.cid = d.b
+GROUP BY 1
+"""
+
+
+@query(
+    "q_semdedup",
+    oracle=_semdedup_oracle(),
+    doc=(
+        "SemDeDup (Abbas et al. 2023): cluster the embedding corpus to "
+        "a deterministic codebook (the IVF prefix-pick centroids), then "
+        "greedily drop the higher id of every intra-bucket pair with "
+        "cosine >= 0.3 — pair cost bounded per bucket, never corpus². "
+        "Centroid assignment is a scan-side literal-argmax expression; "
+        "the only shuffles are the bucket self-join and one aggregate. "
+        "Fully oracle-checked including the approximate clustering."
+    ),
+)
+def q_semdedup(spark, sf_dir):
+    from typebus_spark.operators.dedup import semdedup
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = train_centroids(
+        e,
+        "embedding",
+        n_centroids=IVF_N_CEN,
+        seed=IVF_SEED,
+        id_col="vec_id",
+        id_prefix=IVF_PREFIX,
+    )
+    out = semdedup(
+        e, "vec_id", "embedding", centroids, SEMDEDUP_THRESHOLD
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_vecs",
+        "n_dropped",
+        "n_kept",
+    )
