@@ -141,3 +141,69 @@ def test_streaming_fold_last_is_incremental(spark, tmp_path):
         "created",
         "paid",
     ]  # state advanced across restarts
+
+
+def test_stream_stream_join_drops_late_side_input(spark, tmp_path):
+    """Watermark semantics of the two-sided join: after the watermark
+    advances past a view's event time (batch 1), a late-arriving view
+    (batch 2) must NOT join — its side's state horizon has passed —
+    while on-time rows in the same batch still join."""
+    pd_dir = str(tmp_path / "p")
+    vd_dir = str(tmp_path / "v")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(pd_dir)
+    os.makedirs(vd_dir)
+
+    def _write(d, rows):
+        spark.createDataFrame(rows, "uid long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.mode("append").parquet(d)
+
+    emitted: list = []
+
+    def run_once():
+        p = (
+            spark.readStream.schema("uid long, ts timestamp")
+            .parquet(pd_dir)
+            .select("uid", F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "10 minutes")
+        )
+        v = (
+            spark.readStream.schema("uid long, ts timestamp")
+            .parquet(vd_dir)
+            .select(
+                F.col("uid").alias("v_uid"), F.col("ts").alias("v_ts")
+            )
+            .withWatermark("v_ts", "10 minutes")
+        )
+        j = p.join(
+            v,
+            (F.col("uid") == F.col("v_uid"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "inner",
+        ).select("uid", "p_ts", "v_ts")
+        q = (
+            j.writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: purchase 12:00, view 11:50 → joins; watermark → 11:50
+    _write(pd_dir, [(1, "2024-01-01 12:00:00")])
+    _write(vd_dir, [(1, "2024-01-01 11:50:00")])
+    run_once()
+    assert [str(r["v_ts"]) for r in emitted] == ["2024-01-01 11:50:00"]
+    # batch 2: late view 11:40 (behind the 11:50 watermark → dropped)
+    # plus an on-time purchase/view pair
+    _write(pd_dir, [(1, "2024-01-01 12:30:00")])
+    _write(vd_dir, [(1, "2024-01-01 11:40:00"), (1, "2024-01-01 12:20:00")])
+    run_once()
+    got = sorted(str(r["v_ts"]) for r in emitted)
+    assert "2024-01-01 11:40:00" not in got, got  # late input dropped
+    assert "2024-01-01 12:20:00" in got, got  # on-time input joined

@@ -147,3 +147,23 @@ def fingerprint(
     return hashes.join(
         sketch, hashes[id_col] == sketch["_id"], "left_outer"
     ).select(id_col, "content_hash", "minhash")
+
+
+def linear_classifier(
+    features: list[tuple["F.Column", float]], bias: float
+) -> "F.Column":
+    """Model inference as a scan-side expression: logit = bias + sum
+    w_i * f_i, built strictly left-to-right in double precision so the
+    score is bit-identical on any engine.
+
+    The deployment shape for a distilled quality/langid classifier
+    (fasttext-style linear head) over a 100 TB corpus: the weights are
+    plan literals broadcast with the plan — no model server, no UDF, no
+    shuffle; scoring runs inside whole-stage codegen at scan speed.
+    Keep the logit raw (no sigmoid): monotone in the probability, and
+    ``exp()`` is not bit-portable across libm implementations.
+    """
+    z = F.lit(float(bias))
+    for col, w in features:
+        z = z + F.lit(float(w)) * col.cast("double")
+    return z

@@ -421,3 +421,86 @@ def q_text_redact(spark, sf_dir):
             F.min(F.md5("red")).alias("spot_hash"),
         )
     )
+
+
+# distilled-classifier literals: same weights on both engines
+_CLF_W = {"len100": 0.8, "stop": 2.0, "distinct": 1.5, "charlen": -0.1}
+_CLF_BIAS = -1.2
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+WITH tt AS (SELECT source, {TOKS} AS toks, text FROM documents),
+feat AS (
+  SELECT source,
+         len(toks) / 100.0 AS f_len,
+         len(list_filter(toks, x -> list_contains(
+             {_sql_list(STOPWORDS)}, lower(x)))) / len(toks) AS f_stop,
+         len(list_distinct(toks)) / len(toks) AS f_distinct,
+         length(text) / len(toks) AS f_charlen
+  FROM tt),
+s AS (
+  SELECT source,
+         round({_CLF_BIAS} + {_CLF_W['len100']} * f_len
+               + {_CLF_W['stop']} * f_stop
+               + {_CLF_W['distinct']} * f_distinct
+               + {_CLF_W['charlen']} * f_charlen, 6) AS logit
+  FROM feat),
+u AS (
+  SELECT source,
+         CASE WHEN logit >= 0 THEN 'keep' ELSE 'drop' END AS label,
+         CAST(round(logit * 1e6, 0) AS BIGINT) AS logit_u
+  FROM s)
+SELECT source, label, count(*) AS n_docs,
+       CAST(sum(logit_u) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)
+         AS mean_logit
+FROM u GROUP BY source, label
+""",
+    doc=(
+        "Model-based quality filtering (distilled linear classifier, "
+        "fasttext-style head): the weight vector rides the plan as "
+        "literals and the logit evaluates inside whole-stage codegen — "
+        "no model server, no UDF, no shuffle; classify-at-scan is the "
+        "only shape that scores 100 TB without an inference "
+        "bottleneck. Logit kept raw (sigmoid's exp() is not "
+        "bit-portable); per-class mean logit aggregated exactly via "
+        "integer micro-units."
+    ),
+)
+def q_quality_classifier(spark, sf_dir):
+    from typebus_spark.functions.text import tokens
+    from typebus_spark.operators.text_analysis import (
+        STOPWORDS,
+        linear_classifier,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    feats = [
+        (n_tok / F.lit(100.0), _CLF_W["len100"]),
+        (
+            F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS)))
+            / n_tok,
+            _CLF_W["stop"],
+        ),
+        (F.size(F.array_distinct(toks)) / n_tok, _CLF_W["distinct"]),
+        (F.length(F.col("text")) / n_tok, _CLF_W["charlen"]),
+    ]
+    logit = F.round(linear_classifier(feats, _CLF_BIAS), 6)
+    n = F.count(F.lit(1))
+    return (
+        docs.select(
+            "source",
+            F.when(logit >= 0, "keep").otherwise("drop").alias("label"),
+            F.round(logit * 1e6, 0).cast("long").alias("logit_u"),
+        )
+        .groupBy("source", "label")
+        .agg(
+            n.alias("n_docs"),
+            (F.sum("logit_u").cast("double") / 1e6 / n.cast("double")).alias(
+                "mean_logit"
+            ),
+        )
+    )
