@@ -94,3 +94,33 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
     assert pf and "event_type" in pf[0], plan
     n = back.count()
     assert n == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_range_partitioned_write_orders_files(spark, sf_dir, tmp_path):
+    """Time-ordered layout for time-series scans: repartitionByRange +
+    sortWithinPartitions gives globally range-partitioned files, so a
+    time-band query prunes to a contiguous file subset (the layout for
+    100 TB event history; formats with min/max file stats skip the
+    rest at planning time)."""
+    out = str(tmp_path / "by_range")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import pyspark.sql.functions as FF
+
+    back = spark.read.parquet(out)
+    # per input file: [min ts, max ts] — ranges must not overlap
+    spans = (
+        back.groupBy(FF.input_file_name().alias("f"))
+        .agg(FF.min("ts").alias("lo"), FF.max("ts").alias("hi"))
+        .collect()
+    )
+    spans = sorted([(r["lo"], r["hi"]) for r in spans])
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    assert back.count() == ev.count()

@@ -486,3 +486,71 @@ def semdedup(
             .alias("n_kept"),
         )
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level dedup with text RECONSTRUCTION (the C4-style
+    'remove duplicated spans' cleanup, complementing whole-doc dedup):
+    documents are split into fixed non-overlapping ``chunk_tokens``-token
+    chunks; any chunk appearing in ≥ ``min_docs`` distinct documents is
+    cut from every document, and the surviving chunks re-join in
+    position order.
+
+    Returns ``(id, n_chunks, n_removed, cleaned_text)``.
+
+    Scale shape: explode → one shuffle on the chunk key (map-side
+    partial distinct-count) → broadcast-able dup set joins back →
+    per-document regroup. State per reducer is bounded by chunk
+    frequency, and reconstruction shuffles each document's chunk list
+    once — no driver collects, no UDFs.
+    """
+    from typebus_spark.session import ensure_parallelism
+
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(chunk_tokens))
+    chunks = F.transform(
+        starts,
+        lambda i: F.array_join(F.slice(toks, i, chunk_tokens), " "),
+    )
+    ex = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(chunks).alias("pos", "chunk"),
+    )
+    dup = (
+        ex.groupBy("chunk")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("chunk", F.lit(1).alias("_dup"))
+    )
+    joined = ex.join(dup, "chunk", "left_outer").select(
+        "_id", "pos", "chunk", F.col("_dup").isNull().alias("kept")
+    )
+    cleaned = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk", "kept"))),
+                lambda x: x["kept"],
+            ),
+            lambda x: x["chunk"],
+        ),
+        " ",
+    )
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((~F.col("kept")).cast("int")).cast("long").alias(
+                "n_removed"
+            ),
+            cleaned.alias("cleaned_text"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

@@ -444,3 +444,50 @@ def q_dedup_embedding(spark, sf_dir):
         .filter(cos >= COS_THRESHOLD)
         .select("a", "b", F.round(cos, 6).alias("cos"))
     )
+
+
+@query(
+    "q_dedup_spans",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+ch0 AS (SELECT doc_id,
+               list_transform(range(1, len(toks) + 1, 20),
+                              i -> array_to_string(toks[i:i+19], ' '))
+                 AS chunks
+        FROM tt),
+ex AS (SELECT doc_id,
+              generate_subscripts(chunks, 1) - 1 AS pos,
+              unnest(chunks) AS chunk
+       FROM ch0),
+dup AS (SELECT chunk FROM ex GROUP BY chunk
+        HAVING count(DISTINCT doc_id) >= 2),
+j AS (SELECT ex.doc_id, ex.pos, ex.chunk,
+             (d.chunk IS NULL) AS kept
+      FROM ex LEFT JOIN dup d ON ex.chunk = d.chunk)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+                               ORDER BY pos), '')) AS cleaned_hash
+FROM j GROUP BY doc_id
+""",
+    doc=(
+        "Span-level dedup with reconstruction (C4-style duplicated-span "
+        "removal): fixed 20-token chunks, any chunk shared by >=2 docs "
+        "is cut everywhere, survivors re-join in position order — "
+        "explode + one chunk-key shuffle (map-side partial distinct) + "
+        "per-doc regroup; the rebuilt text is md5-verified against the "
+        "oracle, so the reconstruction itself is hash-checked."
+    ),
+)
+def q_dedup_spans(spark, sf_dir):
+    from typebus_spark.operators.dedup import dedup_spans
+
+    docs = t(spark, sf_dir, "documents")
+    out = dedup_spans(docs, "doc_id", "text", chunk_tokens=20, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_removed",
+        F.md5("cleaned_text").alias("cleaned_hash"),
+    )
