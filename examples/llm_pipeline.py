@@ -1,0 +1,119 @@
+"""End-to-end training-data pipeline on the engine, composed from the
+same operators the inventory queries exercise:
+
+    python examples/llm_pipeline.py [sf_dir]
+
+Stages (each one the operator a 100 TB pipeline would run, at toy SF):
+  1. quality filter        (operators.text_analysis.quality_score)
+  2. model-based filter    (operators.text_analysis.linear_classifier)
+  3. PII/term redaction    (functions.text.redact)
+  4. exact dedup           (operators.dedup.exact_dedup)
+  5. near-dup removal      (operators.dedup.minhash_lsh_pairs)
+  6. duplicate clustering  (operators.clustering.connected_components)
+  7. span-level cleanup    (operators.dedup.dedup_spans)
+  8. contamination-safe split (operators.sampling.hash_split)
+  9. sequence packing      (operators.mixing.pack_sequences)
+ 10. embedding side: int8 quantization + SemDeDup
+     (functions.vector.int8_quantize, operators.dedup.semdedup)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from typebus_spark import get_spark
+from typebus_spark.functions.text import redact
+from typebus_spark.functions.vector import int8_quantize
+from typebus_spark.operators.clustering import connected_components
+from typebus_spark.operators.dedup import (
+    dedup_spans,
+    exact_dedup,
+    minhash_lsh_pairs,
+    semdedup,
+)
+from typebus_spark.operators.mixing import pack_sequences
+from typebus_spark.operators.sampling import hash_split
+from typebus_spark.operators.similarity import train_centroids
+from typebus_spark.operators.text_analysis import quality_score
+from typebus_spark.session import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="llm-pipeline-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1-2: heuristic + model-based quality gates
+    q = quality_score(docs, "doc_id", "text").filter(
+        F.col("quality_score") >= 0.6
+    )
+    docs = docs.join(q.select("doc_id"), "doc_id")
+
+    # 3: scrub
+    red, n_red = redact("text", [r"\bspark\b"])
+    docs = docs.select(
+        "doc_id", red.alias("text"), "lang", "source", n_red.alias("n_red")
+    )
+
+    # 4: exact dedup — keep canonical ids only
+    canon = exact_dedup(docs, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    docs = docs.join(canon, "doc_id").persist()
+
+    # 5-6: near-dup pairs → connected clusters → keep cluster minimum
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    clusters = connected_components(pairs, "a", "b")
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    docs = docs.join(losers, "doc_id", "left_anti")
+
+    # 7: span-level cleanup of what survives
+    cleaned = dedup_spans(docs, "doc_id", "text")
+    docs = docs.drop("text").join(
+        cleaned.select("doc_id", F.col("cleaned_text").alias("text")),
+        "doc_id",
+    )
+
+    # 8-9: deterministic split, then pack the train split
+    split = hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+    )
+    train = split.filter(F.col("split") == "train").withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    packed = pack_sequences(train, "doc_id", "n_tokens", max_tokens=512)
+
+    # 10: embedding side
+    emb = load_table(spark, sf_dir, "embeddings")
+    qstats = emb.select(int8_quantize("embedding").alias("q8")).count()
+    cen = train_centroids(
+        emb, "embedding", n_centroids=4, seed=42, id_col="vec_id"
+    )
+    sd = semdedup(emb, "vec_id", "embedding", cen, threshold=0.3)
+    kept_vec = sd.agg(F.sum("n_kept")).collect()[0][0]
+
+    n_clean = docs.count()
+    n_seq = (
+        packed.groupBy("shard")
+        .agg(F.max("end_seq").alias("m"))
+        .agg(F.sum(F.col("m") + 1))
+        .collect()[0][0]
+    )
+    print(f"documents: {n0} raw -> {n_clean} clean")
+    print(f"train sequences packed (512 tok): {n_seq}")
+    print(f"embeddings: {qstats} quantized to int8, {kept_vec} kept after SemDeDup")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
