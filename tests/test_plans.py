@@ -162,3 +162,9 @@ def test_quantize_and_redact_are_scan_side(spark, sf_dir):
 def test_skew_report_prunes_columns(spark, sf_dir):
     rs = " ".join(scan_read_schemas(_df(spark, sf_dir, "q_skew_key_report")))
     assert "props" not in rs and "value" not in rs, rs
+
+
+def test_unpivot_adds_no_shuffle(spark, sf_dir):
+    # melt is a projection (Expand): the only exchange is the pivot agg
+    plan = formatted_plan(_df(spark, sf_dir, "q_unpivot_activity"))
+    assert plan.count("Exchange") == 2, plan  # one node, named twice

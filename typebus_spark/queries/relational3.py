@@ -629,3 +629,51 @@ def q21_sole_late_supplier(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q_unpivot_activity",
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS n_purchase,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click
+  FROM events GROUP BY user_id)
+SELECT user_id, kind, CAST(n AS BIGINT) AS n
+FROM m
+UNPIVOT (n FOR kind IN (n_purchase, n_view, n_click))
+""",
+    doc=(
+        "UNPIVOT/melt (the wide→long inverse of q_pivot_activity): the "
+        "per-user activity matrix melts back to (user, kind, n) rows "
+        "via DataFrame.unpivot — a zero-shuffle projection (each wide "
+        "row expands in place), so melting a 100 TB feature matrix is "
+        "scan-bound. UNPIVOT semantics drop NULL cells; the matrix is "
+        "built with zero-filled counts so nothing is silently lost."
+    ),
+)
+def q_unpivot_activity(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    kinds = ["purchase", "view", "click"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(k), F.lit(0))
+                .cast("long")
+                .alias(f"n_{k}")
+                for k in kinds
+            ],
+        )
+    )
+    return wide.unpivot(
+        ["user_id"],
+        [f"n_{k}" for k in kinds],
+        "kind",
+        "n",
+    )
