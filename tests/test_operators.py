@@ -253,3 +253,66 @@ def test_connected_components_chain_clique_and_pair(spark):
         (20, 20), (21, 20),
     }
     assert got == want
+
+
+def test_int8_quantize_roundtrip_error_bound(spark):
+    """Per-element reconstruction error must be <= scale/254 (half an
+    int8 step) for every vector, and a zero vector must quantize to
+    exact zeros."""
+    import random
+
+    import pyspark.sql.functions as FF
+
+    from typebus_spark.functions.vector import int8_dequantize, int8_quantize
+
+    rng = random.Random(7)
+    rows = [
+        ([rng.uniform(-2.0, 2.0) for _ in range(16)],) for _ in range(200)
+    ] + [([0.0] * 16,)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    qs = int8_quantize("v")
+    deq = int8_dequantize(qs)
+    err = FF.zip_with("v", deq, lambda x, y: FF.abs(x - y))
+    bad = df.select(
+        qs.getField("scale").alias("s"),
+        FF.array_max(err).alias("e"),
+    ).filter(FF.col("e") > FF.col("s") / 254.0 + 1e-9)
+    assert bad.count() == 0
+    zero = df.filter(FF.array_max(FF.transform("v", FF.abs)) == 0).select(
+        FF.array_max(FF.transform(qs.getField("q"), FF.abs)).alias("m")
+    ).collect()
+    assert all(r["m"] == 0 for r in zero)
+
+
+def test_dedup_spans_identity_without_cross_doc_dups(spark):
+    """With an unreachable min_docs the reconstruction must be exactly
+    the input text (single-space tokenized), and nothing is removed."""
+    from typebus_spark.operators.dedup import dedup_spans
+
+    rows = [
+        (1, "alpha beta gamma delta " * 10 + "tail"),
+        (2, "one two three four five " * 8 + "end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_spans(df, "doc_id", "text", chunk_tokens=5, min_docs=99)
+    got = {r["doc_id"]: r for r in out.collect()}
+    for i, txt in rows:
+        assert got[i]["n_removed"] == 0
+        assert got[i]["cleaned_text"] == txt
+
+
+def test_dedup_spans_removes_shared_chunks(spark):
+    """A chunk shared verbatim by two docs is cut from BOTH."""
+    from typebus_spark.operators.dedup import dedup_spans
+
+    shared = "s1 s2 s3 s4 s5"
+    rows = [
+        (1, shared + " a1 a2 a3 a4 a5"),
+        (2, shared + " b1 b2 b3 b4 b5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_spans(df, "doc_id", "text", chunk_tokens=5, min_docs=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_removed"] == 1 and got[2]["n_removed"] == 1
+    assert got[1]["cleaned_text"] == "a1 a2 a3 a4 a5"
+    assert got[2]["cleaned_text"] == "b1 b2 b3 b4 b5"
