@@ -77,12 +77,20 @@ def jaccard_pairs(
     shingle_n: int = 8,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """EXACT shingle-set Jaccard ≥ threshold pairs (a < b).
+    """EXACT shingle-set similarity ≥ threshold pairs (a < b).
 
-    Any pair with Jaccard > 0 shares ≥1 shingle, so the inverted-index
-    join loses nothing. Plan: explode (narrow) → shuffle on shingle →
-    pair-count agg → join per-doc sizes (broadcast-able) → filter.
+    ``metric="jaccard"`` scores |A∩B|/|A∪B| (near-duplicate detection);
+    ``metric="containment"`` scores |A∩B|/min(|A|,|B|) — whether the
+    smaller document is essentially a SUBSET of the larger (quote /
+    excerpt / wrapper-page detection, which Jaccard misses when sizes
+    differ a lot). Same index, same plan, different final ratio.
+
+    Any pair with similarity > 0 shares ≥1 shingle, so the
+    inverted-index join loses nothing. Plan: explode (narrow) → shuffle
+    on shingle → pair-count agg → join per-doc sizes (broadcast-able)
+    → filter.
     """
     from pyspark import StorageLevel
 
@@ -112,19 +120,42 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("_id").alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("_id").alias("b"), F.col("n_sh").alias("nb"))
+    if metric == "containment":
+        score = F.col("shared") / F.least(F.col("na"), F.col("nb"))
+    elif metric == "jaccard":
+        score = F.col("shared") / (
+            F.col("na") + F.col("nb") - F.col("shared")
+        )
+    else:
+        raise ValueError("metric must be 'jaccard' or 'containment'")
     return (
         shared.join(sa, "a")
         .join(sb, "b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared")
-                / (F.col("na") + F.col("nb") - F.col("shared")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        .withColumn(metric, F.round(score, 6))
+        .filter(F.col(metric) >= threshold)
+        .select("a", "b", metric)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Subset/excerpt detection: pairs where the smaller document's
+    shingle set is ≥ ``threshold`` contained in the larger's (see
+    :func:`jaccard_pairs` ``metric="containment"``)."""
+    return jaccard_pairs(
+        df,
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+        metric="containment",
     )
 
 

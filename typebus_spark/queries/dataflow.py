@@ -1152,3 +1152,40 @@ def q_retry_drain_shed(spark, sf_dir):
         .groupBy("topic")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_asof_forward",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+     e AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'error')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       e.ts AS r_ts, e.event_id AS r_event_id
+FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.ts >= p.ts
+""",
+    doc=(
+        "FORWARD as-of join (the time-to-next-event direction of "
+        "q_asof_enrich): each purchase matched to the user's NEXT error "
+        "at or after it — e.g. purchase-to-failure attribution. Same "
+        "union+window single-shuffle plan as backward; only the window "
+        "direction flips, so there is still no range explosion."
+    ),
+)
+def q_asof_forward(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+    )

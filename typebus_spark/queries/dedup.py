@@ -491,3 +491,42 @@ def q_dedup_spans(spark, sf_dir):
         "n_removed",
         F.md5("cleaned_text").alias("cleaned_hash"),
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest({_shingles_sql(NEAR_N)}) AS shingle FROM tt),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT s.a, s.b,
+       round(s.shared / least(sa.n_sh, sb.n_sh), 6) AS containment
+FROM shared s
+JOIN sizes sa ON s.a = sa.doc_id
+JOIN sizes sb ON s.b = sb.doc_id
+WHERE s.shared / least(sa.n_sh, sb.n_sh) >= 0.8
+""",
+    doc=(
+        "Containment (subset) detection: pairs where the smaller "
+        "document's 8-gram shingle set is >=80%% contained in the "
+        "larger's — catches quotes/excerpts/wrapper pages that Jaccard "
+        "misses when document sizes differ a lot. Same inverted shingle "
+        "index and plan as q_dedup_near_jaccard; only the final ratio "
+        "changes."
+    ),
+)
+def q_dedup_containment(spark, sf_dir):
+    from typebus_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=NEAR_N,
+        threshold=0.8,
+    )
