@@ -215,3 +215,56 @@ def repetition_stats(
         .cast("long")
         .alias("n_repeated"),
     )
+
+
+def bigram_logprob(
+    df: "DataFrame",
+    group_col: str,
+    text_col: str,
+) -> "DataFrame":
+    """Statistical-LM quality signal (the KenLM-perplexity-filter shape,
+    CCNet/Gopher style, at bigram order): score every bigram by its
+    Laplace-smoothed corpus probability ln((C(w1,w2)+1)/(C(w1)+V)) and
+    aggregate the mean log-probability per ``group_col``.
+
+    Scale shape: the model IS two corpus aggregates (unigram + bigram
+    counts) joined back onto the exploded bigram stream — counts
+    shuffle once each on their key, the vocab size rides along as a
+    broadcast scalar, and every ln() is fixed to integer nano-units
+    per bigram BEFORE the final sum, so the group aggregate is exact
+    and partitioning-invariant (a raw double sum would depend on
+    reduce order).
+    """
+    from typebus_spark.functions.text import shingles, tokens
+    from typebus_spark.session import ensure_parallelism
+
+    toks = tokens(text_col)
+    base = ensure_parallelism(df.select(F.col(group_col), F.col(text_col)))
+    ex = base.select(
+        F.col(group_col), F.explode(shingles(toks, 2)).alias("bg")
+    )
+    uni = base.select(F.explode(toks).alias("w"))
+    ugc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.countDistinct("w").alias("vs"))
+    bgc = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    lp = F.log(
+        (F.col("c2") + 1).cast("double")
+        / (F.col("c1") + F.col("vs")).cast("double")
+    )
+    scored = (
+        ex.join(bgc, "bg")
+        .withColumn("w", F.substring_index(F.col("bg"), " ", 1))
+        .join(ugc, "w")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(group_col),
+            F.round(lp * 1e9, 0).cast("long").alias("lp_u"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy(group_col).agg(
+        n.alias("n_bigrams"),
+        F.round(
+            F.sum("lp_u").cast("double") / 1e9 / n.cast("double"), 6
+        ).alias("avg_logprob"),
+    )

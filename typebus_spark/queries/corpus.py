@@ -341,3 +341,41 @@ FROM tt
 )
 def q_repetition_stats(spark, sf_dir):
     return repetition_stats(t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+@query(
+    "q_bigram_logprob",
+    oracle=f"""
+WITH tt AS (SELECT source, {TOKS} AS toks FROM documents),
+ex AS (SELECT source, unnest({_shingles_sql(2)}) AS bg FROM tt),
+uni AS (SELECT unnest(toks) AS w FROM tt),
+ugc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+v AS (SELECT count(DISTINCT w) AS vs FROM uni),
+bgc AS (SELECT bg, count(*) AS c2 FROM ex GROUP BY bg),
+scored AS (
+  SELECT source,
+         CAST(round(ln(CAST(c2 + 1 AS DOUBLE)
+                       / CAST(c1 + vs AS DOUBLE)) * 1e9, 0) AS BIGINT)
+           AS lp_u
+  FROM ex
+  JOIN bgc USING (bg)
+  JOIN ugc ON string_split(bg, ' ')[1] = ugc.w
+  CROSS JOIN v)
+SELECT source, count(*) AS n_bigrams,
+       round(CAST(sum(lp_u) AS DOUBLE) / 1e9
+             / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+FROM scored GROUP BY source
+""",
+    doc=(
+        "Statistical-LM quality scoring (KenLM-perplexity-filter shape, "
+        "CCNet/Gopher style, bigram order): Laplace-smoothed corpus "
+        "bigram model scored per source. The model is two corpus "
+        "aggregates joined back onto the bigram stream; each ln() is "
+        "fixed to integer nano-units per bigram before summation so "
+        "the aggregate is exact and partitioning-invariant."
+    ),
+)
+def q_bigram_logprob(spark, sf_dir):
+    from typebus_spark.operators.corpus_stats import bigram_logprob
+
+    return bigram_logprob(t(spark, sf_dir, "documents"), "source", "text")
