@@ -39,7 +39,10 @@ from typebus_spark.operators.dedup import (
 from typebus_spark.operators.mixing import pack_sequences
 from typebus_spark.operators.sampling import hash_split
 from typebus_spark.operators.similarity import train_centroids
-from typebus_spark.operators.text_analysis import quality_score
+from typebus_spark.operators.text_analysis import (
+    linear_classifier,
+    quality_score,
+)
 from typebus_spark.session import load_table
 
 
@@ -51,11 +54,22 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1-2: heuristic + model-based quality gates
+    # 1: heuristic quality gate
     q = quality_score(docs, "doc_id", "text").filter(
         F.col("quality_score") >= 0.6
     )
     docs = docs.join(q.select("doc_id"), "doc_id")
+
+    # 2: model-based gate (distilled linear head, weights as literals)
+    toks = F.split(F.trim("text"), r"\s+")
+    logit = linear_classifier(
+        [
+            (F.size(toks) / F.lit(100.0), 0.8),
+            (F.size(F.array_distinct(toks)) / F.size(toks), 1.5),
+        ],
+        bias=-1.2,
+    )
+    docs = docs.filter(logit >= -2.0)
 
     # 3: scrub
     red, n_red = redact("text", [r"\bspark\b"])
@@ -93,9 +107,19 @@ def main() -> None:
     )
     packed = pack_sequences(train, "doc_id", "n_tokens", max_tokens=512)
 
-    # 10: embedding side
+    # 10: embedding side — aggregate over the quantized struct so the
+    # quantization expression actually executes (a bare count would let
+    # Catalyst prune it away)
     emb = load_table(spark, sf_dir, "embeddings")
-    qstats = emb.select(int8_quantize("embedding").alias("q8")).count()
+    qrow = (
+        emb.select(int8_quantize("embedding").alias("q8"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col("q8.scale")), 4).alias("avg_scale"),
+        )
+        .collect()[0]
+    )
+    qstats = f"{qrow['n']} (avg int8 scale {qrow['avg_scale']})"
     cen = train_centroids(
         emb, "embedding", n_centroids=4, seed=42, id_col="vec_id"
     )

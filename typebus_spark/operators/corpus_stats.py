@@ -234,6 +234,16 @@ def bigram_logprob(
     per bigram BEFORE the final sum, so the group aggregate is exact
     and partitioning-invariant (a raw double sum would depend on
     reduce order).
+
+    ln() portability: transcendentals are not bit-identical across
+    libm implementations (1-2 ulp), so individual nano-unit fixes CAN
+    flip by ±1 between engines near a .5 boundary. The design absorbs
+    this: a ±k-unit drift in the summed nano-units moves the final
+    ``round(sum/1e9/n, 6)`` by ~k·1e-9/n — twelve orders of magnitude
+    below the 6-decimal rounding step — so the oracled output is
+    stable unless the mean itself sits within ~1e-12 of a rounding
+    boundary (measure-zero in float data). Contrast
+    ``round(sum(double))`` on raw doubles, which the repo bans.
     """
     from typebus_spark.functions.text import shingles, tokens
     from typebus_spark.session import ensure_parallelism

@@ -393,3 +393,45 @@ def q_semdedup(spark, sf_dir):
         "n_dropped",
         "n_kept",
     )
+
+
+@query(
+    "q_knn_ivf_kmeans",
+    oracle=None,  # k-means|| init is JVM-seeded → engine-specific
+    doc=(
+        "IVF ANN over a REAL trained codebook: pyspark.ml KMeans "
+        "(distributed Lloyd's, k-means|| init) trains the centroids, "
+        "then the same ivf_topk bucketed probe runs. The trainer is "
+        "JVM-seeded so the codebook is not engine-reproducible → "
+        "rows-only here; approximation QUALITY is gated in "
+        "tests/test_ann_recall.py (k-means recall must match or beat "
+        "the oracle-checkable prefix-pick codebook)."
+    ),
+)
+def q_knn_ivf_kmeans(spark, sf_dir):
+    from typebus_spark.operators.similarity import train_centroids_kmeans
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = train_centroids_kmeans(
+        e, "embedding", n_centroids=IVF_N_CEN, seed=IVF_SEED
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_topk(
+        q,
+        e.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("corpus_vec"),
+        ),
+        k=K,
+        centroids=centroids,
+        nprobe=IVF_NPROBE,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "cos",
+    )

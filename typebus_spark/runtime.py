@@ -786,6 +786,14 @@ def drain_batches(
     # that lands PAST the decode, so terminal outputs (done/dead-letter/
     # trace topics) and the round-1 retry snapshot all scan decoded rows
     # — the decode runs exactly once per drain, not once per branch.
+    if buffer_size is not None and buffer_order is None:
+        # validate BEFORE the first round: a workload whose first batch
+        # happens not to retry would otherwise silently never shed
+        raise ValueError(
+            "buffer_size requires buffer_order (a column over the "
+            "decoded retry rows to rank newest-first, e.g. "
+            "payload.<sequence field>)"
+        )
     now = now_epoch
     feedback: dict[str, DataFrame] | None = None
     for _ in range(max_rounds):
@@ -814,12 +822,6 @@ def drain_batches(
             if buffer_size is not None:
                 from typebus_spark.streaming.retry import drop_head
 
-                if buffer_order is None:
-                    raise ValueError(
-                        "buffer_size requires buffer_order (a column "
-                        "over the decoded retry rows to rank newest-"
-                        "first, e.g. payload.<sequence field>)"
-                    )
                 df = drop_head(df, buffer_size, buffer_order)
             par = df.sparkSession.sparkContext.defaultParallelism
             # lazy checkpoint + count: ONE job materializes the queue

@@ -158,8 +158,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     key = (id(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     # identity check guards against id() reuse after a session is GC'd
-    if cached is not None and cached[0] is spark:
-        return cached[1]
+    if cached is not None:
+        if cached[0] is spark:
+            return cached[1]
+        del _TABLE_CACHE[key]  # stale entry from a recycled id()
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         df = spark.read.parquet(path)
@@ -173,5 +175,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(ts DIV 1000)")
             )
+    # A cached DataFrame strongly references its session, so entries
+    # from stopped sessions can't be reclaimed by GC while cached —
+    # bound the cache instead: past 256 entries (a process cycling many
+    # sessions), keep only the CURRENT session's tables.
+    if len(_TABLE_CACHE) >= 256:
+        for k in [k for k in _TABLE_CACHE if k[0] != id(spark)]:
+            del _TABLE_CACHE[k]
     _TABLE_CACHE[key] = (spark, df)
     return df
