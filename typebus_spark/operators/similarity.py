@@ -277,6 +277,7 @@ def train_centroids_kmeans(
     n_centroids: int,
     seed: int = 42,
     max_iter: int = 10,
+    max_train_rows: int = 5000,
 ) -> list[list[float]]:
     """Production IVF codebook: real Lloyd's iterations via pyspark.ml
     KMeans (k-means|| init) — distributed E/M steps, only the k
@@ -291,6 +292,15 @@ def train_centroids_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # Codebooks train fine on a subsample (k << rows): cap the Lloyd's
+    # input with a seeded sample so training cost stays bounded as the
+    # corpus grows — the standard IVF practice (train on ~1e3-1e6
+    # vectors, assign the full corpus).
+    total = corpus.count()
+    if max_train_rows and total > max_train_rows:
+        corpus = corpus.sample(
+            fraction=min(1.0, max_train_rows / total), seed=seed
+        )
     feats = corpus.select(
         array_to_vector(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
