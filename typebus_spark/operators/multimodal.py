@@ -216,3 +216,58 @@ def frame_sample(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def audio_chunks(
+    media: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """Audio chunking plan: one row per 1-second window of the (pseudo)
+    decoded waveform — the fixed-window segmentation stage a speech
+    pipeline runs before per-chunk feature extraction (the real decode
+    of each chunk is the stubbed decode stage's job, exactly like
+    ``frame_sample`` for video).
+
+    Pure JVM expressions end to end: the stand-in audio header
+    (sample rate 8/12/16 kHz, 1-10 s duration + a partial tail) derives
+    deterministically from sha256(blob) bytes — same spec style as
+    ``_fake_decode`` — so window boundaries explode scan-side with no
+    UDF and the whole plan is engine-mirrorable (oracle-checkable).
+    """
+
+    def byte(i: int):
+        return F.conv(
+            F.substring(F.sha2(F.col(f"{media_col}.blob"), 256), 2 * i + 1, 2),
+            16,
+            10,
+        ).cast("int")
+
+    sr = (F.lit(8000) + (byte(0) % 3) * 4000).alias("sample_rate")
+    n_samples = (
+        (F.lit(8000) + (byte(0) % 3) * 4000) * (1 + (byte(1) % 10))
+        + (byte(2) % 997) * 7
+    )
+    base = media.select(
+        F.col(id_col),
+        sr,
+        n_samples.alias("n_samples"),
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_samples") - 1, F.col("sample_rate")
+            )
+        ).alias("start_sample"),
+        "n_samples",
+    ).select(
+        F.col(id_col),
+        "sample_rate",
+        F.expr("start_sample DIV sample_rate").alias("chunk_idx"),
+        F.least(
+            F.col("sample_rate"),
+            F.col("n_samples") - F.col("start_sample"),
+        )
+        .cast("long")
+        .alias("n_in_chunk"),
+    )

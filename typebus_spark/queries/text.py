@@ -504,3 +504,48 @@ def q_quality_classifier(spark, sf_dir):
             ),
         )
     )
+
+
+def _audio_chunks_oracle() -> str:
+    """Mirror of operators/multimodal.py:audio_chunks — the pseudo audio
+    header derives from sha256 bytes, window starts from range()."""
+
+    def byte(i: int) -> str:
+        return f"('0x' || substr(sha256(text), {2 * i + 1}, 2))::INT"
+
+    return f"""
+WITH hdr AS (
+  SELECT doc_id,
+         8000 + ({byte(0)} % 3) * 4000 AS sample_rate,
+         (8000 + ({byte(0)} % 3) * 4000) * (1 + ({byte(1)} % 10))
+           + ({byte(2)} % 997) * 7 AS n_samples
+  FROM documents)
+SELECT doc_id,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       start_sample // sample_rate AS chunk_idx,
+       CAST(least(sample_rate, n_samples - start_sample) AS BIGINT)
+         AS n_in_chunk
+FROM (SELECT doc_id, sample_rate, n_samples,
+             unnest(range(0, n_samples, sample_rate)) AS start_sample
+      FROM hdr)
+"""
+
+
+@query(
+    "q_multimodal_audio_chunks",
+    oracle=_audio_chunks_oracle(),
+    doc=(
+        "Audio chunking stage (completes the image/video/audio modality "
+        "matrix): 1-second window boundaries per blob, exploded as pure "
+        "sequence expressions from a deterministic pseudo header "
+        "(sha256-derived sample rate/duration, same spec style as the "
+        "stubbed decode) — no UDF, no shuffle; per-chunk decode is the "
+        "stub decoder's job. Window math is hash-checked end to end."
+    ),
+)
+def q_multimodal_audio_chunks(spark, sf_dir):
+    from typebus_spark.operators.multimodal import attach_blob, audio_chunks
+
+    docs = t(spark, sf_dir, "documents")
+    media = attach_blob(docs, "text", "audio/wav", "doc_id")
+    return audio_chunks(media, "doc_id")
