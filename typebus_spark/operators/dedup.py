@@ -585,3 +585,72 @@ def dedup_spans(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def incremental_dedup(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental ingestion dedup: admit only NEW-batch documents that
+    are neither exact copies nor near-duplicates of the EXISTING corpus
+    — without ever re-pairing the corpus against itself.
+
+    The production shape for continuous ingestion at 100 TB: per batch,
+    cost is (a) one anti-join of the delta's content hashes against the
+    corpus hash index and (b) one inverted-index join of the delta's
+    shingles against the corpus shingle index — both proportional to
+    the DELTA (plus index probe), never corpus². In a real deployment
+    the two corpus indexes are materialized tables maintained
+    incrementally; here they derive from the corpus frame.
+
+    Returns the admitted delta rows with an ``admit_reason`` of
+    ``'new'``, plus rejected rows tagged ``'exact_dup'`` /
+    ``'near_dup'`` — callers filter or audit.
+    """
+    d_hash = delta.select(
+        F.col(id_col), F.md5(norm_text(text_col)).alias("_h")
+    )
+    c_hash = corpus.select(
+        F.md5(norm_text(text_col)).alias("_h")
+    ).distinct()
+    exact_dups = d_hash.join(c_hash, "_h", "left_semi").select(id_col)
+
+    d_sh = distinct_shingles(delta, id_col, text_col, shingle_n)
+    d_sizes = d_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("nd"))
+    c_sh = distinct_shingles(corpus, id_col, text_col, shingle_n)
+    c_sizes = c_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("nc"))
+    shared = (
+        d_sh.select(F.col("_id").alias("d"), "shingle")
+        .join(c_sh.select(F.col("_id").alias("c"), "shingle"), "shingle")
+        .groupBy("d", "c")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    near = (
+        shared.join(d_sizes.select(F.col("_id").alias("d"), "nd"), "d")
+        .join(c_sizes.select(F.col("_id").alias("c"), "nc"), "c")
+        .filter(
+            F.col("shared")
+            / (F.col("nd") + F.col("nc") - F.col("shared"))
+            >= threshold
+        )
+        .select(F.col("d").alias(id_col))
+        .distinct()
+    )
+    tagged = (
+        delta.join(
+            exact_dups.withColumn("_exact", F.lit(1)), id_col, "left_outer"
+        )
+        .join(near.withColumn("_near", F.lit(1)), id_col, "left_outer")
+        .withColumn(
+            "admit_reason",
+            F.when(F.col("_exact").isNotNull(), "exact_dup")
+            .when(F.col("_near").isNotNull(), "near_dup")
+            .otherwise("new"),
+        )
+        .drop("_exact", "_near")
+    )
+    return tagged

@@ -530,3 +530,67 @@ def q_dedup_containment(spark, sf_dir):
         shingle_n=NEAR_N,
         threshold=0.8,
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+dh AS (SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+       FROM delta),
+chs AS (SELECT DISTINCT
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+        FROM corpus),
+dt AS (SELECT doc_id, {TOKS} AS toks FROM delta),
+ct AS (SELECT doc_id, {TOKS} AS toks FROM corpus),
+dsh AS (SELECT DISTINCT doc_id,
+               unnest({_shingles_sql(NEAR_N)}) AS shingle FROM dt),
+csh AS (SELECT DISTINCT doc_id,
+               unnest({_shingles_sql(NEAR_N)}) AS shingle FROM ct),
+dsz AS (SELECT doc_id, count(*) AS nd FROM dsh GROUP BY doc_id),
+csz AS (SELECT doc_id, count(*) AS nc FROM csh GROUP BY doc_id),
+shared AS (
+  SELECT d.doc_id AS d, c.doc_id AS c, count(*) AS s
+  FROM dsh d JOIN csh c ON d.shingle = c.shingle
+  GROUP BY 1, 2),
+near AS (
+  SELECT DISTINCT s.d AS doc_id
+  FROM shared s
+  JOIN dsz ON s.d = dsz.doc_id
+  JOIN csz ON s.c = csz.doc_id
+  WHERE s.s / (dsz.nd + csz.nc - s.s) >= {NEAR_THRESHOLD})
+SELECT CASE WHEN dh.h IN (SELECT h FROM chs) THEN 'exact_dup'
+            WHEN dh.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+            ELSE 'new' END AS admit_reason,
+       count(*) AS n_docs
+FROM dh GROUP BY 1
+""",
+    doc=(
+        "INCREMENTAL ingestion dedup (delta vs existing corpus, the "
+        "continuous-ingestion shape): each batch is admitted only if "
+        "neither an exact copy (anti-join on the corpus content-hash "
+        "index) nor a near-dup (delta shingles probed against the "
+        "corpus shingle index) — per-batch cost proportional to the "
+        "DELTA plus index probe, never corpus². The 20%% newest ids "
+        "play the delta; admit/reject tallies are hash-checked."
+    ),
+)
+def q_dedup_incremental(spark, sf_dir):
+    from typebus_spark.operators.dedup import incremental_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    tagged = incremental_dedup(
+        delta,
+        corpus,
+        "doc_id",
+        "text",
+        shingle_n=NEAR_N,
+        threshold=NEAR_THRESHOLD,
+    )
+    return tagged.groupBy("admit_reason").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
