@@ -77,3 +77,29 @@ def compact_partitions(
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
+
+
+def zorder_key(a, b, bits: int = 8):
+    """Z-order (Morton) key interleaving the low ``bits`` of two integer
+    columns — sort/range-partition by this key and BOTH dimensions get
+    locality, so files carry tight min/max ranges on a AND b and a scan
+    filtered on either dimension prunes most files (the Delta/Iceberg
+    OPTIMIZE ZORDER technique, as a pure expression).
+
+    Unrolled to ``2*bits`` literal bit ops — engine-portable exact
+    integer math, no UDF.
+    """
+    import pyspark.sql.functions as FF
+
+    ac = FF.col(a) if isinstance(a, str) else a
+    bc = FF.col(b) if isinstance(b, str) else b
+    z = FF.lit(0).cast("long")
+    for i in range(bits):
+        # disjoint bit positions → plain addition IS the bitwise OR
+        # (pyspark's Column `|` is logical OR, not bitwise)
+        z = (
+            z
+            + (ac.bitwiseAND(FF.lit(1 << i)).cast("long") * (1 << i))
+            + (bc.bitwiseAND(FF.lit(1 << i)).cast("long") * (1 << (i + 1)))
+        )
+    return z

@@ -198,3 +198,54 @@ def q_skew_key_report(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("rank", "user_id", "n_events", "share_ppm", "cum_ppm")
     )
+
+
+def _zorder_sql(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} & {1 << i}) * {1 << i})")
+        terms.append(f"(({b} & {1 << i}) * {1 << (i + 1)})")
+    return " + ".join(terms)
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+WITH k AS (
+  SELECT (user_id % 256) AS ub,
+         CAST(hour(ts) AS BIGINT) AS hb
+  FROM events),
+z AS (SELECT ub, hb, {_zorder_sql('ub', 'hb')} AS zkey FROM k)
+SELECT zkey // 4096 AS zbucket,
+       count(*) AS n,
+       min(ub) AS min_ub, max(ub) AS max_ub,
+       min(hb) AS min_hb, max(hb) AS max_hb
+FROM z GROUP BY 1
+""",
+    doc=(
+        "Z-order (Morton) layout key: interleave user-bucket and "
+        "hour-of-day bits as a pure integer expression, then bucket by "
+        "key range — every bucket shows TIGHT min/max on BOTH "
+        "dimensions simultaneously (the Delta/Iceberg OPTIMIZE ZORDER "
+        "effect: range-partitioned files prune on either filter "
+        "column). Exact bit math, engine-portable, no UDF."
+    ),
+)
+def q_zorder_layout(spark, sf_dir):
+    from typebus_spark.operators.sink import zorder_key
+
+    ev = t(spark, sf_dir, "events")
+    k = ev.select(
+        (F.col("user_id") % 256).alias("ub"),
+        F.hour("ts").cast("long").alias("hb"),
+    )
+    z = k.select(
+        "ub", "hb", zorder_key("ub", "hb").alias("zkey")
+    )
+    return z.groupBy(F.expr("zkey DIV 4096").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ub").alias("min_ub"),
+        F.max("ub").alias("max_ub"),
+        F.min("hb").alias("min_hb"),
+        F.max("hb").alias("max_hb"),
+    )
