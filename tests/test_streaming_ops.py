@@ -441,3 +441,47 @@ def test_drain_buffer_requires_order(spark):
     )
     with _pytest.raises(ValueError, match="buffer_order"):
         drain_batches(svc, raw, buffer_size=1)
+
+
+def test_drain_shed_buffer_keeps_newest_only(spark):
+    """buffer_size=2 on a 10-deep retry queue: only the two newest
+    (by payload sequence) re-inject and complete; the rest shed
+    silently (no dead-letters — shedding is not failure)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from typebus_spark.codec.envelope import encode_envelope
+    from typebus_spark.registry import RetryPolicy, Service
+    from typebus_spark.runtime import DEAD_LETTER_TOPIC, drain_batches
+
+    payload = StructType([StructField("seq", LongType())])
+    svc = Service("shed-test")
+    svc.declare_type("api.T", payload)
+    svc.declare_type("api.T.done", payload)
+
+    def handler(df):
+        attempt = F.coalesce(
+            F.col("meta.extra").getItem("attempt").cast("int"), F.lit(0)
+        )
+        return df.select(
+            "meta",
+            "seq",
+            F.when(attempt < 1, F.lit("transient")).alias("_error"),
+        )
+
+    svc.register_stream("api.T", "api.T.done", handler, retry=RetryPolicy(2, 1.0))
+    raw = encode_envelope(
+        spark.createDataFrame([(i,) for i in range(10)], "seq long"), "api.T"
+    )
+    res = drain_batches(
+        svc, raw, buffer_size=2, buffer_order=F.col("payload.seq")
+    )
+    rows = res.union_all().collect()
+    import json as _json
+
+    done = [
+        _json.loads(bytes(r["value"]))["payload"]["seq"]
+        for r in rows
+        if r["topic"] == "api.T.done"
+    ]
+    assert sorted(done) == [8, 9]  # newest two survived the buffer
+    assert not [r for r in rows if r["topic"] == DEAD_LETTER_TOPIC]
