@@ -249,3 +249,39 @@ def q_zorder_layout(spark, sf_dir):
         F.min("hb").alias("min_hb"),
         F.max("hb").alias("max_hb"),
     )
+
+
+@query(
+    "q_map_aggregate",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       '{' || string_agg('"' || event_type || '":' || n, ','
+                         ORDER BY event_type) || '}' AS activity_map,
+       CAST(count(*) AS BIGINT) AS n_types
+FROM c GROUP BY user_id
+""",
+    doc=(
+        "MAP-typed aggregation (complex-type surface): per-user "
+        "event_type→count built with map_from_entries over a sorted "
+        "entry list — one partial-agg shuffle on (user, type), one on "
+        "user; serialized to canonical JSON (sorted keys) so the map "
+        "value itself is hash-checked against the oracle's string "
+        "construction, not just its cardinality."
+    ),
+)
+def q_map_aggregate(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_type.groupBy("user_id").agg(
+        F.to_json(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            )
+        ).alias("activity_map"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
