@@ -164,6 +164,34 @@ def test_skew_report_prunes_columns(spark, sf_dir):
     assert "props" not in rs and "value" not in rs, rs
 
 
+def test_skew_report_topk_no_global_sort(spark, sf_dir):
+    """The top-10 must come from TakeOrderedAndProject (partial top-k on
+    every map task), never a global ranking sort over all keys — the
+    exact scale hazard this query exists to diagnose."""
+    df = _df(spark, sf_dir, "q_skew_key_report")
+    sp = simple_plan(df)
+    assert "TakeOrderedAndProject" in sp, sp
+    assert not has_global_sort(df), sp
+
+
+def test_token_budget_mix_windows_are_bucketed(spark, sf_dir):
+    """The per-row cumsum window must partition by (source, bucket),
+    never by source alone — with a handful of sources a whole-source
+    window absorbs an entire source into one task. The tiny per-bucket
+    offsets table is broadcast back, not shuffled with the data."""
+    df = _df(spark, sf_dir, "q_token_budget_mix")
+    sp = simple_plan(df)
+    big_windows = [
+        ln
+        for ln in sp.splitlines()
+        if "windowspecdefinition" in ln and "_h#" in ln
+    ]
+    assert big_windows, sp
+    for ln in big_windows:
+        assert "_b#" in ln, ln  # bucketed, not whole-source
+    assert "BroadcastHashJoin" in sp, sp
+
+
 def test_unpivot_adds_no_shuffle(spark, sf_dir):
     # melt is a projection (Expand above the aggs): the pivot rewrite
     # costs two aggregation exchanges ((user, type) partial then the

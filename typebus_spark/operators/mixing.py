@@ -7,8 +7,10 @@ a tokenized training run.
   stays kept; contrast ``DataFrame.sampleBy``, whose membership changes
   with partitioning and seed plumbing).
 - **token_budget_mix**: cap each source at a token budget — docs taken
-  in deterministic md5 order until the budget fills. One window cumsum
-  per source partition; no collects.
+  in deterministic md5 order until the budget fills. Two-phase prefix
+  sum: per-(source, hash-prefix-bucket) token totals are prefix-summed
+  on a tiny table and broadcast back, so the per-row cumsum window
+  partitions by (source, bucket) — never a whole source. No collects.
 - **pack_sequences**: concat-and-chunk sequence packing (the standard
   pretraining shape: shard text is concatenated then split every
   ``max_tokens``). Docs are sharded by id hash, ordered by hash within
@@ -62,29 +64,66 @@ def token_budget_mix(
     tokens_col: str,
     budget_per_source: int,
     seed: int = 42,
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Take documents per source, in deterministic md5 order, until the
     source's token budget fills (first doc always admitted).
 
-    One shuffle on the source key; the running total is a window cumsum
-    within each source partition. ``budget_per_source`` can be a dict at
-    the call site by unioning per-source calls; the common uniform-cap
-    case stays one pass.
+    Scale shape — a realistic pretraining mix has a HANDFUL of sources,
+    so a window partitioned by source alone would absorb an entire
+    source's documents into one task. Instead, a two-phase prefix sum:
+
+    1. Bucket every doc by the first ``bucket_chars`` hex chars of its
+       md5 ordering hash. Hex-string lexicographic order equals numeric
+       prefix order, so sorting by (bucket, hash) == sorting by hash —
+       bucket offsets compose exactly with intra-bucket cumsums.
+    2. Aggregate per-(source, bucket) token totals (map-side partials;
+       the result is ~n_sources × 16^bucket_chars rows), prefix-sum
+       that tiny table per source, and broadcast it back.
+    3. Buckets whose offset already exceeds the budget are dropped
+       BEFORE the per-row window — when budget ≪ corpus (the usual
+       case) most data never reaches the sort.
+    4. The per-row cumsum window partitions by (source, bucket): each
+       task sorts ~1/16^bucket_chars of one source, bounded state.
+
+    Result rows are identical to the naive whole-source window; only
+    the plan changes. ``budget_per_source`` can be a dict at the call
+    site by unioning per-source calls; the uniform cap stays one pass.
     """
     h = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
     ).alias("_h")
-    w = (
+    d = df.withColumn("_h", h).withColumn(
+        "_b", F.substring(F.col("_h"), 1, bucket_chars)
+    )
+    totals = d.groupBy(source_col, "_b").agg(
+        F.sum(tokens_col).alias("_btok")
+    )
+    wb = (
         Window.partitionBy(source_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_boff", F.coalesce(F.sum("_btok").over(wb), F.lit(0))
+    ).drop("_btok")
+    w = (
+        Window.partitionBy(source_col, "_b")
         .orderBy("_h")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    with_cum = df.withColumn("_h", h).withColumn(
-        "_cum_before", F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    with_cum = (
+        d.join(F.broadcast(offsets), [source_col, "_b"])
+        .filter(F.col("_boff") < budget_per_source)
+        .withColumn(
+            "_cum_before",
+            F.col("_boff")
+            + F.coalesce(F.sum(tokens_col).over(w), F.lit(0)),
+        )
     )
     return with_cum.filter(
         F.col("_cum_before") < budget_per_source
-    ).drop("_h", "_cum_before")
+    ).drop("_h", "_b", "_boff", "_cum_before")
 
 
 def pack_sequences(

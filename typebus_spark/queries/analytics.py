@@ -153,10 +153,10 @@ WITH counts AS (
 tot AS (SELECT sum(n_events) AS total FROM counts),
 r AS (
   SELECT user_id, n_events,
-         (n_events * 1000000) // total AS share_ppm,
-         (sum(n_events) OVER (ORDER BY n_events DESC, user_id
-                              ROWS UNBOUNDED PRECEDING) * 1000000)
-           // total AS cum_ppm,
+         CAST((n_events * 1000000) // total AS BIGINT) AS share_ppm,
+         CAST((sum(n_events) OVER (ORDER BY n_events DESC, user_id
+                                   ROWS UNBOUNDED PRECEDING) * 1000000)
+              // total AS BIGINT) AS cum_ppm,
          row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
   FROM counts, tot)
 SELECT CAST(rank AS BIGINT) AS rank, user_id, n_events,
@@ -167,9 +167,12 @@ FROM r WHERE rank <= 10
         "Key-skew diagnostics (decides when q_skew_salted_* treatment "
         "is needed): top-10 hottest keys with exact integer parts-per-"
         "million share and cumulative share. One hash aggregate over "
-        "the key (map-side partials), then window math over the "
-        "per-key frame — orders of magnitude smaller than the input, "
-        "so the single-partition ranking window is safe at any scale."
+        "the key (map-side partials), the grand total as a broadcast "
+        "scalar aggregate, and the top-10 via orderBy+limit "
+        "(TakeOrderedAndProject — every map task keeps only its local "
+        "top 10, no global sort). The rank/cumsum window then runs "
+        "over exactly 10 rows; cumulative sums at rank k only involve "
+        "rows of rank <= k, so windowing the survivors is exact."
     ),
 )
 def q_skew_key_report(spark, sf_dir):
@@ -178,12 +181,13 @@ def q_skew_key_report(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events")
     )
     total = counts.agg(F.sum("n_events").alias("total"))
+    top10 = counts.orderBy(F.desc("n_events"), F.col("user_id")).limit(10)
     w = Window.orderBy(F.desc("n_events"), F.col("user_id"))
     cum = Window.orderBy(F.desc("n_events"), F.col("user_id")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        counts.crossJoin(F.broadcast(total))
+        top10.crossJoin(F.broadcast(total))
         .select(
             F.row_number().over(w).cast("long").alias("rank"),
             "user_id",
@@ -195,7 +199,6 @@ def q_skew_key_report(spark, sf_dir):
             F.col("total"),
         )
         .withColumn("cum_ppm", F.expr("_cum DIV total"))
-        .filter(F.col("rank") <= 10)
         .select("rank", "user_id", "n_events", "share_ppm", "cum_ppm")
     )
 

@@ -186,9 +186,9 @@ WITH tt AS (
   FROM documents),
 cum AS (
   SELECT doc_id, shard, tok,
-         coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY h
+         CAST(coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY h
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS cum_before
+              AS BIGINT) AS cum_before
   FROM tt)
 SELECT doc_id, CAST(shard AS BIGINT) AS shard,
        cum_before // 512 AS start_seq,

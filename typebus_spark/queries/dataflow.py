@@ -97,7 +97,8 @@ WITH routed AS (
 counted AS (
   SELECT topic, count(*) AS n FROM routed GROUP BY topic),
 handled AS (
-  SELECT sum(n) AS h FROM counted WHERE topic <> 'typebus.DeadLetter')
+  SELECT CAST(sum(n) AS BIGINT) AS h
+  FROM counted WHERE topic <> 'typebus.DeadLetter')
 SELECT topic, n FROM counted
 UNION ALL
 SELECT 'typebus.InEventTrace', h FROM handled
