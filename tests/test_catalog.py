@@ -122,3 +122,71 @@ def test_persistence_roundtrip(tmp_path):
                 [StructField("id", IntegerType()), StructField("a", IntegerType())]
             ),
         )
+
+
+# --- recursive (self-referential) types: Mapper.scala:70-96 parity ----
+# The reference ships runtime recursive codecs; here recursion is
+# declared with ref_field markers and unrolled to a bounded depth
+# (spark-avro/protobuf recursiveFieldMaxDepth semantics).
+
+from pyspark.sql.types import LongType  # noqa: E402
+
+from typebus_spark.catalog.types import ref_field  # noqa: E402
+
+
+def _node_schema():
+    return StructType(
+        [StructField("value", LongType()), ref_field("next", "test.Node")]
+    )
+
+
+def test_recursive_type_unrolls_to_depth():
+    c = TypeCatalog()
+    c.declare_recursive_type("test.Node", _node_schema(), max_depth=2)
+    s = c.schema_for("test.Node")
+    # level 0: value + next
+    assert [f.name for f in s.fields] == ["value", "next"]
+    l1 = s["next"].dataType
+    assert [f.name for f in l1.fields] == ["value", "next"]
+    l2 = l1["next"].dataType
+    # deepest level: the recursive field is pruned
+    assert [f.name for f in l2.fields] == ["value"]
+
+
+def test_recursive_ref_via_declare_type_rejected():
+    c = TypeCatalog()
+    with pytest.raises(ValueError, match="declare_recursive_type"):
+        c.declare_type("test.Node", _node_schema())
+
+
+def test_recursive_unknown_ref_rejected():
+    c = TypeCatalog()
+    bad = StructType([ref_field("other", "test.Missing")])
+    with pytest.raises(KeyError, match="test.Missing"):
+        c.declare_recursive_type("test.Bad", bad)
+
+
+def test_recursive_redeclare_same_depth_ok_deeper_gated():
+    c = TypeCatalog()
+    c.declare_recursive_type("test.Node", _node_schema(), max_depth=2)
+    # same declaration is idempotent
+    c.declare_recursive_type("test.Node", _node_schema(), max_depth=2)
+    # a depth change alters the unrolled shape -> the 3-rule gate fires
+    with pytest.raises(SchemaEvolutionError):
+        c.declare_recursive_type("test.Node", _node_schema(), max_depth=3)
+
+
+def test_recursive_ref_to_declared_type_expands_concretely():
+    c = TypeCatalog()
+    c.declare_type(
+        "test.Leaf", StructType([StructField("x", LongType())])
+    )
+    s = StructType(
+        [ref_field("leaf", "test.Leaf"), ref_field("next", "test.Tree")]
+    )
+    c.declare_recursive_type("test.Tree", s, max_depth=1)
+    out = c.schema_for("test.Tree")
+    assert [f.name for f in out["leaf"].dataType.fields] == ["x"]
+    # one self-expansion below the root, then pruned
+    nxt = out["next"].dataType
+    assert [f.name for f in nxt.fields] == ["leaf"]

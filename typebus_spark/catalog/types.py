@@ -32,6 +32,93 @@ from typing import Any, Iterator
 from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 
+TYPEREF_KEY = "__typebus_typeref__"
+
+
+def ref_field(name: str, fqn: str) -> "StructField":
+    """A field whose type is a named reference to a declared type —
+    the way a self-referential (recursive) case class is expressed here.
+
+    The reference carries recursive codecs natively
+    (Mapper.scala:70-96, AvroRecursiveByteStreamReader/Writer); Spark's
+    StructType cannot express a self-referential struct, so recursion is
+    declared via this marker and unrolled to a bounded depth at
+    declaration time (the same contract as spark-avro / spark-protobuf's
+    ``recursiveFieldMaxDepth``: levels beyond the bound are pruned).
+    """
+    from pyspark.sql.types import NullType, StructField
+
+    return StructField(name, NullType(), True, {TYPEREF_KEY: fqn})
+
+
+def _has_refs(dt: DataType) -> bool:
+    if isinstance(dt, StructType):
+        return any(
+            (f.metadata or {}).get(TYPEREF_KEY) is not None
+            or _has_refs(f.dataType)
+            for f in dt.fields
+        )
+    if isinstance(dt, ArrayType):
+        return _has_refs(dt.elementType)
+    if isinstance(dt, MapType):
+        return _has_refs(dt.keyType) or _has_refs(dt.valueType)
+    return False
+
+
+def _unroll(
+    dt: DataType,
+    resolve: dict[str, StructType],
+    budget: dict[str, int],
+) -> DataType:
+    """Expand ``ref_field`` markers into concrete structs, decrementing
+    the per-FQN depth budget along each path; a reference whose budget
+    is exhausted is PRUNED (field dropped), mirroring spark-protobuf's
+    recursive-field semantics."""
+    from pyspark.sql.types import StructField
+
+    if isinstance(dt, StructType):
+        fields = []
+        for f in dt.fields:
+            ref = (f.metadata or {}).get(TYPEREF_KEY)
+            if ref is not None:
+                if ref not in resolve:
+                    raise KeyError(
+                        f"type reference '{ref}' in field '{f.name}' "
+                        "is not a declared type"
+                    )
+                left = budget.get(ref, 0)
+                if left <= 0:
+                    continue  # beyond max_depth: prune the subtree
+                nb = dict(budget)
+                nb[ref] = left - 1
+                fields.append(
+                    StructField(
+                        f.name, _unroll(resolve[ref], resolve, nb), True
+                    )
+                )
+            else:
+                fields.append(
+                    StructField(
+                        f.name,
+                        _unroll(f.dataType, resolve, budget),
+                        f.nullable,
+                        f.metadata,
+                    )
+                )
+        return StructType(fields)
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _unroll(dt.elementType, resolve, budget), dt.containsNull
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            _unroll(dt.keyType, resolve, budget),
+            _unroll(dt.valueType, resolve, budget),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 class SchemaEvolutionError(Exception):
     """Raised when a re-declared schema violates the 3-rule gate."""
 
@@ -172,6 +259,13 @@ class TypeCatalog:
         re-registration and raises ``SchemaEvolutionError`` on violation —
         the runtime analog of typebus aborting the compile
         (Typebus.scala:403-449)."""
+        if _has_refs(schema):
+            raise ValueError(
+                f"schema for {fqn} contains unresolved type references "
+                "(ref_field markers); recursive/self-referential types "
+                "must go through declare_recursive_type, which unrolls "
+                "them to a bounded depth"
+            )
         new = DeclaredType(fqn=fqn, schema=schema, defaults=defaults or {})
         old = self._types.get(fqn)
         if old is not None:
@@ -187,6 +281,39 @@ class TypeCatalog:
             with open(os.path.join(self.path, f"{fqn}.json"), "w") as f:
                 f.write(new.to_json())
         return new
+
+    def declare_recursive_type(
+        self,
+        fqn: str,
+        schema: StructType,
+        max_depth: int = 3,
+        defaults: dict[str, Any] | None = None,
+    ) -> DeclaredType:
+        """Declare a self-referential type by bounded-depth unrolling.
+
+        ``schema`` may contain :func:`ref_field` markers naming ``fqn``
+        itself (self-recursion) or any already-declared type. A
+        self-reference is expanded ``max_depth`` times below the root
+        (so the declared type has ``max_depth + 1`` nesting levels);
+        deeper levels are pruned — the ``recursiveFieldMaxDepth``
+        contract of spark-avro/spark-protobuf. The reference instead ships runtime
+        recursive codecs (Mapper.scala:70-96); an analytics engine needs
+        a *columnar* shape, so the bounded unroll is the faithful
+        Spark-first translation — and the evolution gate then applies to
+        the unrolled form, so changing ``max_depth`` on re-declaration
+        is itself an (intentionally) gated schema change.
+        """
+        if max_depth < 1:
+            raise ValueError("max_depth must be >= 1")
+        resolve: dict[str, StructType] = {
+            name: t.schema for name, t in self._types.items()
+        }
+        resolve[fqn] = schema
+        budget = {name: 1 for name in resolve}
+        budget[fqn] = max_depth
+        unrolled = _unroll(schema, resolve, budget)
+        assert isinstance(unrolled, StructType)
+        return self.declare_type(fqn, unrolled, defaults=defaults)
 
     def get(self, fqn: str) -> DeclaredType | None:
         return self._types.get(fqn)

@@ -128,11 +128,15 @@ def jaccard_pairs(
         )
     else:
         raise ValueError("metric must be 'jaccard' or 'containment'")
+    # Filter on the RAW ratio (a single IEEE division — bit-identical
+    # across engines) and round only the emitted column: filtering the
+    # rounded value would keep pairs in [threshold-5e-7, threshold)
+    # that a raw-ratio oracle drops.
     return (
         shared.join(sa, "a")
         .join(sb, "b")
+        .filter(score >= threshold)
         .withColumn(metric, F.round(score, 6))
-        .filter(F.col(metric) >= threshold)
         .select("a", "b", metric)
     )
 
