@@ -238,6 +238,47 @@ def encode_envelope(
     contract, Mapper.scala:19-67) when spark-avro is on the classpath.
     """
     payload_cols = payload_cols or df.columns
+    et = F.lit(event_type) if isinstance(event_type, str) else event_type
+    if (
+        meta is None
+        and wire_format == "json"
+        and not {"__et", "__key"} & set(payload_cols)
+        and all(c.isidentifier() for c in payload_cols)
+    ):
+        # Fast path: the whole envelope as ONE parsed expression. The
+        # Column form of new_meta + struct + to_json costs ~100 py4j
+        # round trips per call site (~0.3-1.5 ms each under load) —
+        # measured as a top plan-construction cost across the router
+        # queries. Dynamic inputs (event_type, key) are projected as
+        # columns first so the parsed string is static. Field order and
+        # types are identical to the Column path, so the JSON bytes on
+        # the wire don't change.
+        key_col = key if key is not None else F.lit(None).cast("string")
+        staged = df.select(
+            *payload_cols, et.alias("__et"), key_col.alias("__key")
+        )
+        payload_sql = ", ".join(f"'{c}', `{c}`" for c in payload_cols)
+        meta_sql = (
+            "named_struct("
+            "'event_id', uuid(), "
+            "'event_type', __et, "
+            "'correlation_id', uuid(), "
+            "'trace', false, "
+            "'direct_reply', named_struct("
+            "'path', CAST(NULL AS STRING), "
+            "'service_name', CAST(NULL AS STRING)), "
+            "'key', __key, "
+            "'socket_id', CAST(NULL AS STRING), "
+            "'response_to', CAST(NULL AS STRING), "
+            "'extra', CAST(map() AS MAP<STRING,STRING>), "
+            "'occurred_at', current_timestamp())"
+        )
+        return staged.selectExpr(
+            "CAST(__key AS BINARY) AS key",
+            f"CAST(to_json(named_struct('meta', {meta_sql}, "
+            f"'payload', named_struct({payload_sql}))) AS BINARY) AS value",
+            "__et AS topic",
+        )
     m = meta if meta is not None else new_meta(event_type, key=key)
     env = F.struct(
         m.alias("meta"),
@@ -250,7 +291,6 @@ def encode_envelope(
         value = to_avro(env)
     else:
         value = F.to_json(env).cast("binary")
-    et = F.lit(event_type) if isinstance(event_type, str) else event_type
     return df.select(
         (key if key is not None else F.lit(None).cast("string"))
         .cast("binary")

@@ -17,6 +17,29 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def lit_vec(vals) -> Column:
+    """A literal ``array<double>`` as ONE parsed expression.
+
+    ``F.array(*[F.lit(float(x)) for x in vals])`` costs 2+ py4j round
+    trips per element — ~45 ms for a 64-dim vector, multiplied by every
+    centroid/plane in a codebook (measured: the argmax/LSH builders were
+    the chattiest plan constructions in the whole inventory). One
+    ``F.expr`` string is ~0.6 ms regardless of length. ``repr(float)``
+    is shortest-round-trip and Spark parses double literals with
+    ``Double.parseDouble``, so the plan literals are bit-identical to
+    the ``F.lit`` form (asserted in tests/test_operators.py).
+    """
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+    )
+
+
+def lit_vec_sql(vals) -> str:
+    """The SQL text of :func:`lit_vec` — for embedding into larger
+    single-parse expression strings."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Ordered-fold dot product in double precision."""
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
@@ -40,14 +63,34 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
     return F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v))
 
 
+def dot_lit_sql(vec_name: str, vals) -> str:
+    """SQL text of the ordered-fold dot product of column ``vec_name``
+    with a literal vector — textually identical semantics to
+    ``dot(vec, lit_vec(vals))`` but embeddable in one-parse strings."""
+    return (
+        f"aggregate(zip_with({vec_name}, {lit_vec_sql(vals)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def hyperplane_signs(vec: Column | str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(vec · plane_i),
     packed as a bit string. ``planes`` are driver-side literals (seeded),
-    broadcast into the plan — no shuffle, no UDF."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise(
-            "0"
+    broadcast into the plan — no shuffle, no UDF.
+
+    Built as ONE parsed expression when ``vec`` is a column name: the
+    per-bit Column form costs ~130 py4j round trips per plane (the
+    literal array alone is 2/element) — for 16 planes x 64 dims that was
+    ~2 s of pure plan-construction latency per query."""
+    if isinstance(vec, str):
+        bits = ", ".join(
+            f"CASE WHEN {dot_lit_sql(vec, p)} >= 0 THEN '1' ELSE '0' END"
+            for p in planes
         )
+        return F.expr(f"concat({bits})")
+    bits = [
+        F.when(dot(vec, lit_vec(p)) >= 0, "1").otherwise("0")
         for p in planes
     ]
     return F.concat(*bits)

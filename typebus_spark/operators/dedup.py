@@ -308,22 +308,23 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
     )
 
+    # F.expr strings: the Column form of 60 aggs + 60 when-branches was
+    # ~9k py4j round trips of plan construction (the worst in the
+    # inventory); the parsed form is ~125.
     aggs = [
-        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+        F.expr(f"sum(shiftright(h, {i}) & 1)").alias(f"c{i}")
         for i in range(SIMHASH_BITS)
     ] + [F.count(F.lit(1)).alias("_n")]
     sums = tok.groupBy("_id").agg(*aggs)
     # disjoint bits → plain sum packs the signature (no overflow: < 2^60)
-    sig = sum(
-        [
-            F.when(F.col(f"c{i}") * 2 >= F.col("_n"), F.lit(1 << i)).otherwise(
-                F.lit(0)
-            )
-            for i in range(SIMHASH_BITS)
-        ],
-        F.lit(0),
-    ).cast("long")
-    return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN c{i} * 2 >= _n THEN {1 << i}L ELSE 0L END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return sums.select(
+        F.col("_id").alias(id_col),
+        F.expr(f"CAST({sig_sql} AS BIGINT)").alias("simhash"),
+    )
 
 
 def simhash_pairs(

@@ -288,24 +288,39 @@ FROM u GROUP BY label
     ),
 )
 def q_embedding_quantize(spark, sf_dir):
-    from typebus_spark.functions.vector import (
-        int8_dequantize,
-        int8_quantize,
-    )
-
     e = t(spark, sf_dir, "embeddings")
-    qs = int8_quantize("embedding")
-    deq = int8_dequantize(qs)
-    errs = F.zip_with(
-        F.col("embedding"), deq, lambda x, y: F.abs(x.cast("double") - y)
+    # Stage the per-vector scale as a COLUMN first: higher-order-function
+    # lambdas are interpreted (no codegen CSE), so composing
+    # int8_quantize/int8_dequantize as one nested expression re-evaluates
+    # the array_max subtree per element reference — O(d²) per row
+    # (measured 1.4 s for 2000×64 vectors vs ~60 ms staged). As an
+    # attribute, `mx` is computed once per row and referencing it inside
+    # lambdas is free; CollapseProject keeps the projection split because
+    # a multiply-referenced non-cheap expression is never inlined.
+    mx = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
-    mean_err = F.aggregate(
-        errs, F.lit(0.0), lambda a, v: a + v
-    ) / F.size("embedding").cast("double")
+    staged = e.select("label", "embedding", mx.alias("mx"))
+    errs = F.transform(
+        F.col("embedding"),
+        lambda x: F.abs(
+            x.cast("double")
+            - F.round(x.cast("double") * 127.0 / F.col("mx"), 0)
+            .cast("tinyint")
+            .cast("double")
+            * F.col("mx")
+            / 127.0
+        ),
+    )
+    mean_err = F.when(
+        F.col("mx") > 0,
+        F.aggregate(errs, F.lit(0.0), lambda a, v: a + v)
+        / F.size("embedding").cast("double"),
+    ).otherwise(F.lit(0.0))
     err_u = F.round(mean_err * 1e9, 0).cast("long")
     n = F.count(F.lit(1))
     return (
-        e.select("label", err_u.alias("err_u"))
+        staged.select("label", err_u.alias("err_u"))
         .groupBy("label")
         .agg(
             n.alias("n_vecs"),

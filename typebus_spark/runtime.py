@@ -200,6 +200,20 @@ def _envelope_value() -> F.Column:
     return F.to_json(_meta_payload_env()).cast("binary").alias("value")
 
 
+@lru_cache(maxsize=256)
+def _topic_col(topic: str) -> F.Column:
+    """``lit(topic) AS topic`` — rebuilt per stream per round otherwise."""
+    return F.lit(topic).alias("topic")
+
+
+@lru_cache(maxsize=1)
+def _payload_null_split() -> tuple:
+    """(bad-filter condition, good-filter condition) — static trees."""
+    bad = F.col("payload").isNull() | F.col("meta").isNull()
+    good = F.col("payload").isNotNull() & F.col("meta").isNotNull()
+    return bad, good
+
+
 @lru_cache(maxsize=1)
 def _meta_only_value() -> F.Column:
     return F.to_json(F.struct("meta")).cast("binary").alias("value")
@@ -511,7 +525,7 @@ def run_batch(
             # Backoff gate: rows whose not_before hasn't passed are
             # re-queued untouched (KafkaBus.scala:188-197 merge semantics,
             # minus the 16-element dropHead load-shed — nothing is shed).
-            pending = not_yet_eligible(decoded, now)
+            pending = not_yet_eligible(decoded, now_epoch)
             if emit_decoded_retry:
                 res._add_decoded_retry(
                     in_fqn,
@@ -527,12 +541,13 @@ def run_batch(
                     pending.select(
                         _null_key(),
                         _envelope_value(),
-                        F.lit(retry_topic(in_fqn)).alias("topic"),
+                        _topic_col(retry_topic(in_fqn)),
                     ),
                 )
-            decoded = eligible_now(decoded, now)
+            decoded = eligible_now(decoded, now_epoch)
 
-        bad = decoded.filter(F.col("payload").isNull() | F.col("meta").isNull())
+        bad_cond, good_cond = _payload_null_split()
+        bad = decoded.filter(bad_cond)
         if lazy or not bad.isEmpty():
             res._add(
                 DEAD_LETTER_TOPIC,
@@ -540,14 +555,12 @@ def run_batch(
                     bad.select(
                         _null_key(),
                         _envelope_value(),
-                        F.lit(in_fqn).alias("topic"),
+                        _topic_col(in_fqn),
                     ),
                     "undecodable payload",
                 ),
             )
-        good = decoded.filter(
-            F.col("payload").isNotNull() & F.col("meta").isNotNull()
-        )
+        good = decoded.filter(good_cond)
 
         # O1 InEventTrace (KafkaBus.scala:200): consume-side trace of every
         # routed event, gated per-row (global flag OR meta.trace) with the
@@ -641,7 +654,7 @@ def run_batch(
                         gave_up.select(
                             _null_key(),
                             _meta_only_value(),
-                            F.lit(in_fqn).alias("topic"),
+                            _topic_col(in_fqn),
                         ),
                         "handler failed",
                     ),

@@ -172,25 +172,40 @@ def encode_retry(
     return retry_rows, gave_up
 
 
-def eligible_now(decoded: DataFrame, now_epoch: F.Column | None = None) -> DataFrame:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=128)
+def _eligibility_conds(now_key: int | None) -> tuple:
+    """(eligible, not-yet) filter conditions for a pinned epoch (or wall
+    clock when ``now_key`` is None). Cached: the drain loop rebuilds
+    these per stream per round, ~10 py4j round-trips each."""
+    now_c = (
+        F.lit(now_key)
+        if now_key is not None
+        else F.unix_timestamp(F.current_timestamp())
+    )
+    nb = F.col("meta.extra").getItem(NOT_BEFORE_KEY).cast("long")
+    return (nb.isNull() | (nb <= now_c), nb.isNotNull() & (nb > now_c))
+
+
+def eligible_now(
+    decoded: DataFrame, now_epoch: F.Column | int | None = None
+) -> DataFrame:
     """Rows whose backoff has elapsed (source-side filter on the unioned
     retry stream — the ``merge(retryQueueSource)`` analog,
     KafkaBus.scala:188-197)."""
-    now_epoch = (
-        now_epoch
-        if now_epoch is not None
-        else F.unix_timestamp(F.current_timestamp())
-    )
+    if now_epoch is None or isinstance(now_epoch, int):
+        return decoded.filter(_eligibility_conds(now_epoch)[0])
     nb = F.col("meta.extra").getItem(NOT_BEFORE_KEY).cast("long")
     return decoded.filter(nb.isNull() | (nb <= now_epoch))
 
 
-def not_yet_eligible(decoded: DataFrame, now_epoch: F.Column | None = None) -> DataFrame:
-    now_epoch = (
-        now_epoch
-        if now_epoch is not None
-        else F.unix_timestamp(F.current_timestamp())
-    )
+def not_yet_eligible(
+    decoded: DataFrame, now_epoch: F.Column | int | None = None
+) -> DataFrame:
+    if now_epoch is None or isinstance(now_epoch, int):
+        return decoded.filter(_eligibility_conds(now_epoch)[1])
     nb = F.col("meta.extra").getItem(NOT_BEFORE_KEY).cast("long")
     return decoded.filter(nb.isNotNull() & (nb > now_epoch))
 
