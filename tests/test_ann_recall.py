@@ -124,3 +124,38 @@ def test_kmeans_centroids_beat_or_match_prefix_pick(spark, sf_dir):
     # allow a small tolerance: k-means optimizes quantization error, and
     # on a tiny fixture the tie can break either way by one neighbor
     assert kmeans >= prefix - 0.05, (kmeans, prefix)
+
+
+def test_lloyd_training_moves_centroids_and_keeps_recall(spark, sf_dir):
+    """The Lloyd trainer must actually refine the init (centroids move)
+    and must not degrade recall vs the raw prefix-pick codebook."""
+    from typebus_spark.operators.similarity import train_centroids_lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    init = train_centroids(
+        e, "embedding", n_centroids=8, seed=7, id_col="vec_id", id_prefix=256
+    )
+    trained = train_centroids_lloyd(
+        e, "embedding", n_centroids=8, iters=2, seed=7,
+        id_col="vec_id", id_prefix=256,
+    )
+    assert trained != init  # E/M rounds actually moved the codebook
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    exact = _topk_sets(cosine_topk(q, c, k=K))
+
+    def recall(cens):
+        approx = _topk_sets(ivf_topk(q, c, k=K, centroids=cens, nprobe=2))
+        hits = sum(len(exact[i] & approx.get(i, set())) for i in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r_init, r_trained = recall(init), recall(trained)
+    # training tightens buckets; allow small fixture noise but never a
+    # collapse below the untrained codebook
+    assert r_trained >= r_init - 0.05, (r_init, r_trained)

@@ -269,6 +269,63 @@ def ivf_topk(
     return _topk_per_query(scored, k)
 
 
+def train_centroids_lloyd(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str | None = None,
+    id_prefix: int = 256,
+    round_to: int = 6,
+) -> list[list[float]]:
+    """Deterministic DISTRIBUTED Lloyd's: prefix-pick init
+    (:func:`train_centroids` id mode) + ``iters`` exact E/M rounds.
+
+    E-step: scan-side literal-argmax assignment (``_nearest_centroid``,
+    one parsed expression — no shuffle). M-step:
+    :func:`label_centroids` — one posexplode + hash aggregate with
+    map-side partials accumulating in EXACT fixed-point (1e-6 units),
+    so the refined centroids are bit-identical on any engine and the
+    whole trained codebook is SQL-reproducible: a DuckDB oracle can
+    replay init + every iteration and land on the same doubles. Only
+    k x d centroid component rows reach the driver per round; an empty
+    bucket keeps its previous centroid (standard Lloyd's).
+
+    This is real k-means training at 100 TB shape (full-corpus E-step
+    per round, bounded driver state) with the property pyspark.ml's
+    k-means|| cannot give: engine-portable determinism, hence a
+    hash-checkable ANN pipeline end to end.
+    """
+    cens = train_centroids(
+        corpus,
+        vec_col,
+        n_centroids,
+        seed=seed,
+        id_col=id_col,
+        id_prefix=id_prefix,
+    )
+    dims = len(cens[0]) if cens else 0
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("_v"),
+            _nearest_centroid(vec_col, cens).alias("bucket"),
+        )
+        rows = label_centroids(
+            assigned, "bucket", "_v", round_to=round_to
+        ).collect()
+        comp: dict[int, dict[int, float]] = {}
+        for r in rows:
+            comp.setdefault(int(r["label"]), {})[int(r["dim"])] = float(
+                r["centroid"]
+            )
+        cens = [
+            [comp[c][d] for d in range(dims)] if c in comp else cens[c]
+            for c in range(n_centroids)
+        ]
+    return cens
+
+
 def train_centroids_kmeans(
     corpus: DataFrame,
     vec_col: str,

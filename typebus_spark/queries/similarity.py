@@ -158,23 +158,74 @@ IVF_SEED = 42
 IVF_PREFIX = 256
 
 
-def _ivf_oracle() -> str:
-    """Mirror the ENTIRE IVF pipeline in DuckDB: deterministic prefix
-    centroid pick → argmax bucket assignment → nprobe probing → cosine
-    rank. Possible because centroid selection hashes vec_id (identical
-    string form on both engines) and every dot/norm is the verified
-    ordered double fold — so even the approximate ANN path is
+_PREFIX_CEN_CTES = f"""cen0 AS (
+  SELECT embedding AS cv,
+         md5('{{seed}}:' || CAST(vec_id AS VARCHAR)) AS hk
+  FROM embeddings WHERE vec_id < {{prefix}}
+  ORDER BY hk LIMIT {{n_cen}}),
+cen AS (SELECT row_number() OVER (ORDER BY hk) - 1 AS c, cv FROM cen0)"""
+
+
+def _prefix_cen_ctes() -> str:
+    return _PREFIX_CEN_CTES.format(
+        seed=IVF_SEED, prefix=IVF_PREFIX, n_cen=IVF_N_CEN
+    )
+
+
+def _lloyd_cen_ctes(iters: int) -> str:
+    """Centroid CTE chain: prefix-pick init + ``iters`` exact Lloyd
+    rounds, mirroring train_centroids_lloyd step for step. The M-step
+    accumulates in 1e-6 fixed-point (BIGINT sums, one double division,
+    round to 6 dp) — the same exact arithmetic as label_centroids, so
+    both engines land on bit-identical refined centroids."""
+    init = _PREFIX_CEN_CTES.format(
+        seed=IVF_SEED, prefix=IVF_PREFIX, n_cen=IVF_N_CEN
+    ).replace("cen AS (", "cen_i0 AS (")
+    parts = [
+        init,
+        "tcorp AS (SELECT vec_id AS cid, embedding AS v FROM embeddings)",
+    ]
+    for it in range(iters):
+        dot_v_c = _DOT.format(a="tcorp.v", b=f"cen_i{it}.cv")
+        parts.append(
+            f"""asg{it} AS (
+  SELECT tcorp.cid, tcorp.v, cen_i{it}.c,
+         row_number() OVER (PARTITION BY tcorp.cid
+                            ORDER BY {dot_v_c} DESC, cen_i{it}.c) AS rnk
+  FROM tcorp CROSS JOIN cen_i{it}),
+mem{it} AS (SELECT cid, v, c FROM asg{it} WHERE rnk = 1),
+pe{it} AS (SELECT c, generate_subscripts(v, 1) - 1 AS dim,
+                  CAST(round(CAST(unnest(v) AS DOUBLE) * 1000000, 0)
+                       AS BIGINT) AS xq
+           FROM mem{it}),
+sums{it} AS (SELECT c, dim, CAST(sum(xq) AS BIGINT) AS s,
+                    count(*) AS n
+             FROM pe{it} GROUP BY c, dim),
+new{it} AS (SELECT c,
+                   list(round(CAST(s AS DOUBLE) / (1000000.0 * n), 6)
+                        ORDER BY dim) AS cv
+            FROM sums{it} GROUP BY c),
+cen_i{it + 1} AS (SELECT p.c, COALESCE(n.cv, p.cv) AS cv
+                  FROM cen_i{it} p LEFT JOIN new{it} n ON p.c = n.c)"""
+        )
+    parts.append(f"cen AS (SELECT c, cv FROM cen_i{iters})")
+    return ",\n".join(parts)
+
+
+def _ivf_oracle(cen_block: str | None = None) -> str:
+    """Mirror the ENTIRE IVF pipeline in DuckDB: deterministic centroid
+    construction (prefix pick by default, or a supplied CTE block such
+    as the Lloyd's chain) → argmax bucket assignment → nprobe probing →
+    cosine rank. Possible because centroid selection hashes vec_id
+    (identical string form on both engines) and every dot/norm is the
+    verified ordered double fold — so even the approximate ANN path is
     hash-checked, not rows-only."""
     dot_v_cv = _DOT.format(a="corp.v", b="cen.cv")
     dot_q_cv = _DOT.format(a="qs.qv", b="cen.cv")
     dot_q_v = _DOT.format(a="p.qv", b="b.v")
+    cen_block = cen_block or _prefix_cen_ctes()
     return f"""
-WITH cen0 AS (
-  SELECT embedding AS cv,
-         md5('{IVF_SEED}:' || CAST(vec_id AS VARCHAR)) AS hk
-  FROM embeddings WHERE vec_id < {IVF_PREFIX}
-  ORDER BY hk LIMIT {IVF_N_CEN}),
-cen AS (SELECT row_number() OVER (ORDER BY hk) - 1 AS c, cv FROM cen0),
+WITH {cen_block},
 corp AS (SELECT vec_id AS cid, embedding AS v,
                 {_NORM.format(a='embedding')} AS nn
          FROM embeddings),
@@ -411,16 +462,66 @@ def q_semdedup(spark, sf_dir):
 
 
 @query(
+    "q_knn_ivf_lloyd",
+    oracle=_ivf_oracle(_lloyd_cen_ctes(2)),
+    doc=(
+        "IVF ANN over a TRAINED codebook, fully hash-checked: "
+        "deterministic distributed Lloyd's (prefix-pick init + 2 exact "
+        "E/M rounds — scan-side argmax assignment, posexplode M-step "
+        "in 1e-6 fixed-point) refines the centroids, then the same "
+        "ivf_topk bucketed probe runs. Because every training step is "
+        "exact-arithmetic, the DuckDB oracle replays init + both "
+        "iterations and lands on bit-identical centroids — a trained "
+        "approximate-ANN pipeline with a value-level correctness "
+        "oracle, which the JVM-seeded k-means|| variant "
+        "(q_knn_ivf_kmeans) cannot offer."
+    ),
+)
+def q_knn_ivf_lloyd(spark, sf_dir):
+    from typebus_spark.operators.similarity import train_centroids_lloyd
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = train_centroids_lloyd(
+        e,
+        "embedding",
+        n_centroids=IVF_N_CEN,
+        iters=2,
+        seed=IVF_SEED,
+        id_col="vec_id",
+        id_prefix=IVF_PREFIX,
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_topk(
+        q,
+        e.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("corpus_vec"),
+        ),
+        k=K,
+        centroids=centroids,
+        nprobe=IVF_NPROBE,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "cos",
+    )
+
+
+@query(
     "q_knn_ivf_kmeans",
     oracle=None,  # k-means|| init is JVM-seeded → engine-specific
     doc=(
-        "IVF ANN over a REAL trained codebook: pyspark.ml KMeans "
-        "(distributed Lloyd's, k-means|| init) trains the centroids, "
-        "then the same ivf_topk bucketed probe runs. The trainer is "
-        "JVM-seeded so the codebook is not engine-reproducible → "
-        "rows-only here; approximation QUALITY is gated in "
-        "tests/test_ann_recall.py (k-means recall must match or beat "
-        "the oracle-checkable prefix-pick codebook)."
+        "IVF ANN over pyspark.ml KMeans (k-means|| init) — the ml-lib "
+        "integration path. The trainer is JVM-seeded so the codebook is "
+        "not engine-reproducible → rows-only here; approximation "
+        "QUALITY is gated in tests/test_ann_recall.py (k-means recall "
+        "must match or beat the prefix-pick codebook), and the "
+        "hash-checked trained-codebook path is q_knn_ivf_lloyd."
     ),
 )
 def q_knn_ivf_kmeans(spark, sf_dir):

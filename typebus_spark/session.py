@@ -101,9 +101,16 @@ def stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src)
-    stage = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    # One staged copy per source file (keyed by path+mtime): the copy is
+    # read-only input shared safely by any number of stream queries, and
+    # re-copying tens of MB per stream start was measurable bench wall.
+    key = (src, os.path.getmtime(src))
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        shutil.copy(src, os.path.join(stage, "events.parquet"))
+        _STREAM_STAGE_CACHE[key] = stage
     stream = spark.readStream.schema(batch.schema).parquet(stage)
     if isinstance(batch.schema["ts"].dataType, LongType):
         stream = stream.withColumn(
@@ -135,6 +142,8 @@ def pinned_shuffle_partitions(spark: SparkSession, n: int):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
+
+_STREAM_STAGE_CACHE: dict[tuple[str, float], str] = {}
 
 _TABLE_CACHE: dict[tuple[int, str, str], object] = {}
 
