@@ -24,9 +24,20 @@ def norm_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _tokens_by_name(col: str) -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the trimmed text."""
-    return F.split(F.trim(_c(col)), r"\s+")
+    """Whitespace tokens of the trimmed text (per-name fragment cache —
+    rebuilt across most text/dedup/corpus queries otherwise)."""
+    if isinstance(col, str):
+        return _tokens_by_name(col)
+    return F.split(F.trim(col), r"\s+")
 
 
 def bpe_ish_tokens(col: Column | str) -> Column:

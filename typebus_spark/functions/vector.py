@@ -46,8 +46,19 @@ def dot(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _norm_by_name(a: str) -> Column:
+    sq = F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
 def norm(a: Column | str) -> Column:
-    sq = F.transform(_c(a), lambda x: x.cast("double") * x.cast("double"))
+    if isinstance(a, str):
+        return _norm_by_name(a)
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
 
 

@@ -201,31 +201,24 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         F.explode(shingles(tokens(text_col), shingle_n)).alias("shingle"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # parsed-expression forms (identical SQL semantics, ~6x fewer py4j
+    # round trips than the per-node Column builders)
     sig = ex.groupBy("_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(
-                f"m{k}"
-            )
+            F.expr(f"min(md5(concat('{k}:', shingle)))").alias(f"m{k}")
             for k in range(num_hashes)
         ]
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"m{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("h"),
-            )
-            for b in range(bands)
-        ]
+    bands_sql = ", ".join(
+        "named_struct('band', {b}, 'h', md5(concat_ws('|', {ms})))".format(
+            b=b,
+            ms=", ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
     )
+    band_structs = F.expr(f"array({bands_sql})")
     # One (doc, band, hash) row per band per document — tiny. Persisted
     # because the candidate self-join reads it twice; without this the
     # 16-min-aggregate signature pass (over the exploded shingles) runs

@@ -200,6 +200,35 @@ def _envelope_value() -> F.Column:
     return F.to_json(_meta_payload_env()).cast("binary").alias("value")
 
 
+def _reply_env(out_type: str, out_cols: tuple, key_col: F.Column) -> F.Column:
+    """Reply envelope struct: responseTo = request eventId, correlation
+    propagated, directReply passed through (RPC2/RPC3), payload projected
+    to the declared out-type columns."""
+    reply_meta = new_meta(
+        out_type,
+        key=key_col,
+        correlation_id=F.col("meta.correlation_id"),
+        response_to=F.col("meta.event_id"),
+        direct_reply_path=F.col("meta.direct_reply.path"),
+        direct_reply_service=F.col("meta.direct_reply.service_name"),
+        socket_id=F.col("meta.socket_id"),
+    )
+    return F.struct(
+        reply_meta.alias("meta"),
+        F.struct(*[F.col(c) for c in out_cols]).alias("payload"),
+    )
+
+
+@lru_cache(maxsize=256)
+def _reply_env_cached(
+    out_type: str, out_cols: tuple, pk: str | None
+) -> tuple:
+    key_col = (
+        F.col(pk).cast("string") if pk else F.lit(None).cast("string")
+    )
+    return key_col, _reply_env(out_type, out_cols, key_col)
+
+
 @lru_cache(maxsize=256)
 def _topic_col(topic: str) -> F.Column:
     """``lit(topic) AS topic`` — rebuilt per stream per round otherwise."""
@@ -704,28 +733,16 @@ def run_batch(
             _, key_col, env = cached
         else:
             pk = sd.partition_key
-            key_col = (
-                F.col(pk).cast("string")
-                if isinstance(pk, str)
-                else (
-                    pk.cast("string")
-                    if pk is not None
-                    else F.lit(None).cast("string")
+            if isinstance(pk, (str, type(None))):
+                # pure function of (out type, cols, key name): shared
+                # across Service instances — a fresh Service per query
+                # invocation otherwise rebuilds ~70 py4j calls per stream
+                key_col, env = _reply_env_cached(
+                    sd.out_type, tuple(out_cols), pk
                 )
-            )
-            reply_meta = new_meta(
-                sd.out_type,
-                key=key_col,
-                correlation_id=F.col("meta.correlation_id"),
-                response_to=F.col("meta.event_id"),
-                direct_reply_path=F.col("meta.direct_reply.path"),
-                direct_reply_service=F.col("meta.direct_reply.service_name"),
-                socket_id=F.col("meta.socket_id"),
-            )
-            env = F.struct(
-                reply_meta.alias("meta"),
-                F.struct(*[F.col(c) for c in out_cols]).alias("payload"),
-            )
+            else:
+                key_col = pk.cast("string")
+                env = _reply_env(sd.out_type, tuple(out_cols), key_col)
             sd._reply_plan = (tuple(out_cols), key_col, env)
         fan_cols = getattr(sd, "_fan_cols", None)
         if fan_cols is None:
