@@ -427,7 +427,12 @@ def run_batch(
     dominant_key = data_keys[0] if single_group else None
     if raw is not None:
         if materialize and not single_group:
-            raw = raw.localCheckpoint(eager=True)
+            # LAZY checkpoint: the first downstream action materializes
+            # it (RDD cache locks compute each partition exactly once,
+            # so the nondeterministic uuid envelopes stay consistent
+            # across branches — probed in test_runtime). Eager here cost
+            # a separate build-time job per batch.
+            raw = raw.localCheckpoint(eager=False)
         # Live-topic pruning: one tiny scan of the materialized batch
         # tells us which topics actually carry rows, so streams with no
         # input this batch contribute NO decode job and NO branches.
@@ -490,7 +495,10 @@ def run_batch(
                 # same checkpoint below.
                 gdec = decode_envelope(raw, payload_schema, keep_value=True)
                 if materialize:
-                    gdec = gdec.localCheckpoint(eager=True)
+                    # lazy for the same reason as the raw checkpoint:
+                    # the caller's one materialization computes the
+                    # decode once; no separate build-time job
+                    gdec = gdec.localCheckpoint(eager=False)
                 deadletter_src = gdec
                 for f in group_live:
                     decoded_by_fqn[f] = gdec.filter(
@@ -522,7 +530,7 @@ def run_batch(
             else:
                 gdec = decode_envelope(
                     raw.filter(F.col("topic").isin(*gtopics)), payload_schema
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
                 for f in group_live:
                     decoded_by_fqn[f] = (
                         gdec
