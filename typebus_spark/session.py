@@ -65,17 +65,71 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_SCAN_EST_CACHE: dict[tuple, int] = {}
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ).lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.endswith(suffix + "b"):
+            raw, mult = raw[:-2], m
+            break
+        if raw.endswith(suffix):
+            raw, mult = raw[:-1], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return 128 << 20
+
+
 def ensure_parallelism(df, min_partitions: int | None = None):
-    """Repartition ONLY when the input has fewer partitions than cores.
+    """Repartition ONLY when the input would scan as fewer partitions
+    than cores.
 
     CPU-expansion operators (shingle explode + hashing, vector folds) are
     compute-bound, and a small parquet file arrives as 1-2 partitions —
     serializing the whole operator on one core. At 100 TB inputs already
     carry thousands of partitions, so this is a no-op there (and avoids
     an always-on repartition shuffle of raw data).
+
+    The partition count is ESTIMATED from the scan's input file sizes
+    (``inputFiles`` needs only analysis; sizes are cached per file set):
+    ``df.rdd.getNumPartitions()`` forces full physical planning + RDD
+    conversion — measured 0.1-1.0 s per call across the ~43 call sites,
+    several seconds of pure plan-build latency per bench pass. Estimate
+    off-by-a-split near the threshold only toggles a harmless
+    repartition; non-file sources fall back to the physical probe.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    if files:
+        if len(files) > 64:
+            return df  # many-file scan: parallelism is already there
+        est = _SCAN_EST_CACHE.get(files)
+        if est is None:
+            mpb = _max_partition_bytes(spark)
+            total = 0
+            for f in files:
+                path = f[7:] if f.startswith("file://") else (
+                    f[5:] if f.startswith("file:") else f
+                )
+                try:
+                    total += os.path.getsize(path)
+                except OSError:
+                    total = -1
+                    break
+            est = -(-total // mpb) if total > 0 else -1
+            _SCAN_EST_CACHE[files] = est
+        if est >= 0:
+            return df if est >= target else df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
