@@ -152,3 +152,56 @@ def test_negative_block_count_decodes():
     # [1] as -1 block: zigzag(-1)=1, size 1 byte (0x02), item, terminator
     arr = {"type": "array", "items": "long"}
     assert decode(arr, b"\x01\x02\x02\x00") == [1]
+
+
+# ------------------------------------------------------- property test
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+    _META_SCHEMA = avro_schema_json(EVENT_META_SCHEMA, "EventMeta")
+
+    _meta_values = st.fixed_dictionaries(
+        {
+            "event_id": st.text(max_size=40),
+            "event_type": st.text(max_size=40),
+            "correlation_id": st.none() | st.text(max_size=20),
+            "trace": st.none() | st.booleans(),
+            "direct_reply": st.none()
+            | st.fixed_dictionaries(
+                {
+                    "path": st.none() | st.text(max_size=20),
+                    "service_name": st.none() | st.text(max_size=20),
+                }
+            ),
+            "key": st.none() | st.text(max_size=20),
+            "socket_id": st.none() | st.text(max_size=20),
+            "response_to": st.none() | st.text(max_size=20),
+            "extra": st.none()
+            | st.dictionaries(
+                st.text(max_size=10),
+                st.none() | st.text(max_size=10),
+                max_size=4,
+            ),
+            "occurred_at": st.none()
+            | st.datetimes(
+                min_value=dt.datetime(1970, 1, 1),
+                max_value=dt.datetime(2100, 1, 1),
+            ).map(lambda d: d.replace(microsecond=(d.microsecond // 1) )),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(_meta_values)
+    def test_meta_roundtrip_property(meta):
+        assert decode(_META_SCHEMA, encode(_META_SCHEMA, meta)) == meta
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def test_long_roundtrip_property(n):
+        assert decode("long", encode("long", n)) == n

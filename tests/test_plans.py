@@ -130,6 +130,16 @@ def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
         assert not has_global_sort(df), q
 
 
+def test_kmv_sketch_uses_window_group_limit(spark, sf_dir):
+    """The per-group bottom-k must prune to k rows per map partition
+    (WindowGroupLimit) — the property that keeps the sketch k-bounded
+    in flight instead of shuffling the whole distinct set."""
+    df = _df(spark, sf_dir, "q_sketch_kmv_users")
+    sp = simple_plan(df)
+    assert "WindowGroupLimit" in sp, sp
+    assert not has_global_sort(df), sp
+
+
 def test_no_cartesian_anywhere_except_knn(spark, sf_dir):
     whitelist = {"q_knn_cosine_topk", "q_knn_ivf", "q_dedup_embedding"}
     for name, q in QUERIES.items():

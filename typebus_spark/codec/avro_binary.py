@@ -110,8 +110,19 @@ def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
         if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
             if isinstance(value, _dt.datetime):
                 epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
-                scale = 1_000_000 if logical == "timestamp-micros" else 1_000
-                value = int((value - epoch).total_seconds() * scale)
+                delta = value - epoch
+                # integer arithmetic: total_seconds() is a float and
+                # loses sub-microsecond precision past ~2004
+                micros = (
+                    delta.days * 86_400_000_000
+                    + delta.seconds * 1_000_000
+                    + delta.microseconds
+                )
+                value = (
+                    micros
+                    if logical == "timestamp-micros"
+                    else micros // 1000
+                )
             _write_long(out, int(value))
             return
         if t == "int" and logical == "date":
@@ -189,9 +200,9 @@ def _decode(schema: Any, src: io.BytesIO) -> Any:
                     out[k] = _decode(schema["values"], src)
         if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
             raw = _read_long(src)
-            scale = 1_000_000 if logical == "timestamp-micros" else 1_000
+            micros = raw if logical == "timestamp-micros" else raw * 1000
             return _dt.datetime(1970, 1, 1) + _dt.timedelta(
-                seconds=raw / scale
+                microseconds=micros
             )
         if t == "int" and logical == "date":
             return _EPOCH + _dt.timedelta(days=_read_long(src))

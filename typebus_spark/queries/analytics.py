@@ -288,3 +288,53 @@ def q_map_aggregate(spark, sf_dir):
         ).alias("activity_map"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
     )
+
+
+@query(
+    "q_sketch_kmv_users",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS h
+  FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d),
+kept AS (SELECT event_type, h FROM r WHERE rn <= 64),
+agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+               max(h) AS hk
+        FROM kept GROUP BY 1),
+x AS (SELECT event_type,
+             CASE WHEN n_kept < 64 THEN n_kept
+                  ELSE CAST(round(63.0 * 1152921504606846976.0
+                                  / CAST(hk AS DOUBLE), 0) AS BIGINT)
+             END AS kmv_estimate
+      FROM agg),
+exact AS (SELECT event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM events GROUP BY 1)
+SELECT x.event_type, x.kmv_estimate, e.exact_users
+FROM x JOIN exact e USING (event_type)
+""",
+    doc=(
+        "KMV (k-minimum-values) distinct-count sketch per event type, "
+        "k=64 — the engine-PORTABLE alternative to HyperLogLog "
+        "(Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007): built on "
+        "the repo's 60-bit md5 scheme, both engines keep identical "
+        "minimum hashes, so unlike approx_count_distinct the ESTIMATE "
+        "itself is hash-checked, alongside the exact count for an "
+        "accuracy read. Bottom-k per group runs as a ranking window "
+        "with WindowGroupLimit map-side pruning — k rows per group in "
+        "flight, never the distinct set."
+    ),
+)
+def q_sketch_kmv_users(spark, sf_dir):
+    from typebus_spark.operators.sketch import kmv_distinct
+
+    ev = t(spark, sf_dir, "events")
+    est = kmv_distinct(ev, "event_type", "user_id", k=64, seed="kmv")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type")
