@@ -75,3 +75,25 @@ def test_pack_sequences_spans_are_contiguous_and_complete(spark, sf_dir):
         # the final sequence index is exactly ceil(shard_tokens/256) - 1:
         # concat-and-chunk leaves no empty sequences and no token gaps
         assert r["last"] == (r["tok"] + 255) // 256 - 1, r
+
+
+def test_token_budget_mix_bucket_width_invariant(spark, sf_dir):
+    """The two-phase prefix sum must be EXACT: changing the bucket
+    granularity (1 hex char = 16 buckets vs 2 = 256) cannot change
+    which documents are admitted — bucket offsets compose with
+    intra-bucket cumsums to the same global prefix sum."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(tokens("text")).cast("long")
+    )
+    kept = [
+        {
+            r[0]
+            for r in token_budget_mix(
+                docs, "doc_id", "source", "n_tok", 5_000,
+                seed=42, bucket_chars=bc,
+            ).select("doc_id").collect()
+        }
+        for bc in (1, 2, 3)
+    ]
+    assert kept[0] == kept[1] == kept[2]
+    assert kept[0]  # non-trivial: the budget admits something

@@ -101,3 +101,25 @@ def test_backoff_monotone_and_shaped(max_attempts, delay, attempt):
     # monotone non-decreasing in attempt for lin/exp
     assert lin.backoff_seconds(attempt + 1) >= lin.backoff_seconds(attempt)
     assert exp.backoff_seconds(attempt + 1) >= exp.backoff_seconds(attempt)
+
+
+@given(st.integers(min_value=1, max_value=6))
+@settings(max_examples=12, deadline=None)
+def test_recursive_unroll_depth_property(depth):
+    """declare_recursive_type(max_depth=d) yields exactly d
+    self-expansions below the root, with the deepest level pruned."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from typebus_spark.catalog.types import TypeCatalog, ref_field
+
+    c = TypeCatalog()
+    node = StructType(
+        [StructField("v", LongType()), ref_field("next", "t.N")]
+    )
+    s = c.declare_recursive_type("t.N", node, max_depth=depth).schema
+    lvl = 0
+    while "next" in [f.name for f in s.fields]:
+        s = s["next"].dataType
+        lvl += 1
+    assert lvl == depth
+    assert [f.name for f in s.fields] == ["v"]
