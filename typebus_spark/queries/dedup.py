@@ -59,7 +59,7 @@ WHERE s.shared / (sa.n_sh + sb.n_sh - s.shared) >= {thr}
     oracle=f"""
 WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id,
-              unnest({_shingles_sql(NEAR_N)}) AS shingle FROM tt),
+              ('0x' || substr(md5(unnest({_shingles_sql(NEAR_N)})), 1, 15))::BIGINT AS shingle FROM tt),
 {_JACCARD_TAIL.format(thr=NEAR_THRESHOLD)}
 """,
     doc=(
@@ -104,7 +104,7 @@ bands AS (SELECT doc_id, unnest([{band_structs}], recursive := true) FROM sig),
 cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
-sh AS (SELECT DISTINCT doc_id, unnest({_shingles_sql(shingle_n)}) AS shingle
+sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(unnest({_shingles_sql(shingle_n)})), 1, 15))::BIGINT AS shingle
        FROM tt),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
@@ -202,7 +202,7 @@ def q_dedup_simhash(spark, sf_dir):
     oracle=f"""
 WITH RECURSIVE tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id,
-              unnest({_shingles_sql(NEAR_N)}) AS shingle FROM tt),
+              ('0x' || substr(md5(unnest({_shingles_sql(NEAR_N)})), 1, 15))::BIGINT AS shingle FROM tt),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
@@ -272,7 +272,7 @@ survivors AS (
   SELECT p.doc_id, p.text, p.toks FROM passed p
   JOIN canon c ON p.doc_id = c.doc_id),
 sh AS (SELECT DISTINCT doc_id,
-              unnest({_shingles_sql(8)}) AS shingle FROM survivors),
+              ('0x' || substr(md5(unnest({_shingles_sql(8)})), 1, 15))::BIGINT AS shingle FROM survivors),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 near AS (
   SELECT s.b
@@ -498,7 +498,7 @@ def q_dedup_spans(spark, sf_dir):
     oracle=f"""
 WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id,
-              unnest({_shingles_sql(NEAR_N)}) AS shingle FROM tt),
+              ('0x' || substr(md5(unnest({_shingles_sql(NEAR_N)})), 1, 15))::BIGINT AS shingle FROM tt),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
@@ -546,9 +546,9 @@ chs AS (SELECT DISTINCT
 dt AS (SELECT doc_id, {TOKS} AS toks FROM delta),
 ct AS (SELECT doc_id, {TOKS} AS toks FROM corpus),
 dsh AS (SELECT DISTINCT doc_id,
-               unnest({_shingles_sql(NEAR_N)}) AS shingle FROM dt),
+               ('0x' || substr(md5(unnest({_shingles_sql(NEAR_N)})), 1, 15))::BIGINT AS shingle FROM dt),
 csh AS (SELECT DISTINCT doc_id,
-               unnest({_shingles_sql(NEAR_N)}) AS shingle FROM ct),
+               ('0x' || substr(md5(unnest({_shingles_sql(NEAR_N)})), 1, 15))::BIGINT AS shingle FROM ct),
 dsz AS (SELECT doc_id, count(*) AS nd FROM dsh GROUP BY doc_id),
 csz AS (SELECT doc_id, count(*) AS nc FROM csh GROUP BY doc_id),
 shared AS (
