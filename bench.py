@@ -72,27 +72,40 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def run_once(name, q):
+        start = time.perf_counter()
+        try:
+            q.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t = round(time.perf_counter() - start, 4)
+            prev = timings.get(name)
+            timings[name] = t if prev is None or prev < 0 else min(prev, t)
+        except Exception as e:  # one broken query must not sink the run
+            errors.setdefault(name, type(e).__name__)
+            timings.setdefault(name, -1.0)
+        # Queries persist intermediates (shingle indexes, ANN buckets)
+        # that only their own plan needs; drop them so leaked blocks
+        # don't build memory pressure that taxes every LATER query's
+        # measurement. The gc.collect() releases py4j references so the
+        # ContextCleaner can actually reap the dropped blocks + shuffle
+        # files asynchronously.
+        spark.catalog.clearCache()
+        gc.collect()
+
     for _pass in range(2):
         for name, q in suite.QUERIES.items():
-            start = time.perf_counter()
-            try:
-                q.fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                t = round(time.perf_counter() - start, 4)
-                prev = timings.get(name)
-                timings[name] = t if prev is None or prev < 0 else min(prev, t)
-            except Exception as e:  # one broken query must not sink the run
-                errors.setdefault(name, type(e).__name__)
-                timings.setdefault(name, -1.0)
-            # Queries persist intermediates (shingle indexes, ANN buckets)
-            # that only their own plan needs; drop them so leaked blocks
-            # don't build memory pressure that taxes every LATER query's
-            # measurement. The gc.collect() releases py4j references so the
-            # ContextCleaner can actually reap the dropped blocks + shuffle
-            # files asynchronously.
-            spark.catalog.clearCache()
-            gc.collect()
+            run_once(name, q)
+    # This host shares CPU with other tenants: an ~8-10 s external stall
+    # periodically lands on whichever query is running, and for a
+    # multi-second query the chance BOTH passes get hit is material. A
+    # third pass for the slow tail only (min still > 1 s) keeps the
+    # min-of-N honest where a stall distorts the total most, at ~10 s
+    # extra harness wall instead of a full third pass.
+    for name, q in suite.QUERIES.items():
+        if timings.get(name, -1.0) > 1.0:
+            run_once(name, q)
 
     # Reconcile per-pass status: a query is FAILED only if no pass ever
     # timed it (timing stayed -1); a query that both failed and succeeded

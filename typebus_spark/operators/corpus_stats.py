@@ -248,29 +248,41 @@ def bigram_logprob(
     from typebus_spark.functions.text import shingles, tokens
     from typebus_spark.session import ensure_parallelism
 
+    from pyspark import StorageLevel
+
     toks = tokens(text_col)
     base = ensure_parallelism(df.select(F.col(group_col), F.col(text_col)))
+    # the exploded bigram stream feeds BOTH the count aggregate and the
+    # final score join — persist so the (interpreted-lambda) shingle
+    # explode runs once, not twice
     ex = base.select(
         F.col(group_col), F.explode(shingles(toks, 2)).alias("bg")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     uni = base.select(F.explode(toks).alias("w"))
     ugc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = uni.agg(F.countDistinct("w").alias("vs"))
-    bgc = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # |vocab| == number of ugc groups: reuse the aggregate instead of a
+    # second explode + countDistinct pass over the corpus
+    vocab = ugc.agg(F.count(F.lit(1)).alias("vs"))
     lp = F.log(
         (F.col("c2") + 1).cast("double")
         / (F.col("c1") + F.col("vs")).cast("double")
     )
-    scored = (
-        ex.join(bgc, "bg")
+    # Score each DISTINCT bigram once on the (small) counts table, then
+    # join the scores back onto the exploded stream — the stream
+    # shuffles for one join instead of two (the per-row w1 extraction +
+    # unigram join moved off the big side). No broadcast hint: at bench
+    # scale AQE converts the join (the scored-bigram table is a few MB);
+    # at web scale distinct bigrams can be billions and it correctly
+    # stays a shuffle join.
+    scored_bg = (
+        ex.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
         .withColumn("w", F.substring_index(F.col("bg"), " ", 1))
         .join(ugc, "w")
         .crossJoin(F.broadcast(vocab))
-        .select(
-            F.col(group_col),
-            F.round(lp * 1e9, 0).cast("long").alias("lp_u"),
-        )
+        .select("bg", F.round(lp * 1e9, 0).cast("long").alias("lp_u"))
     )
+    scored = ex.join(scored_bg, "bg").select(F.col(group_col), "lp_u")
     n = F.count(F.lit(1))
     return scored.groupBy(group_col).agg(
         n.alias("n_bigrams"),
