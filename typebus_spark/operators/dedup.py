@@ -322,17 +322,18 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
     )
 
-    # F.expr strings: the Column form of 60 aggs + 60 when-branches was
-    # ~9k py4j round trips of plan construction (the worst in the
-    # inventory); the parsed form is ~125.
-    aggs = [
-        F.expr(f"sum(shiftright(h, {i}) & 1)").alias(f"c{i}")
+    # ONE parsed aggregate expression: the Column form of 60 aggs + 60
+    # when-branches was ~9k py4j round trips of plan construction (the
+    # worst in the inventory); a single named_struct aggregate + a
+    # single packing expression is ~6.
+    agg_sql = "named_struct('n', count(1), " + ", ".join(
+        f"'c{i}', sum(shiftright(h, {i}) & 1)"
         for i in range(SIMHASH_BITS)
-    ] + [F.count(F.lit(1)).alias("_n")]
-    sums = tok.groupBy("_id").agg(*aggs)
+    ) + ")"
+    sums = tok.groupBy("_id").agg(F.expr(agg_sql).alias("s"))
     # disjoint bits → plain sum packs the signature (no overflow: < 2^60)
     sig_sql = " + ".join(
-        f"(CASE WHEN c{i} * 2 >= _n THEN {1 << i}L ELSE 0L END)"
+        f"(CASE WHEN s.c{i} * 2 >= s.n THEN {1 << i}L ELSE 0L END)"
         for i in range(SIMHASH_BITS)
     )
     return sums.select(

@@ -229,6 +229,38 @@ def _reply_env_cached(
     return key_col, _reply_env(out_type, out_cols, key_col)
 
 
+_fanned_cols_cache: dict = {}
+
+
+def _fanned_cols(key_col: F.Column, env: F.Column, fan_cols: F.Column):
+    """(key, value, fanned-destinations) projection — pure function of
+    three cached Column singletons, keyed by identity (Columns are
+    unhashable); pins its inputs so their ids stay live."""
+    key = (id(key_col), id(env), id(fan_cols))
+    hit = _fanned_cols_cache.get(key)
+    if hit is not None:
+        return hit[0]
+    while len(_fanned_cols_cache) >= 512:
+        _fanned_cols_cache.pop(next(iter(_fanned_cols_cache)))
+    cols = (
+        key_col.cast("binary").alias("key"),
+        F.to_json(env).cast("binary").alias("value"),
+        fan_cols,
+    )
+    _fanned_cols_cache[key] = (cols, key_col, env, fan_cols)
+    return cols
+
+
+@lru_cache(maxsize=1)
+def _FANNED_TAIL() -> tuple:
+    return (
+        F.col("key"),
+        F.col("value"),
+        F.col("_d.topic").alias("topic"),
+        F.col("_d.kind").alias("_kind"),
+    )
+
+
 @lru_cache(maxsize=256)
 def _topic_col(topic: str) -> F.Column:
     """``lit(topic) AS topic`` — rebuilt per stream per round otherwise."""
@@ -767,15 +799,8 @@ def run_batch(
                 TRACE_OUT_TOPIC,
             ),
         )
-        fanned = out.select(
-            key_col.cast("binary").alias("key"),
-            F.to_json(env).cast("binary").alias("value"),
-            fan_cols,
-        ).select(
-            "key",
-            "value",
-            F.col("_d.topic").alias("topic"),
-            F.col("_d.kind").alias("_kind"),
+        fanned = out.select(*_fanned_cols(key_col, env, fan_cols)).select(
+            *_FANNED_TAIL()
         )
         res._add_shared(
             fanned,
