@@ -338,3 +338,55 @@ def q_sketch_kmv_users(spark, sf_dir):
         F.countDistinct("user_id").alias("exact_users")
     )
     return est.join(exact, "event_type")
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+WITH p AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS pv
+      FROM p),
+ch AS (SELECT user_id, ts, event_id, value FROM c
+       WHERE pv IS NULL OR value <> pv),
+h AS (SELECT user_id, value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM ch)
+SELECT user_id, value, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM h
+""",
+    doc=(
+        "SCD type-2 history build (the warehouse change-capture shape): "
+        "per-user purchase-value change detection (lag-compare drops "
+        "no-change rows) then validity intervals [valid_from, valid_to) "
+        "via lead, open-ended row flagged current. Both windows "
+        "partition by the user key — per-key state only, no global "
+        "ordering, so the history of a 100 TB CDC stream builds with "
+        "one shuffle on the key."
+    ),
+)
+def q_scd2_history(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    ch = (
+        p.withColumn("pv", F.lag("value").over(w))
+        .filter(F.col("pv").isNull() | (F.col("value") != F.col("pv")))
+        .drop("pv")
+    )
+    return (
+        ch.withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
