@@ -52,11 +52,10 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False)
     )
-    changed = None
-    for _ in range(max_iter):
+    def step(lbls):
         neighbor_min = (
             edges.join(
-                labels.select(
+                lbls.select(
                     F.col("id").alias("dst"),
                     F.col("label").alias("dst_label"),
                 ),
@@ -65,18 +64,41 @@ def connected_components(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("dst_label").alias("nmin"))
         )
-        # lazy checkpoint: the convergence aggregate below is the action
-        # that materializes it — one job per round instead of an eager
-        # checkpoint job followed by a separate probe job
+        return lbls.join(neighbor_min, "id", "left_outer").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+            (F.col("nmin") < F.col("label")).alias("_changed"),
+        )
+
+    changed = None
+    for _ in range((max_iter + 1) // 2):
+        # TWO propagation hops per materialization round: the label
+        # frame is tiny (one row per paired doc), so the extra join in
+        # the plan costs far less than a second checkpoint job +
+        # convergence collect — near-clique dup graphs converge in half
+        # the driver round-trips. _changed ORs across both hops, so the
+        # convergence test is exact.
+        one = step(labels)
+        two = step(one.drop("_changed")).withColumnRenamed(
+            "_changed", "_c2"
+        )
         updated = (
-            labels.join(neighbor_min, "id", "left_outer")
+            two.join(
+                one.select(F.col("id"), F.col("_changed").alias("_c1")),
+                "id",
+            )
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("_changed"),
+                "label",
+                (
+                    F.coalesce(F.col("_c1"), F.lit(False))
+                    | F.coalesce(F.col("_c2"), F.lit(False))
+                ).alias("_changed"),
             )
+            # lazy checkpoint: the convergence aggregate below is the
+            # action that materializes it — one job per round
             .localCheckpoint(eager=False)
         )
         changed = updated.agg(
