@@ -119,3 +119,78 @@ def connected_components(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def pagerank_fixed(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the (undirected) pair graph in
+    EXACT integer nano-units — duplicate-centrality scoring whose every
+    step is engine-reproducible, so the whole iterative algorithm is
+    value-checkable against a SQL oracle (the Lloyd's-trainer pattern
+    applied to graph analytics).
+
+    All arithmetic is integer: ranks live in 1e-9 units (init 1.0 =
+    1_000_000_000), per-edge contribution is ``rank DIV degree``, and
+    the damped update is ``(100 - d)% * 1e9 / 100 + (d% * sum) DIV 100``
+    — no float ever enters, so partial-aggregation order cannot drift
+    the result. Returns (id, rank double) with rank = units / 1e9.
+
+    Scale shape: degree is one aggregate over the edge list; each
+    iteration is one join (edges x ranks, shuffle on the vertex key) +
+    one sum aggregate — state is one row per PAIRED doc, as in
+    connected_components. ``iters`` is deliberately fixed (unrollable
+    into the oracle), the standard choice for ranking features where
+    convergence-to-epsilon isn't required.
+    """
+    base_unit = 1_000_000_000
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(
+        F.col("src").alias("id"), F.lit(base_unit).alias("r")
+    )
+    teleport = (100 - damping_pct) * base_unit // 100
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("id").alias("src"), "r"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("r DIV deg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.drop("r")
+            .join(contrib, "id", "left_outer")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) DIV 100"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "id",
+        F.round(F.col("r").cast("double") / base_unit, 6).alias("rank"),
+    )

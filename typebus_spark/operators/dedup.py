@@ -639,9 +639,17 @@ def incremental_dedup(
     ).distinct()
     exact_dups = d_hash.join(c_hash, "_h", "left_semi").select(id_col)
 
-    d_sh = distinct_shingles(delta, id_col, text_col, shingle_n)
+    from pyspark import StorageLevel
+
+    # each index feeds its size aggregate AND the probe join — persist
+    # so the explode+hash pass runs once per side, not twice
+    d_sh = distinct_shingles(delta, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     d_sizes = d_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("nd"))
-    c_sh = distinct_shingles(corpus, id_col, text_col, shingle_n)
+    c_sh = distinct_shingles(corpus, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     c_sizes = c_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("nc"))
     shared = (
         d_sh.select(F.col("_id").alias("d"), "shingle")

@@ -245,6 +245,79 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @query(
+    "q_pagerank_dups",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              ('0x' || substr(md5(unnest({_shingles_sql(NEAR_N)})), 1, 15))::BIGINT AS shingle FROM tt),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS (
+  SELECT s.a, s.b
+  FROM shared s
+  JOIN sizes sa ON s.a = sa.doc_id
+  JOIN sizes sb ON s.b = sb.doc_id
+  WHERE s.shared / (sa.n_sh + sb.n_sh - s.shared) >= {NEAR_THRESHOLD}),
+e AS (SELECT a AS src, b AS dst FROM p
+      UNION SELECT b AS src, a AS dst FROM p),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT src AS id, CAST(1000000000 AS BIGINT) AS r FROM deg),
+c1 AS (SELECT e.dst AS id, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+       FROM e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src
+       GROUP BY 1),
+r1 AS (SELECT r0.id,
+                CAST(150000000 + (85 * coalesce(c1.s, 0)) // 100
+                     AS BIGINT) AS r
+         FROM r0 LEFT JOIN c1 ON r0.id = c1.id),
+c2 AS (SELECT e.dst AS id, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+       FROM e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src
+       GROUP BY 1),
+r2 AS (SELECT r1.id,
+                CAST(150000000 + (85 * coalesce(c2.s, 0)) // 100
+                     AS BIGINT) AS r
+         FROM r1 LEFT JOIN c2 ON r1.id = c2.id),
+c3 AS (SELECT e.dst AS id, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+       FROM e JOIN r2 r ON e.src = r.id JOIN deg d ON e.src = d.src
+       GROUP BY 1),
+r3 AS (SELECT r2.id,
+                CAST(150000000 + (85 * coalesce(c3.s, 0)) // 100
+                     AS BIGINT) AS r
+         FROM r2 LEFT JOIN c3 ON r2.id = c3.id)
+SELECT id, round(CAST(r AS DOUBLE) / 1000000000, 6) AS rank
+FROM r3
+""",
+    doc=(
+        "Duplicate-centrality PageRank (3 fixed iterations, damping "
+        "0.85) over the exact-Jaccard near-dup pair graph — ranks the "
+        "hub documents of each duplication family. Every step is EXACT "
+        "integer nano-unit arithmetic (contribution = rank DIV degree, "
+        "damped update all-integer), so unlike float PageRank the "
+        "iterative algorithm itself is value-checked: the oracle "
+        "replays all three iterations as unrolled CTEs and lands on "
+        "identical units. Scale shape matches connected_components — "
+        "one edges-x-ranks join + one sum per iteration, state one row "
+        "per PAIRED doc."
+    ),
+)
+def q_pagerank_dups(spark, sf_dir):
+    from typebus_spark.operators.clustering import pagerank_fixed
+
+    pairs = jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=NEAR_N,
+        threshold=NEAR_THRESHOLD,
+    )
+    return pagerank_fixed(pairs, "a", "b", iters=3).select(
+        F.col("id"), F.col("rank")
+    )
+
+
+@query(
     "q_pipeline_clean_corpus",
     oracle=f"""
 WITH feat AS (
