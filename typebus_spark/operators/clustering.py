@@ -28,6 +28,24 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _sym_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Symmetrized edge list, checkpointed. The union reads ``pairs``
+    twice and there is no cross-branch CSE through a Union — without
+    the persist the (expensive) pair-generation pipeline would execute
+    once per direction inside the edge materialization."""
+    from pyspark import StorageLevel
+
+    p = pairs.select(a_col, b_col).persist(StorageLevel.MEMORY_AND_DISK)
+    return (
+        p.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            p.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # materialized by the first probe
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
@@ -36,16 +54,7 @@ def connected_components(
 ) -> DataFrame:
     """(doc_id, cluster_id) for every doc appearing in ``pairs``;
     cluster_id = the minimum doc id reachable through the pair graph."""
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # materialized by round 1's probe
-    )
+    edges = _sym_edges(pairs, a_col, b_col)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -148,16 +157,7 @@ def pagerank_fixed(
     convergence-to-epsilon isn't required.
     """
     base_unit = 1_000_000_000
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    edges = _sym_edges(pairs, a_col, b_col)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(
         F.col("src").alias("id"), F.lit(base_unit).alias("r")
