@@ -519,3 +519,66 @@ def test_forward_direct_reply_to_third_service(spark, svc, tmp_path):
     assert len(landed) == 1
     v = json.loads(bytes(landed[0]["value"]).decode())
     assert v["payload"]["status"] == "confirmed"
+
+
+def test_encode_envelope_fast_path_bytes_equal_column_path(spark):
+    """The single-parse encode fast path must emit byte-identical wire
+    values to the Column-built path (same struct field order, same JSON
+    shape) — modulo the per-row uuids/timestamp, which are masked here
+    by decoding both sides and comparing the deterministic fields."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from typebus_spark.codec.envelope import new_meta
+
+    df = spark.range(5).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 2).alias("user_id"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    key = F.col("user_id").cast("string")
+    fast = encode_envelope(
+        df, "api.T", payload_cols=["event_id", "user_id", "value"], key=key
+    )
+    # force the Column path by passing meta explicitly
+    slow = encode_envelope(
+        df,
+        "api.T",
+        payload_cols=["event_id", "user_id", "value"],
+        key=key,
+        meta=new_meta("api.T", key=key),
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    def norm(rows):
+        out = []
+        for r in sorted(rows, key=lambda r: json.loads(bytes(r["value"]))["payload"]["event_id"]):
+            d = json.loads(bytes(r["value"]))
+            meta = d["meta"]
+            # mask per-row nondeterminism; everything else must match
+            for k in ("event_id", "correlation_id", "occurred_at"):
+                meta.pop(k, None)
+            out.append(
+                (bytes(r["key"] or b""), r["topic"], json.dumps(d, sort_keys=True),
+                 tuple(sorted(meta.keys())), tuple(sorted(d["payload"].items())))
+            )
+        return out
+
+    f_rows, s_rows = norm(fast.collect()), norm(slow.collect())
+    assert [x[0] for x in f_rows] == [x[0] for x in s_rows]  # keys
+    assert [x[1] for x in f_rows] == [x[1] for x in s_rows]  # topics
+    assert [x[3] for x in f_rows] == [x[3] for x in s_rows]  # meta keys
+    assert [x[4] for x in f_rows] == [x[4] for x in s_rows]  # payloads
+    # and both decode through the same schema to identical typed rows
+    fd = decode_envelope(fast, schema).select("payload.*").collect()
+    sd = decode_envelope(slow, schema).select("payload.*").collect()
+    assert sorted(map(tuple, fd)) == sorted(map(tuple, sd))
