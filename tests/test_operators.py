@@ -316,3 +316,19 @@ def test_dedup_spans_removes_shared_chunks(spark):
     assert got[1]["n_removed"] == 1 and got[2]["n_removed"] == 1
     assert got[1]["cleaned_text"] == "a1 a2 a3 a4 a5"
     assert got[2]["cleaned_text"] == "b1 b2 b3 b4 b5"
+
+
+def test_shingle_index_keys_are_hashed_bigints(spark, sf_dir):
+    """The inverted shingle index must carry the 60-bit integer key,
+    not raw n-gram strings — the property that keeps the exact-Jaccard
+    family's shuffles ~5x smaller (operators/dedup.distinct_shingles).
+    A regression to StringType would still pass every oracle (the
+    oracles hash identically), so pin the type here."""
+    from pyspark.sql.types import LongType
+
+    from typebus_spark.operators.dedup import distinct_shingles
+    from typebus_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = distinct_shingles(docs, "doc_id", "text", 8)
+    assert isinstance(sh.schema["shingle"].dataType, LongType)
