@@ -209,3 +209,27 @@ def test_unpivot_adds_no_shuffle(spark, sf_dir):
     plan = formatted_plan(_df(spark, sf_dir, "q_unpivot_activity"))
     assert "Expand" in plan, plan
     assert plan.count("Exchange") == 4, plan  # two nodes, each named twice
+
+
+def test_drain_jobs_per_round_bounded(spark, sf_dir):
+    """Pin the drain loop's driver-job budget: 3-4 retry rounds must run
+    as ~3 jobs each (route + queue-snapshot count + terminal scan), 13
+    total for q_retry_drain and 12 for q_retry_drain_shed, measured
+    stable across sf0.001/sf0.01 and 8/32 cores. A lineage or shed-path
+    rework that re-materializes the routed batch per round adds 3-4 jobs
+    per round and trips this bound long before it shows up as bench wall
+    (the r4 bench recorded 5.6 s for the shed drain; a controlled calm
+    re-measure showed 2.6 s — host noise, not a plan change — and this
+    pin keeps any REAL per-round materialization from hiding behind that
+    noise again)."""
+    sc = spark.sparkContext
+    for name, bound in (("q_retry_drain", 15), ("q_retry_drain_shed", 14)):
+        sc.setJobGroup(name, name)
+        try:
+            _df(spark, sf_dir, name).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        finally:
+            sc.setJobGroup("", "")
+        jobs = sc.statusTracker().getJobIdsForGroup(name)
+        assert len(jobs) <= bound, (name, len(jobs))
