@@ -159,3 +159,31 @@ def test_lloyd_training_moves_centroids_and_keeps_recall(spark, sf_dir):
     # training tightens buckets; allow small fixture noise but never a
     # collapse below the untrained codebook
     assert r_trained >= r_init - 0.05, (r_init, r_trained)
+
+
+def test_kmeans_codebook_matches_frozen(spark, sf_dir):
+    """The q_knn_ivf_kmeans oracle replays the FROZEN codebook
+    (tools/freeze_ivf_codebook.py) as literals, betting that
+    pyspark.ml KMeans is bit-reproducible for fixed (data, k, seed).
+    This pin makes that bet observable locally: if a pyspark upgrade or
+    trainer change ever shifts the trained centroids, this goes red
+    BEFORE the driver's hash gate does (re-run the freeze tool to
+    re-sync)."""
+    from tools.freeze_ivf_codebook import fingerprint
+    from typebus_spark.operators.similarity import train_centroids_kmeans
+    from typebus_spark.queries._ivf_codebook import FROZEN_KMEANS_CODEBOOKS
+    from typebus_spark.queries.similarity import IVF_N_CEN, IVF_SEED
+
+    key = fingerprint(sf_dir)
+    assert key in FROZEN_KMEANS_CODEBOOKS, (
+        f"no frozen codebook for {sf_dir} (fingerprint {key}); "
+        "run tools/freeze_ivf_codebook.py"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    live = train_centroids_kmeans(
+        e, "embedding", n_centroids=IVF_N_CEN, seed=IVF_SEED
+    )
+    frozen = FROZEN_KMEANS_CODEBOOKS[key]
+    assert len(live) == len(frozen)
+    for lc, fc in zip(live, frozen):
+        assert lc == fc  # bit-exact, not approx — the oracle needs ulps

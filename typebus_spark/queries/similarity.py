@@ -212,6 +212,35 @@ cen_i{it + 1} AS (SELECT p.c, COALESCE(n.cv, p.cv) AS cv
     return ",\n".join(parts)
 
 
+def _kmeans_cen_ctes() -> str:
+    """Centroid CTE block replaying the FROZEN pyspark.ml KMeans codebook
+    (tools/freeze_ivf_codebook.py): the trainer is bit-reproducible for a
+    fixed (data, k, seed) — verified across 4 session shapes with 0.0 max
+    centroid diff — so the live-trained codebook equals these literals
+    exactly and the whole ml-lib ANN path becomes hash-checkable. The
+    codebook is selected by a data fingerprint (1e-6 fixed-point sum of
+    ``embedding[1]``) because the sf0.001/sf0.01 corpora share row counts
+    and vec_ids but not values. Drift (e.g. a pyspark upgrade changing
+    k-means|| internals) is caught locally by
+    tests/test_ann_recall.py::test_kmeans_codebook_matches_frozen."""
+    from typebus_spark.queries._ivf_codebook import (
+        FROZEN_KMEANS_CODEBOOKS,
+        KEY_SQL,
+    )
+
+    rows = []
+    for key, cen in FROZEN_KMEANS_CODEBOOKS.items():
+        for i, c in enumerate(cen):
+            vec = "[" + ", ".join(repr(x) for x in c) + "]"
+            rows.append(f"({key}, {i}, {vec})")
+    values = ",\n".join(rows)
+    return (
+        f"cenall(fk, c, cv) AS (VALUES {values}),\n"
+        f"cen AS (SELECT c, cv FROM cenall\n"
+        f"        WHERE fk = (SELECT {KEY_SQL} FROM embeddings))"
+    )
+
+
 def _ivf_oracle(cen_block: str | None = None) -> str:
     """Mirror the ENTIRE IVF pipeline in DuckDB: deterministic centroid
     construction (prefix pick by default, or a supplied CTE block such
@@ -514,14 +543,17 @@ def q_knn_ivf_lloyd(spark, sf_dir):
 
 @query(
     "q_knn_ivf_kmeans",
-    oracle=None,  # k-means|| init is JVM-seeded → engine-specific
+    oracle=_ivf_oracle(_kmeans_cen_ctes()),
     doc=(
         "IVF ANN over pyspark.ml KMeans (k-means|| init) — the ml-lib "
-        "integration path. The trainer is JVM-seeded so the codebook is "
-        "not engine-reproducible → rows-only here; approximation "
-        "QUALITY is gated in tests/test_ann_recall.py (k-means recall "
-        "must match or beat the prefix-pick codebook), and the "
-        "hash-checked trained-codebook path is q_knn_ivf_lloyd."
+        "integration path, fully hash-checked: the trainer is "
+        "bit-reproducible for fixed (data, k, seed), so the oracle "
+        "replays bucket assignment + nprobe probing from the FROZEN "
+        "trained codebook as plan literals (the q_lsh_embedding_bucketed "
+        "pattern; see _kmeans_cen_ctes / tools/freeze_ivf_codebook.py), "
+        "while the Spark side trains live. Approximation QUALITY is "
+        "additionally gated in tests/test_ann_recall.py (k-means recall "
+        "must match or beat the prefix-pick codebook)."
     ),
 )
 def q_knn_ivf_kmeans(spark, sf_dir):

@@ -97,9 +97,16 @@ def _reorder_by_driver_history() -> None:
         for name, rec in rows.items():
             if not isinstance(rec, dict):
                 continue
+            # A rows-only green only counts for queries that are STILL
+            # oracle-less: if a query has since gained an oracle (e.g.
+            # q_knn_ivf_kmeans's frozen-codebook upgrade in round 5),
+            # its historical rows-only record is weaker evidence than
+            # the check it now supports, so it re-enters the window.
+            q = QUERIES.get(name)
             green = rec.get("hash_match") is True or (
                 rec.get("err") == "no_oracle"
                 and rec.get("spark_rows") is not None
+                and (q is None or q.oracle is None)
             )
             bucket = latest_green if green else latest_fail
             bucket[name] = max(bucket.get(name, 0), rnd)
