@@ -192,7 +192,7 @@ if _HAS_HYP:
             | st.datetimes(
                 min_value=dt.datetime(1970, 1, 1),
                 max_value=dt.datetime(2100, 1, 1),
-            ).map(lambda d: d.replace(microsecond=(d.microsecond // 1) )),
+            ),  # timestamp-micros: full microsecond precision round-trips
         }
     )
 

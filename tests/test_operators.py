@@ -332,3 +332,19 @@ def test_shingle_index_keys_are_hashed_bigints(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sh = distinct_shingles(docs, "doc_id", "text", 8)
     assert isinstance(sh.schema["shingle"].dataType, LongType)
+
+
+def test_money_and_dot_accept_reserved_word_columns(spark):
+    """cents()/dot_lit_sql() interpolate column names into SQL text;
+    they must backtick-quote so SQL reserved words ('order', 'from')
+    parse (ADVICE r4: isidentifier() admits reserved words)."""
+    from typebus_spark.functions.money import cents
+    from typebus_spark.functions.vector import dot_lit_sql
+
+    df = spark.createDataFrame([(1.25,), (2.50,)], ["order"])
+    got = sorted(r[0] for r in df.select(cents("order")).collect())
+    assert got == [125, 250]
+
+    vdf = spark.createDataFrame([([1.0, 2.0],)], ["from"])
+    out = vdf.selectExpr(f"{dot_lit_sql('from', [3.0, 4.0])} AS d").collect()
+    assert out[0].d == 11.0

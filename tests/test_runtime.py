@@ -576,6 +576,10 @@ def test_encode_envelope_fast_path_bytes_equal_column_path(spark):
     f_rows, s_rows = norm(fast.collect()), norm(slow.collect())
     assert [x[0] for x in f_rows] == [x[0] for x in s_rows]  # keys
     assert [x[1] for x in f_rows] == [x[1] for x in s_rows]  # topics
+    # full masked JSON bodies: catches a fast-path VALUE regression in
+    # deterministic meta fields (key, trace, direct_reply), which the
+    # key-set compare below would miss
+    assert [x[2] for x in f_rows] == [x[2] for x in s_rows]
     assert [x[3] for x in f_rows] == [x[3] for x in s_rows]  # meta keys
     assert [x[4] for x in f_rows] == [x[4] for x in s_rows]  # payloads
     # and both decode through the same schema to identical typed rows

@@ -210,7 +210,12 @@ def _decode(schema: Any, src: io.BytesIO) -> Any:
     if schema == "null":
         return None
     if schema == "boolean":
-        return src.read(1) == b"\x01"
+        b = src.read(1)
+        if not b:
+            raise EOFError("truncated avro boolean")
+        if b not in (b"\x00", b"\x01"):
+            raise ValueError(f"invalid avro boolean byte: {b!r}")
+        return b == b"\x01"
     if schema in ("int", "long"):
         return _read_long(src)
     if schema == "float":

@@ -36,7 +36,9 @@ from functools import lru_cache
 
 @lru_cache(maxsize=256)
 def _cents_by_name(col: str) -> Column:
-    return F.expr(f"CAST(round({col} * 100, 0) AS BIGINT)")
+    # backticks: isidentifier() admits SQL reserved words ('from',
+    # 'order'), which would fail to parse unquoted
+    return F.expr(f"CAST(round(`{col}` * 100, 0) AS BIGINT)")
 
 
 def cents(col: Column | str) -> Column:

@@ -74,12 +74,19 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
     return F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v))
 
 
+def _quote_name(name: str) -> str:
+    """Backtick-quote a (possibly dotted) column reference so reserved
+    words ('from', 'order') parse; each path segment is quoted
+    separately to keep struct-field access working."""
+    return ".".join(f"`{p}`" for p in name.split("."))
+
+
 def dot_lit_sql(vec_name: str, vals) -> str:
     """SQL text of the ordered-fold dot product of column ``vec_name``
     with a literal vector — textually identical semantics to
     ``dot(vec, lit_vec(vals))`` but embeddable in one-parse strings."""
     return (
-        f"aggregate(zip_with({vec_name}, {lit_vec_sql(vals)}, "
+        f"aggregate(zip_with({_quote_name(vec_name)}, {lit_vec_sql(vals)}, "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0.0D, (acc, v) -> acc + v)"
     )

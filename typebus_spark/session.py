@@ -111,8 +111,13 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     except Exception:
         files = ()
     if files:
-        if len(files) > 64:
-            return df  # many-file scan: parallelism is already there
+        # No many-file early return: Spark bin-packs small files
+        # (openCostInBytes), so 65+ tiny files can still scan as 1-2
+        # partitions — the byte-size estimate below is the right test
+        # for ANY file count. ceil(total/maxPartitionBytes) deliberately
+        # UNDER-estimates (ignores per-file open cost): an underestimate
+        # only toggles a harmless repartition, an overestimate would
+        # silently serialize a CPU-heavy operator.
         est = _SCAN_EST_CACHE.get(files)
         if est is None:
             mpb = _max_partition_bytes(spark)
