@@ -81,39 +81,30 @@ def connected_components(
             (F.col("nmin") < F.col("label")).alias("_changed"),
         )
 
+    # THREE propagation hops per materialization round, and convergence
+    # certified by the LAST hop alone: labels only ever decrease, so if
+    # one full hop produces zero changes the fixed point is reached —
+    # regardless of what earlier hops in the same round did. That means
+    # a diameter-≤2 component graph (near-dup clusters are mostly
+    # cliques) converges in ONE driver sync (hops 1-2 do the work, hop 3
+    # certifies), where the previous OR-across-hops bookkeeping needed a
+    # second round plus two extra joins per round just to merge flags.
+    # The label frame is tiny (one row per paired doc), so three joins
+    # of plan depth cost far less than an extra checkpoint job +
+    # convergence collect.
+    hops = 3
     changed = None
-    for _ in range((max_iter + 1) // 2):
-        # TWO propagation hops per materialization round: the label
-        # frame is tiny (one row per paired doc), so the extra join in
-        # the plan costs far less than a second checkpoint job +
-        # convergence collect — near-clique dup graphs converge in half
-        # the driver round-trips. _changed ORs across both hops, so the
-        # convergence test is exact.
-        one = step(labels)
-        two = step(one.drop("_changed")).withColumnRenamed(
-            "_changed", "_c2"
-        )
-        updated = (
-            two.join(
-                one.select(F.col("id"), F.col("_changed").alias("_c1")),
-                "id",
-            )
-            .select(
-                "id",
-                "label",
-                (
-                    F.coalesce(F.col("_c1"), F.lit(False))
-                    | F.coalesce(F.col("_c2"), F.lit(False))
-                ).alias("_changed"),
-            )
-            # lazy checkpoint: the convergence aggregate below is the
-            # action that materializes it — one job per round
-            .localCheckpoint(eager=False)
-        )
-        changed = updated.agg(
+    for _ in range(max(1, -(-max_iter // hops))):
+        cur = labels
+        for _h in range(hops - 1):
+            cur = step(cur).drop("_changed")
+        final = step(cur).localCheckpoint(eager=False)
+        # lazy checkpoint: the convergence aggregate below is the
+        # action that materializes it — one job per round
+        changed = final.agg(
             F.sum(F.coalesce(F.col("_changed").cast("int"), F.lit(0)))
         ).collect()[0][0]
-        labels = updated.drop("_changed")
+        labels = final.drop("_changed")
         if not changed:
             break
     if changed:
@@ -176,6 +167,11 @@ def pagerank_fixed(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
+        # No per-iteration checkpoint: ``iters`` is small and fixed, so
+        # the full unrolled lineage (3 joins of the persisted edge
+        # frame) is one bounded AQE DAG — each checkpoint was a separate
+        # materialization job (+ its AQE stage jobs), tripling the
+        # driver-side job count for zero lineage benefit at this depth.
         ranks = (
             ranks.drop("r")
             .join(contrib, "id", "left_outer")
@@ -188,7 +184,6 @@ def pagerank_fixed(
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
     return ranks.select(
         "id",

@@ -331,7 +331,7 @@ def train_centroids_kmeans(
     vec_col: str,
     n_centroids: int,
     seed: int = 42,
-    max_iter: int = 10,
+    max_iter: int = 4,
     max_train_rows: int = 5000,
 ) -> list[list[float]]:
     """Production IVF codebook: real Lloyd's iterations via pyspark.ml
@@ -344,6 +344,12 @@ def train_centroids_kmeans(
     determinism isn't required. Same contract: returns plain
     ``list[list[float]]`` ready for ``ivf_topk``/``semdedup``.
     """
+    # max_iter=4: IVF codebooks don't need converged Lloyd's — bucket
+    # recall plateaus after a few rounds (gated by tests/test_ann_recall:
+    # kmeans must match-or-beat the prefix-pick codebook) while each
+    # extra round costs a full corpus pass; FAISS trains IVF with ~10
+    # iterations on a SUBSAMPLE for the same reason, and we cap rows
+    # via max_train_rows below.
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

@@ -298,21 +298,29 @@ def q_tfidf_top_terms(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # metadata-only count; becomes a plan literal
+    # N stays IN the plan (1-row count aggregate, broadcast into the
+    # scoring join, mirroring the oracle's CROSS JOIN n) instead of a
+    # driver-side docs.count(): the eager count was a build-time scan
+    # job — an extra corpus pass at scale and a plan-cache blocker.
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     tok = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.transform(tokens("text"), F.lower)).alias("term"),
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf")
-            * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
-            6,
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
     return (

@@ -135,9 +135,20 @@ def ensure_parallelism(df, min_partitions: int | None = None):
             _SCAN_EST_CACHE[files] = est
         if est >= 0:
             return df if est >= target else df.repartition(target)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Derived (non-scan) frame: NO physical probe — under AQE,
+    # ``df.rdd`` EXECUTES every upstream query stage to learn the final
+    # partition count (measured as whole-pipeline double-execution at
+    # build time: q_pipeline_clean_corpus ran its quality+dedup+join
+    # sub-DAG once for the probe and again for the real action).
+    # Instead, repartition unconditionally: every call site is a
+    # CPU-EXPANSION operator (shingle explode + hashing, vector folds)
+    # whose input is compact relative to its output, so the exchange is
+    # a few percent of downstream volume at any scale — cheap insurance
+    # against AQE's byte-sized coalescing serializing the expansion
+    # (post-shuffle tiny bytes → 1-2 partitions → one core hashes
+    # everything). Scans (the common case) keep the free size-estimate
+    # path above and skip the shuffle when parallelism is already there.
+    return df.repartition(target)
 
 
 def stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
