@@ -228,3 +228,81 @@ def test_cli_gen_client_from_descriptor(tmp_path):
     src = out_path.read_text()
     assert "class OrderServiceRpcClient" in src
     assert "def order_placed" in src
+
+
+def test_describe_from_bus_end_to_end(spark, tmp_path):
+    """The reference's `gen -s` remote-pull workflow (CommandParser.scala:
+    60-123; typebus-kafka gen/Main.scala:14-52), completed: a requester
+    publishes GetServiceDescriptor over the bus, the TARGET service —
+    consuming the bus via start_service — auto-answers through its
+    discovery stream, and the fetched descriptor drives every codegen
+    target (rebuilt catalog → python dataclasses compile; descriptor →
+    RPC client compiles)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from typebus_spark.catalog.codegen import to_python, to_rpc_client
+    from typebus_spark.catalog.discovery import (
+        await_descriptor,
+        catalog_from_descriptor,
+        request_descriptor,
+    )
+    from typebus_spark.registry import Service
+    from typebus_spark.runtime import FileBus, start_service
+
+    target = Service("order-service")
+    target.declare_type(
+        "api.OrderPlaced",
+        StructType([StructField("order_id", StringType(), False)]),
+    )
+    target.declare_type(
+        "api.OrderConfirmed",
+        StructType(
+            [
+                StructField("order_id", StringType(), False),
+                StructField("status", StringType(), False),
+            ]
+        ),
+    )
+    target.register_stream(
+        "api.OrderPlaced",
+        "api.OrderConfirmed",
+        lambda df: df.select(
+            "meta", "order_id", F.lit("ok").alias("status")
+        ),
+    )
+
+    bus = FileBus(str(tmp_path / "bus"))
+    request_descriptor(spark, bus, "order-service")
+    # the target consumes the bus exactly as a deployed service would
+    q = start_service(target, bus, spark, str(tmp_path / "ck"))
+    q.awaitTermination(60)
+
+    desc = await_descriptor(spark, bus, "order-service", timeout=10)
+    assert desc["service"] == "order-service"
+    assert {"in": "api.OrderPlaced", "out": "api.OrderConfirmed"} in (
+        desc["service_methods"]
+    )
+
+    # descriptor → catalog → python codegen compiles
+    cat = catalog_from_descriptor(desc)
+    assert "api.OrderPlaced" in cat.fqns()
+    ns: dict = {}
+    exec(compile(to_python(cat), "<gen>", "exec"), ns)
+    assert "OrderPlaced" in ns
+
+    # descriptor → RPC client codegen compiles
+    ns2: dict = {}
+    exec(compile(to_rpc_client(desc), "<genclient>", "exec"), ns2)
+
+
+def test_cli_describe_from_bus_flag_validation():
+    from typebus_spark.cli import main
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["describe", "--from-bus", "/tmp/nowhere"])  # missing -s
+    with pytest.raises(SystemExit):
+        main(["describe"])  # neither -t nor --from-bus
+    with pytest.raises(SystemExit):
+        main(["gen", "-l", "python"])  # neither -t nor --from-bus

@@ -3,8 +3,11 @@
 Reference: the scopt REPL with ``gen -t <dir> -o <out>`` / ``gen --push``
 (typebus/.../cli/CommandParser.scala:33-123). Subcommands here:
 
-- ``gen``      — emit code from a catalog directory (python|ddl|views)
-- ``describe`` — print the service-descriptor JSON for a catalog
+- ``gen``      — emit code from a catalog directory (python|ddl|views),
+  or from a RUNNING service over the bus (``--from-bus <root> -s <name>``,
+  the reference's ``gen -s`` remote-pull flow)
+- ``describe`` — print the service-descriptor JSON for a catalog, or
+  fetch a live service's descriptor over the bus
 - ``bench``    — run the benchmark suite (delegates to bench.py contract)
 """
 
@@ -28,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("gen", help="generate code from a schema catalog")
-    g.add_argument("-t", "--types", required=True, help="catalog directory")
+    g.add_argument("-t", "--types", help="catalog directory")
     g.add_argument("-o", "--out", default="-", help="output file (- = stdout)")
     g.add_argument(
         "-l",
@@ -43,25 +46,79 @@ def main(argv: list[str] | None = None) -> int:
         help="ServiceDescriptor JSON file (required for --lang client; "
         "the descriptor a service broadcasts on the bus)",
     )
+    g.add_argument(
+        "--from-bus",
+        default=None,
+        metavar="BUS_ROOT",
+        help="fetch the descriptor from a RUNNING service over the bus "
+        "at this FileBus root (reference `gen -s`, "
+        "CommandParser.scala:60-123); requires -s/--service",
+    )
+    g.add_argument(
+        "-s", "--service", default=None, help="service name to contact"
+    )
+    g.add_argument(
+        "--timeout", type=float, default=60.0, help="bus reply timeout (s)"
+    )
 
     d = sub.add_parser("describe", help="print catalog descriptor JSON")
-    d.add_argument("-t", "--types", required=True, help="catalog directory")
+    d.add_argument("-t", "--types", help="catalog directory")
+    d.add_argument(
+        "--from-bus",
+        default=None,
+        metavar="BUS_ROOT",
+        help="fetch a live service's descriptor over the bus at this "
+        "FileBus root; requires -s/--service",
+    )
+    d.add_argument(
+        "-s", "--service", default=None, help="service name to contact"
+    )
+    d.add_argument(
+        "--timeout", type=float, default=60.0, help="bus reply timeout (s)"
+    )
 
     args = p.parse_args(argv)
 
+    def _fetch_descriptor():
+        if not args.service:
+            p.error("--from-bus requires -s/--service")
+        from typebus_spark import get_spark
+        from typebus_spark.catalog.discovery import describe_from_bus
+
+        spark = get_spark(app_name="typebus-cli")
+        return describe_from_bus(
+            spark, args.from_bus, args.service, timeout=args.timeout
+        )
+
     if args.cmd == "gen":
+        desc = None
+        if args.from_bus:
+            desc = _fetch_descriptor()
+        elif not args.types and args.lang != "client":
+            p.error("gen requires -t/--types or --from-bus")
         if args.lang == "client":
-            if not args.descriptor:
-                p.error("--lang client requires --descriptor")
-            with open(args.descriptor) as f:
-                out = to_rpc_client(json.load(f))
+            if desc is None:
+                if not args.descriptor:
+                    p.error(
+                        "--lang client requires --descriptor or --from-bus"
+                    )
+                with open(args.descriptor) as f:
+                    desc = json.load(f)
+            out = to_rpc_client(desc)
             if args.out == "-":
                 print(out)
             else:
                 with open(args.out, "w") as fo:
                     fo.write(out)
             return 0
-        cat = TypeCatalog(args.types)
+        if desc is not None:
+            from typebus_spark.catalog.discovery import (
+                catalog_from_descriptor,
+            )
+
+            cat = catalog_from_descriptor(desc)
+        else:
+            cat = TypeCatalog(args.types)
         if args.lang == "python":
             out = to_python(cat)
         elif args.lang == "ddl":
@@ -76,6 +133,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "describe":
+        if args.from_bus:
+            print(json.dumps(_fetch_descriptor(), indent=2, sort_keys=True))
+            return 0
+        if not args.types:
+            p.error("describe requires -t/--types or --from-bus")
         cat = TypeCatalog(args.types)
         print(
             json.dumps(
