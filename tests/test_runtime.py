@@ -586,3 +586,40 @@ def test_encode_envelope_fast_path_bytes_equal_column_path(spark):
     fd = decode_envelope(fast, schema).select("payload.*").collect()
     sd = decode_envelope(slow, schema).select("payload.*").collect()
     assert sorted(map(tuple, fd)) == sorted(map(tuple, sd))
+
+
+def test_kafka_bus_plan_assertions_without_jar(spark):
+    """The Kafka jar is absent in this env (CLAUDE.md), so the Kafka
+    branch is asserted at the BUILDER level: subscription/offset/
+    checkpoint options, the (key, value, topic) sink row contract with
+    key driven by partition_key (K1, KafkaBus.scala:117,121,184), and
+    signature compatibility with start_service's per-topic read_stream
+    calls — a jar drop then becomes config-only."""
+    from typebus_spark.codec.envelope import encode_envelope
+    from typebus_spark.runtime import KafkaBus
+
+    bus = KafkaBus("broker1:9092,broker2:9092")
+
+    # start_service passes a SINGLE topic string per subscribed topic
+    ropts = bus.reader_options("api.Task")
+    assert ropts["subscribe"] == "api.Task"
+    assert ropts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert ropts["startingOffsets"] == "latest"  # auto.offset.reset parity
+    assert bus.reader_options(["a.X", "a.Y"])["subscribe"] == "a.X,a.Y"
+
+    wopts = bus.writer_options(checkpoint="/ck/svc", topic="api.Out")
+    assert wopts["checkpointLocation"] == "/ck/svc"
+    assert wopts["topic"] == "api.Out"
+    # without an explicit topic the sink must route by the row's topic
+    # column — no "topic" option pinned
+    assert "topic" not in bus.writer_options(checkpoint="/ck/svc")
+
+    # K1 keyed publish: the envelope frame IS the Kafka sink contract
+    df = spark.createDataFrame([(1, "u1")], "task_id long, user string")
+    env = encode_envelope(df, "api.Task", key=F.col("user"))
+    assert [f.name for f in env.schema.fields[:3]] == list(bus.RAW_COLUMNS)
+    assert dict(env.dtypes)["key"] == "binary"
+    assert dict(env.dtypes)["value"] == "binary"
+    assert dict(env.dtypes)["topic"] == "string"
+    row = env.select(*bus.RAW_COLUMNS).collect()[0]
+    assert bytes(row["key"]) == b"u1" and row["topic"] == "api.Task"

@@ -973,28 +973,67 @@ class FileBus:
 class KafkaBus:
     """Real-Kafka transport (S1/K1/K2). Requires the spark-sql-kafka
     connector on the classpath; unavailable in this container, so this is
-    the documented scale path, exercised via FileBus locally."""
+    the documented scale path, exercised via FileBus locally.
+
+    Drop-in for :class:`FileBus` under ``start_service`` (same
+    ``read_stream``/``publish`` surface, so a jar drop is config-only).
+    The option builders are pure functions asserted by
+    tests/test_runtime.py without the jar: topic subscription, offset
+    policy (``latest`` — KafkaBus.scala:117,121), checkpoint location,
+    and the (key, value, topic) row contract, where ``key`` comes from
+    the stream's ``partition_key`` via ``encode_envelope`` (K1) and the
+    Kafka sink routes each row by its ``topic`` column natively — no
+    per-topic fan-out loop, unlike the FileBus stand-in."""
+
+    RAW_COLUMNS = ("key", "value", "topic")
 
     def __init__(self, bootstrap_servers: str):
         self.bootstrap = bootstrap_servers
 
-    def read_stream(self, spark: SparkSession, topics: list[str]) -> DataFrame:
-        return (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", self.bootstrap)
-            .option("subscribe", ",".join(topics))
-            .option("startingOffsets", "latest")  # auto.offset.reset=latest
-            .load()
-            .select("key", "value", "topic")
-        )
+    def reader_options(self, topics: list[str] | str) -> dict[str, str]:
+        if isinstance(topics, str):
+            topics = [topics]
+        return {
+            "kafka.bootstrap.servers": self.bootstrap,
+            "subscribe": ",".join(topics),
+            "startingOffsets": "latest",  # auto.offset.reset=latest
+        }
+
+    def writer_options(
+        self, checkpoint: str | None = None, topic: str | None = None
+    ) -> dict[str, str]:
+        opts = {"kafka.bootstrap.servers": self.bootstrap}
+        if checkpoint is not None:
+            opts["checkpointLocation"] = checkpoint
+        if topic is not None:
+            opts["topic"] = topic
+        return opts
+
+    def read_stream(
+        self, spark: SparkSession, topics: list[str] | str
+    ) -> DataFrame:
+        reader = spark.readStream.format("kafka")
+        for k, v in self.reader_options(topics).items():
+            reader = reader.option(k, v)
+        return reader.load().select(*self.RAW_COLUMNS)
+
+    def publish(
+        self,
+        df: DataFrame,
+        topic: str | None = None,
+        topics: list[str] | None = None,  # noqa: ARG002 — FileBus parity;
+        # the Kafka sink routes by the per-row topic column natively
+    ) -> None:
+        writer = df.select(*self.RAW_COLUMNS).write.format("kafka")
+        for k, v in self.writer_options(topic=topic).items():
+            writer = writer.option(k, v)
+        writer.save()
 
     def write_stream(self, df: DataFrame, checkpoint: str):
-        return (
-            df.writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", self.bootstrap)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
+        writer = df.select(*self.RAW_COLUMNS).writeStream.format("kafka")
+        for k, v in self.writer_options(checkpoint=checkpoint).items():
+            writer = writer.option(k, v)
+        return writer.start()
 
 
 def start_service(
