@@ -114,7 +114,165 @@ def main() -> None:
         kmv_distinct(big_ev, "event_type", "user_id", k=64),
         big_ev.count(),
     )
+    n_ev = big_ev.count()
+    drain_smoke(spark, big_ev, factor, n_ev)
+    stream_join_smoke(spark, big_ev, factor, n_ev)
     spark.stop()
+
+
+def drain_smoke(spark, big_ev, factor: int, rows_in: int) -> None:
+    """Retry drain (live router, 3 rounds) on replicated input: wall
+    must grow roughly linearly (each round is one routed batch + one
+    queue snapshot — no per-round cost that compounds with input size)
+    and the round count must stay data-INDEPENDENT (bounded by the
+    retry policy, not the row count)."""
+    import time
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from typebus_spark.codec.envelope import encode_envelope
+    from typebus_spark.registry import BackoffShape, RetryPolicy, Service
+    from typebus_spark.runtime import drain_batches
+    from typebus_spark.session import ensure_parallelism
+
+    payload = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("fail_times", LongType()),
+        ]
+    )
+    svc = Service("retry-smoke")
+    svc.declare_type("api.Task", payload)
+    svc.declare_type("api.Task.done", payload)
+
+    def handler(df):
+        attempt = F.coalesce(
+            F.col("meta.extra").getItem("attempt").cast("int"), F.lit(0)
+        )
+        return df.select(
+            "meta",
+            "event_id",
+            "fail_times",
+            F.when(attempt < F.col("fail_times"), F.lit("transient")).alias(
+                "_error"
+            ),
+        )
+
+    svc.register_stream(
+        "api.Task",
+        "api.Task.done",
+        handler,
+        retry=RetryPolicy(2, 10.0, BackoffShape.EXPONENTIAL),
+    )
+    raw = encode_envelope(
+        ensure_parallelism(
+            big_ev.select(
+                "event_id", (F.col("event_id") % 4).alias("fail_times")
+            )
+        ),
+        "api.Task",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("drain_smoke", "drain_smoke")
+    t0 = time.perf_counter()
+    res = drain_batches(svc, raw)
+    rows_out = res.union_all().count()
+    wall = round(time.perf_counter() - t0, 2)
+    sc.setJobGroup("", "")
+    jobs = len(sc.statusTracker().getJobIdsForGroup("drain_smoke"))
+    print(
+        json.dumps(
+            {
+                "op": "retry_drain",
+                "factor": factor,
+                "rows_in": rows_in,
+                "rows_out": rows_out,
+                "wall_sec": wall,
+                # jobs = rounds x (route + snapshot + terminal-scan):
+                # must not grow with input size
+                "jobs": jobs,
+                "plan_ok": jobs <= 20,
+            }
+        ),
+        flush=True,
+    )
+
+
+def stream_join_smoke(spark, big_ev, factor: int, rows_in: int) -> None:
+    """Stream-stream watermarked join on replicated input: state rows
+    must stay bounded by the watermark+interval horizon (eviction is
+    derived from event time, not input size — numRowsTotal from the
+    state operator is the direct evidence), and wall must grow roughly
+    linearly."""
+    import tempfile
+    import time
+    import uuid
+
+    from typebus_spark.session import pinned_shuffle_partitions
+
+    stage = tempfile.mkdtemp(prefix="smoke_ssj_")
+    big_ev.select("event_id", "user_id", "event_type", "ts").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    batch = spark.read.parquet(stage)
+    t0 = time.perf_counter()
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("p_wts"),
+        )
+        .withWatermark("p_wts", "1 hour")
+    )
+    v = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").cast("timestamp").alias("v_wts"),
+        )
+        .withWatermark("v_wts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_wts") >= F.col("p_wts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_wts") <= F.col("p_wts")),
+        "inner",
+    )
+    name = f"smoke_ssj_{uuid.uuid4().hex[:8]}"
+    with pinned_shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(600)
+    rows_out = spark.table(name).count()
+    wall = round(time.perf_counter() - t0, 2)
+    state_rows = None
+    prog = q.lastProgress
+    if prog and prog.get("stateOperators"):
+        state_rows = prog["stateOperators"][0].get("numRowsTotal")
+    print(
+        json.dumps(
+            {
+                "op": "stream_stream_join",
+                "factor": factor,
+                "rows_in": rows_in,
+                "rows_out": rows_out,
+                "wall_sec": wall,
+                "state_rows": state_rows,
+                "plan_ok": state_rows is not None,
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
