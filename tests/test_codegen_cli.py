@@ -306,3 +306,69 @@ def test_cli_describe_from_bus_flag_validation():
         main(["describe"])  # neither -t nor --from-bus
     with pytest.raises(SystemExit):
         main(["gen", "-l", "python"])  # neither -t nor --from-bus
+
+
+def test_scala_codegen_shape():
+    """ScalaCodeWriter.writeService parity (gen/package.scala:79-160):
+    case classes with Option[T] nullables + literal defaults, Avro
+    implicits block, and the RpcClient wire method when a descriptor is
+    supplied."""
+    from typebus_spark.catalog.codegen import to_scala
+
+    cat = _cat()
+    src = to_scala(cat)
+    assert "final case class OrderPlaced(" in src
+    assert "order_id: String" in src  # non-nullable: bare type
+    assert "qty: Int = 1" in src  # catalog default carried over
+    assert "amount: Option[Double] = None" in src  # nullable -> Option
+    assert "tags: Option[Seq[String]] = None" in src
+    assert "attrs: Option[Map[String, String]] = None" in src
+    assert "placed_at: Option[java.time.Instant] = None" in src
+    assert "implicit val OrderPlacedReader = new AvroByteStreamReader[OrderPlaced]" in src
+    assert src.count("{") == src.count("}")
+    assert "RpcClient" not in src  # no descriptor, no client
+
+    desc = {
+        "service": "order-service",
+        "service_methods": [
+            {"in": "api.order_placed", "out": "api.order_placed"}
+        ],
+        "types": {},
+    }
+    src2 = to_scala(cat, desc)
+    assert (
+        "def orderPlaced(x: OrderPlaced)(implicit meta: EventMeta):"
+        " Future[Either[ServiceException, OrderPlaced]] ="
+        " wire[OrderPlaced, OrderPlaced](x)" in src2
+    )
+    assert src2.count("{") == src2.count("}")
+
+
+def test_typescript_codegen_shape():
+    from typebus_spark.catalog.codegen import to_typescript
+
+    src = to_typescript(_cat())
+    assert "export interface OrderPlaced {" in src
+    assert "order_id: string;" in src  # non-nullable: required
+    assert "qty: number;" in src  # default => required, not optional
+    assert "amount?: number;" in src  # nullable -> optional
+    assert "tags?: string[];" in src
+    assert "attrs?: Record<string, string>;" in src
+    assert src.count("{") == src.count("}")
+
+
+def test_cli_gen_scala_and_typescript(tmp_path):
+    from typebus_spark.cli import main
+
+    _cat(tmp_path)  # writes the catalog dir
+    out_sc = tmp_path / "gen.scala"
+    assert main(
+        ["gen", "-t", str(tmp_path / "cat"), "-l", "scala", "-o", str(out_sc)]
+    ) == 0
+    assert "final case class OrderPlaced(" in out_sc.read_text()
+    out_ts = tmp_path / "gen.ts"
+    assert main(
+        ["gen", "-t", str(tmp_path / "cat"), "-l", "typescript",
+         "-o", str(out_ts)]
+    ) == 0
+    assert "export interface OrderPlaced" in out_ts.read_text()

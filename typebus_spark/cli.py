@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument(
         "-l",
         "--lang",
-        choices=["python", "ddl", "views", "client"],
+        choices=["python", "scala", "typescript", "ddl", "views", "client"],
         default="python",
     )
     g.add_argument("--data-dir", default=".", help="data dir for views")
@@ -121,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
             cat = TypeCatalog(args.types)
         if args.lang == "python":
             out = to_python(cat)
+        elif args.lang == "scala":
+            from typebus_spark.catalog.codegen import to_scala
+
+            out = to_scala(cat, desc)
+        elif args.lang == "typescript":
+            from typebus_spark.catalog.codegen import to_typescript
+
+            out = to_typescript(cat)
         elif args.lang == "ddl":
             out = json.dumps(to_ddl(cat), indent=2)
         else:
