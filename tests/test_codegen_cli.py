@@ -372,3 +372,41 @@ def test_cli_gen_scala_and_typescript(tmp_path):
          "-o", str(out_ts)]
     ) == 0
     assert "export interface OrderPlaced" in out_ts.read_text()
+
+
+def test_cli_gen_push(tmp_path):
+    """`gen --push` parity (CommandParser.scala:66-67): generated source
+    is written into every code_gen.push directory from the conf."""
+    import json as _json
+
+    from typebus_spark.cli import main
+
+    _cat(tmp_path)
+    proj_a = tmp_path / "svc-a" / "src"
+    proj_b = tmp_path / "svc-b" / "src"
+    proj_a.mkdir(parents=True)
+    proj_b.mkdir(parents=True)
+    conf = tmp_path / ".typebus.conf"
+    conf.write_text(
+        _json.dumps({"code_gen": {"push": [str(proj_a), str(proj_b)]}})
+    )
+    out = tmp_path / "gen.py"
+    rc = main(
+        [
+            "gen", "-t", str(tmp_path / "cat"), "-l", "python",
+            "-o", str(out), "--push", "--conf", str(conf),
+        ]
+    )
+    assert rc == 0
+    for proj in (proj_a, proj_b):
+        pushed = proj / "typebus_generated.py"
+        assert pushed.read_text() == out.read_text()
+        assert "class OrderPlaced" in pushed.read_text()
+
+    import pytest
+
+    with pytest.raises(SystemExit):  # missing conf is a config error
+        main(
+            ["gen", "-t", str(tmp_path / "cat"), "-l", "python",
+             "-o", "-", "--push", "--conf", str(tmp_path / "nope.conf")]
+        )

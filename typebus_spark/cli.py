@@ -26,6 +26,45 @@ from typebus_spark.catalog.codegen import (
 from typebus_spark.catalog.types import TypeCatalog
 
 
+_GEN_FILENAMES = {
+    "python": "typebus_generated.py",
+    "scala": "TypebusGenerated.scala",
+    "typescript": "typebus_generated.ts",
+    "ddl": "typebus_generated.ddl.json",
+    "views": "typebus_generated_views.sql",
+    "client": "typebus_generated_client.py",
+}
+
+
+def _push_generated(parser, args, source: str) -> None:
+    """`gen --push` (CommandParser.scala:66-67; runCli walks the
+    bus.code-gen.push config and writes the generated source into each
+    project's source dir): here the push targets are the directories
+    listed under ``code_gen.push`` in a JSON conf file. Missing
+    directories are reported, not silently created — pushing into a
+    project that does not exist is a config error."""
+    import os
+
+    try:
+        with open(args.conf) as f:
+            conf = json.load(f)
+    except FileNotFoundError:
+        parser.error(f"--push: config file not found: {args.conf}")
+    paths = (conf.get("code_gen") or {}).get("push") or []
+    if not paths:
+        parser.error(
+            f"--push: no code_gen.push paths configured in {args.conf}"
+        )
+    fname = _GEN_FILENAMES[args.lang]
+    for d in paths:
+        if not os.path.isdir(d):
+            parser.error(f"--push: target is not a directory: {d}")
+        dest = os.path.join(d, fname)
+        with open(dest, "w") as f:
+            f.write(source)
+        print(f"pushed {args.lang} codegen to {dest}", file=sys.stderr)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="typebus_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -59,6 +98,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     g.add_argument(
         "--timeout", type=float, default=60.0, help="bus reply timeout (s)"
+    )
+    g.add_argument(
+        "-p",
+        "--push",
+        action="store_true",
+        help="also write the generated source into every directory "
+        "listed under code_gen.push in .typebus.conf (reference "
+        "`gen --push`, CommandParser.scala:66-67 + runCli's "
+        "bus.code-gen.push config walk)",
+    )
+    g.add_argument(
+        "--conf",
+        default=".typebus.conf",
+        help="JSON config file holding code_gen.push paths",
     )
 
     d = sub.add_parser("describe", help="print catalog descriptor JSON")
@@ -138,6 +191,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             with open(args.out, "w") as f:
                 f.write(out)
+        if args.push:
+            _push_generated(p, args, out)
         return 0
 
     if args.cmd == "describe":
