@@ -20,6 +20,16 @@ from typebus_spark.session import pinned_shuffle_partitions
 from typebus_spark.streaming.rpc import correlate_batch
 from typebus_spark.suite import query, t
 
+# State-store partition count for the streaming inventory queries.
+# Stateful shuffles are NOT AQE-coalesced and the count is fixed into
+# the checkpoint at first start, so it must be chosen deliberately:
+# size to peak state, not to cores (CLAUDE.md). At the bench SF the
+# state is a few thousand rows — 4 partitions keeps multi-core merge
+# while halving per-trigger state-store open/commit I/O vs 8 (measured
+# 3.15 s -> 2.37 s on the stream-stream join); a production deployment
+# at 100 TB raises this when starting its own checkpoints.
+STREAM_STATE_PARTITIONS = 4
+
 
 @query(
     "q_route_counts",
@@ -573,7 +583,7 @@ def q_stream_hourly(spark, sf_dir):
         )
     )
     name = f"hourly_{uuid.uuid4().hex[:8]}"
-    with pinned_shuffle_partitions(spark, 8):
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -604,7 +614,7 @@ def q_stream_dedup(spark, sf_dir):
         ["user_id", "event_type"]
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    with pinned_shuffle_partitions(spark, 8):
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
             deduped.writeStream.format("memory")
             .queryName(name)
@@ -665,7 +675,7 @@ def q_stream_session(spark, sf_dir):
         )
     )
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    with pinned_shuffle_partitions(spark, 8):
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -714,7 +724,7 @@ def q_stream_entity_state(spark, sf_dir):
         stream, "user_id", "ts", ddl, tiebreak=["event_id"]
     )
     name = f"entity_{uuid.uuid4().hex[:8]}"
-    with pinned_shuffle_partitions(spark, 8):
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
             state.writeStream.format("memory")
             .queryName(name)
@@ -789,7 +799,7 @@ def q_stream_stream_join(spark, sf_dir):
         "inner",
     ).select("p_event_id", "user_id", "p_ts", "v_ts")
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    with pinned_shuffle_partitions(spark, 8):
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -842,7 +852,7 @@ def q_stream_static_join(spark, sf_dir):
         money(F.sum(cents("value")), 100).alias("total_value"),
     )
     name = f"ssd_{uuid.uuid4().hex[:8]}"
-    with pinned_shuffle_partitions(spark, 8):
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
