@@ -147,12 +147,13 @@ def main() -> None:
             run_once(name, q)
     # This host shares CPU with other tenants: an ~8-10 s external stall
     # periodically lands on whichever query is running, and for a
-    # multi-second query the chance BOTH passes get hit is material. A
-    # third pass for the slow tail only (min still > 1 s) keeps the
-    # min-of-N honest where a stall distorts the total most, at ~10 s
-    # extra harness wall instead of a full third pass.
+    # sub-second-to-multi-second query the chance BOTH passes get hit is
+    # material. A third pass for the affected tail only (min still
+    # > 0.5 s) keeps the min-of-N honest where a stall distorts the
+    # total most, at bounded extra harness wall instead of a full third
+    # pass.
     for name, q in suite.QUERIES.items():
-        if timings.get(name, -1.0) > 1.0:
+        if timings.get(name, -1.0) > 0.5:
             run_once(name, q)
 
     # Reconcile per-pass status: a query is FAILED only if no pass ever

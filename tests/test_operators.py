@@ -348,3 +348,71 @@ def test_money_and_dot_accept_reserved_word_columns(spark):
     vdf = spark.createDataFrame([([1.0, 2.0],)], ["from"])
     out = vdf.selectExpr(f"{dot_lit_sql('from', [3.0, 4.0])} AS d").collect()
     assert out[0].d == 11.0
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    from typebus_spark.operators.text_analysis import chunk_tokens
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks), (2, "one two")], ["id", "text"])
+    out = chunk_tokens(df, "id", "text", window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    # doc 1: 10 tokens, starts 0,3,6,9 -> sizes 4,4,4,1
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in d1] == [0, 1, 2, 3]
+    assert [r.n_tokens for r in d1] == [4, 4, 4, 1]
+    # doc 2: 2 tokens -> one chunk of 2
+    assert [(r.chunk_id, r.n_tokens) for r in by_doc[2]] == [(0, 2)]
+    # overlap: chunk 1 of doc 1 starts at t3 (stride 3, window 4 -> t3..t6)
+    import hashlib
+
+    expected = hashlib.md5("t3 t4 t5 t6".encode()).hexdigest()
+    assert d1[1].chunk_hash == expected
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "id", "text", window=4, stride=5)
+
+
+def test_leakage_safe_split_keeps_families_together(spark, sf_dir):
+    """The property the query exists for: NO near-dup pair may cross a
+    split boundary (the naive per-doc split does allow this)."""
+    import pyspark.sql.functions as F
+
+    from typebus_spark.operators.clustering import connected_components
+    from typebus_spark.operators.dedup import jaccard_pairs
+    from typebus_spark.operators.sampling import hash_split
+    from typebus_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", shingle_n=8, threshold=0.5)
+    cc = connected_components(pairs, "a", "b")
+    fam = docs.select("doc_id").join(cc, "doc_id", "left_outer").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("family")
+    )
+    split = hash_split(
+        fam, "family", {"train": 0.90, "val": 0.05, "test": 0.05}, seed=42
+    ).select("doc_id", "split")
+    crossers = (
+        pairs.join(
+            split.withColumnRenamed("doc_id", "a").withColumnRenamed(
+                "split", "sa"
+            ),
+            "a",
+        )
+        .join(
+            split.withColumnRenamed("doc_id", "b").withColumnRenamed(
+                "split", "sb"
+            ),
+            "b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossers == 0
+    # and the split is non-degenerate at smoke SF
+    names = {r.split for r in split.select("split").distinct().collect()}
+    assert "train" in names and len(names) >= 2

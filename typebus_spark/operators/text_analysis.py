@@ -167,3 +167,50 @@ def linear_classifier(
     for col, w in features:
         z = z + F.lit(float(w)) * col.cast("double")
     return z
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/eval-prep primitive:
+    each document becomes fixed-size token windows starting every
+    ``stride`` tokens (``window - stride`` tokens of overlap carry
+    context across boundaries). Emits one row per chunk with its token
+    count and an md5 content hash (join key for chunk-level dedup and
+    retrieval indexes).
+
+    Pure scan-side expression — explode of a ``sequence`` of starts +
+    ``slice`` — so it runs at scan speed on any corpus size with no
+    shuffle; the simple fixed-stride scheme (a trailing chunk may be
+    short, like standard text splitters) keeps chunk membership a pure
+    function of the document, so re-chunking an updated corpus never
+    moves chunks inside unchanged documents.
+    """
+    from typebus_spark.session import ensure_parallelism
+
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    base = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+    )
+    ex = base.select(
+        F.col(id_col),
+        "_toks",
+        F.explode(
+            F.expr(f"sequence(0, greatest(size(_toks) - 1, 0), {stride})")
+        ).alias("_s"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_s") + 1, window)
+    return ex.select(
+        F.col(id_col),
+        F.expr(f"CAST(_s DIV {stride} AS BIGINT)").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

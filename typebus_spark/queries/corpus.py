@@ -387,3 +387,42 @@ def q_bigram_logprob(spark, sf_dir):
     from typebus_spark.operators.corpus_stats import bigram_logprob
 
     return bigram_logprob(t(spark, sf_dir, "documents"), "source", "text")
+
+
+CHUNK_W, CHUNK_S = 128, 96
+
+
+@query(
+    "q_chunk_overlap",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, toks, len(toks) AS n FROM tt),
+st AS (SELECT doc_id, toks, n,
+              unnest(range(0, greatest(n, 1), {CHUNK_S})) AS s
+       FROM base),
+ch AS (SELECT doc_id, CAST(s // {CHUNK_S} AS BIGINT) AS chunk_id,
+              list_slice(toks, s + 1, least(s + {CHUNK_W}, n)) AS chunk
+       FROM st)
+SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM ch
+""",
+    doc=(
+        "Overlapping token-window chunking (RAG/eval prep): "
+        f"{CHUNK_W}-token windows every {CHUNK_S} tokens "
+        f"({CHUNK_W - CHUNK_S} overlap), one row per chunk with an md5 "
+        "content hash — pure scan-side explode+slice, no shuffle, so "
+        "chunk identity is a pure function of the document (re-chunking "
+        "an updated corpus never moves chunks in unchanged docs)."
+    ),
+)
+def q_chunk_overlap(spark, sf_dir):
+    from typebus_spark.operators.text_analysis import chunk_tokens
+
+    return chunk_tokens(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        window=CHUNK_W,
+        stride=CHUNK_S,
+    )

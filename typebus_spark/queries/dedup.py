@@ -667,3 +667,82 @@ def q_dedup_incremental(spark, sf_dir):
     return tagged.groupBy("admit_reason").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle=f"""
+WITH RECURSIVE tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              ('0x' || substr(md5(unnest({_shingles_sql(NEAR_N)})), 1, 15))::BIGINT AS shingle FROM tt),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS (
+  SELECT s.a, s.b
+  FROM shared s
+  JOIN sizes sa ON s.a = sa.doc_id
+  JOIN sizes sb ON s.b = sb.doc_id
+  WHERE s.shared / (sa.n_sh + sb.n_sh - s.shared) >= {NEAR_THRESHOLD}),
+edges AS (SELECT a AS src, b AS dst FROM p
+          UNION SELECT b AS src, a AS dst FROM p),
+reach(src, dst) AS (
+  (SELECT src, dst FROM edges UNION SELECT src, src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         FROM reach GROUP BY src),
+fam AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS family
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+b AS (
+  SELECT doc_id, family,
+         (('0x' || substr(md5('42:' || CAST(family AS VARCHAR)), 1, 15))
+            ::BIGINT % 10000) AS bucket
+  FROM fam)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT family) AS BIGINT) AS n_families
+FROM b
+GROUP BY 1
+""",
+    doc=(
+        "LEAKAGE-SAFE train/val/test split: the hash-bucket split keys "
+        "on the near-dup FAMILY (connected-component id of the "
+        "exact-Jaccard pair graph; singletons key on their own id), so "
+        "every member of a duplicate family lands in the same split — "
+        "the q_corpus_split scheme alone can put a test doc's near-"
+        "duplicate in train, silently inflating eval. Composes the two "
+        "proven operators (components + hash split) into the split a "
+        "training pipeline should actually use; same determinism "
+        "guarantee (membership is a pure function of seed + family)."
+    ),
+)
+def q_split_leakage_safe(spark, sf_dir):
+    from typebus_spark.operators.clustering import connected_components
+    from typebus_spark.operators.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=NEAR_N,
+        threshold=NEAR_THRESHOLD,
+    )
+    cc = connected_components(pairs, "a", "b")
+    fam = docs.select("doc_id").join(cc, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("family"),
+    )
+    split = hash_split(
+        fam, "family", {"train": 0.90, "val": 0.05, "test": 0.05}, seed=42
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("family").alias("n_families"),
+    )
