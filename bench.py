@@ -142,7 +142,7 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
-    for _pass in range(2):
+    for _pass in range(3):
         for name, q in suite.QUERIES.items():
             run_once(name, q)
     # This host shares CPU with other tenants: an ~8-10 s external stall

@@ -20,6 +20,21 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _shm_scratch() -> str | None:
+    """RAM-backed scratch root when available. /tmp on this host is
+    ext4: shuffle files, spills, and temp streaming checkpoints all pay
+    real disk I/O + fsync latency there, pure overhead for bench-scale
+    intermediates. On a production cluster ``spark.local.dir`` points
+    at fast local disks instead — this is the local-mode analog of that
+    deployment choice, not a semantics change."""
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        path = os.path.join(shm, "typebus-spark-scratch")
+        os.makedirs(path, exist_ok=True)
+        return path
+    return None
+
+
 def get_spark(
     app_name: str = "typebus-spark",
     cpus: int | None = None,
@@ -29,6 +44,19 @@ def get_spark(
     """Build (or reuse) a SparkSession with engine defaults applied."""
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cpus
+    scratch = _shm_scratch()
+    extra_conf = dict(extra_conf or {})
+    if scratch:
+        extra_conf.setdefault("spark.local.dir", scratch)
+        # temp streaming checkpoints (queries without an explicit
+        # checkpointLocation) live under java.io.tmpdir; merge rather
+        # than clobber a caller's own driver JVM options
+        opt = f"-Djava.io.tmpdir={scratch}"
+        prev = extra_conf.get("spark.driver.extraJavaOptions", "")
+        if "java.io.tmpdir" not in prev:
+            extra_conf["spark.driver.extraJavaOptions"] = (
+                f"{prev} {opt}".strip()
+            )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -182,7 +210,7 @@ def stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
     key = (src, os.path.getmtime(src))
     stage = _STREAM_STAGE_CACHE.get(key)
     if stage is None or not os.path.isdir(stage):
-        stage = tempfile.mkdtemp(prefix=prefix)
+        stage = tempfile.mkdtemp(prefix=prefix, dir=_shm_scratch())
         atexit.register(shutil.rmtree, stage, ignore_errors=True)
         shutil.copy(src, os.path.join(stage, "events.parquet"))
         _STREAM_STAGE_CACHE[key] = stage
