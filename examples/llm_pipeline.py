@@ -11,8 +11,10 @@ Stages (each one the operator a 100 TB pipeline would run, at toy SF):
   5. near-dup removal      (operators.dedup.minhash_lsh_pairs)
   6. duplicate clustering  (operators.clustering.connected_components)
   7. span-level cleanup    (operators.dedup.dedup_spans)
-  8. contamination-safe split (operators.sampling.hash_split)
+  8. leakage-safe split    (clusters + operators.sampling.hash_split —
+                            near-dup families never straddle splits)
   9. sequence packing      (operators.mixing.pack_sequences)
+  9b. overlapping chunking (operators.text_analysis.chunk_tokens)
  10. embedding side: int8 quantization + SemDeDup
      (functions.vector.int8_quantize, operators.dedup.semdedup)
 """
@@ -98,14 +100,26 @@ def main() -> None:
         "doc_id",
     )
 
-    # 8-9: deterministic split, then pack the train split
-    split = hash_split(
-        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+    # 8-9: LEAKAGE-SAFE deterministic split (key on the near-dup
+    # family, not the doc — no duplicate family straddles train/test),
+    # then pack the train split
+    fam = docs.select("doc_id").join(clusters, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("family"),
     )
+    split = hash_split(
+        fam, "family", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+    ).join(docs, "doc_id")
     train = split.filter(F.col("split") == "train").withColumn(
         "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
     )
     packed = pack_sequences(train, "doc_id", "n_tokens", max_tokens=512)
+
+    # 9b: retrieval-side prep — overlapping token-window chunks of the
+    # clean corpus (RAG indexing / eval slices)
+    from typebus_spark.operators.text_analysis import chunk_tokens
+
+    chunks = chunk_tokens(docs, "doc_id", "text", window=128, stride=96)
 
     # 10: embedding side — aggregate over the quantized struct so the
     # quantization expression actually executes (a bare count would let
@@ -135,6 +149,7 @@ def main() -> None:
     )
     print(f"documents: {n0} raw -> {n_clean} clean")
     print(f"train sequences packed (512 tok): {n_seq}")
+    print(f"retrieval chunks (128/96 overlap): {chunks.count()}")
     print(f"embeddings: {qstats} quantized to int8, {kept_vec} kept after SemDeDup")
     spark.stop()
 
