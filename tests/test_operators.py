@@ -416,3 +416,33 @@ def test_leakage_safe_split_keeps_families_together(spark, sf_dir):
     # and the split is non-degenerate at smoke SF
     names = {r.split for r in split.select("split").distinct().collect()}
     assert "train" in names and len(names) >= 2
+
+
+def test_chunk_tokens_partition_and_coverage_properties(spark):
+    """Invariants across window/stride combos: (a) at stride == window
+    the chunks PARTITION the token sequence exactly (sizes sum to n,
+    all but the last are full windows); (b) with overlap, chunk k
+    starts at k*stride and covers min(window, n - k*stride) tokens, so
+    every token index is covered and consecutive chunks share exactly
+    window - stride tokens while both are full."""
+    import math
+
+    rows = [(i, " ".join(f"w{j}" for j in range(n)))
+            for i, n in enumerate([1, 3, 7, 8, 9, 16, 23])]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    from typebus_spark.operators.text_analysis import chunk_tokens
+
+    for window, stride in [(8, 8), (8, 5), (4, 1), (5, 5), (16, 12)]:
+        out = chunk_tokens(df, "id", "text", window=window, stride=stride)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.id, {})[r.chunk_id] = r.n_tokens
+        for i, n in enumerate([1, 3, 7, 8, 9, 16, 23]):
+            chunks = got[i]
+            n_chunks = max(1, math.ceil(n / stride))
+            assert set(chunks) == set(range(n_chunks)), (window, stride, n)
+            for k in range(n_chunks):
+                expect = min(window, n - k * stride)
+                assert chunks[k] == expect, (window, stride, n, k)
+            if stride == window:
+                assert sum(chunks.values()) == n  # exact partition
