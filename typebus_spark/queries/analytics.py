@@ -390,3 +390,53 @@ def q_scd2_history(spark, sf_dir):
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+@query(
+    "q_rollup_incremental",
+    oracle="""
+SELECT date_trunc('hour', ts) AS h, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY 1, 2
+""",
+    doc=(
+        "Incremental materialized-view maintenance (continuous-"
+        "aggregate / hypertable-rollup shape): the stored hourly rollup "
+        "(here derived from the already-ingested 90% of events — in "
+        "production a materialized parquet/Delta table) is merged with "
+        "the NEW delta's partial aggregates by re-aggregating the "
+        "union of aggregate rows — cost proportional to |delta| + "
+        "|rollup|, never a full corpus re-scan. The oracle recomputes "
+        "from scratch over ALL events, so the hash match PROVES the "
+        "incremental merge is lossless (count/sum are associative; "
+        "value kept in exact integer cents so merge order cannot drift "
+        "the total)."
+    ),
+)
+def q_rollup_incremental(spark, sf_dir):
+    from typebus_spark.functions.money import cents
+
+    ev = t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("h")
+
+    def agg(df):
+        return df.groupBy(hour, "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+
+    # the 90% already-rolled partition stands in for the stored rollup;
+    # the 10% tail is the newly-arrived delta
+    stored_rollup = agg(ev.filter(F.col("event_id") % 10 < 9))
+    delta = agg(ev.filter(F.col("event_id") % 10 == 9))
+    return (
+        stored_rollup.unionByName(delta)
+        .groupBy("h", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )

@@ -746,3 +746,91 @@ def q_split_leakage_safe(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("family").alias("n_families"),
     )
+
+
+_FUZZY_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             (('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                ::BIGINT % 10000) AS bucket
+      FROM documents)
+"""
+
+
+@query(
+    "q_contamination_fuzzy",
+    oracle=f"""
+WITH spl AS ({_FUZZY_SPLIT_SQL}),
+x AS (
+  SELECT CASE WHEN s1.split = 'train' THEN p.a ELSE p.b END AS train_doc_id,
+         CASE WHEN s1.split = 'train' THEN p.b ELSE p.a END AS test_doc_id,
+         p.jaccard
+  FROM ({_minhash_lsh_oracle()}) p
+  JOIN spl s1 ON p.a = s1.doc_id
+  JOIN spl s2 ON p.b = s2.doc_id
+  WHERE (s1.split = 'train' AND s2.split = 'test')
+     OR (s1.split = 'test' AND s2.split = 'train'))
+SELECT train_doc_id,
+       CAST(count(*) AS BIGINT) AS n_test_hits,
+       max(jaccard) AS max_jaccard
+FROM x
+GROUP BY train_doc_id
+""",
+    doc=(
+        "FUZZY train/test contamination: where q_contamination catches "
+        "verbatim 8-gram overlap, this catches NEAR-DUPLICATE leakage "
+        "across the naive per-doc split — MinHash+LSH banded candidates "
+        "verified by exact Jaccard, filtered to pairs straddling the "
+        "train/test boundary, aggregated per train doc. Same "
+        "sub-quadratic index as q_dedup_minhash_lsh (never "
+        "|train| x |test|); fully hash-checked because the signatures "
+        "are md5-portable. The non-empty result at the default split is "
+        "exactly the leakage q_split_leakage_safe eliminates."
+    ),
+)
+def q_contamination_fuzzy(spark, sf_dir):
+    from typebus_spark.operators.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}, seed=42
+    ).select("doc_id", "split")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=NEAR_N,
+        num_hashes=16,
+        bands=4,
+        threshold=NEAR_THRESHOLD,
+    )
+    sa = split.select(
+        F.col("doc_id").alias("a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("b"), F.col("split").alias("split_b")
+    )
+    x = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .filter(
+            ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+            | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+        )
+        .select(
+            F.when(F.col("split_a") == "train", F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("train_doc_id"),
+            F.when(F.col("split_a") == "train", F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("test_doc_id"),
+            "jaccard",
+        )
+    )
+    return x.groupBy("train_doc_id").agg(
+        F.count(F.lit(1)).alias("n_test_hits"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
