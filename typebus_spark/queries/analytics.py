@@ -440,3 +440,50 @@ def q_rollup_incremental(spark, sf_dir):
             F.sum("value_cents").alias("value_cents"),
         )
     )
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS ok_nulls,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ok_distinct,
+       min(l_orderkey) AS ok_min,
+       max(l_orderkey) AS ok_max,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS rf_distinct,
+       min(l_returnflag) AS rf_min,
+       max(l_returnflag) AS rf_max,
+       min(l_shipdate) AS sd_min,
+       max(l_shipdate) AS sd_max,
+       min(l_quantity) AS q_min,
+       max(l_quantity) AS q_max
+FROM lineitem
+""",
+    doc=(
+        "Single-pass table profiling (the ANALYZE/data-quality shape): "
+        "row count, per-column null counts, EXACT distinct counts, and "
+        "typed min/max in ONE aggregation over the table — Catalyst "
+        "plans the multi-distinct as an Expand with map-side partials, "
+        "so profiling a 100 TB table costs one scan plus a "
+        "per-aggregate-bounded shuffle, with no per-column passes. "
+        "Doubles appear only under min/max (exact, drift-free); the "
+        "approximate profiling variant at scale is q_sketch_cardinality."
+    ),
+)
+def q_profile_table(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("ok_nulls"),
+        F.countDistinct("l_orderkey").alias("ok_distinct"),
+        F.min("l_orderkey").alias("ok_min"),
+        F.max("l_orderkey").alias("ok_max"),
+        F.countDistinct("l_returnflag").alias("rf_distinct"),
+        F.min("l_returnflag").alias("rf_min"),
+        F.max("l_returnflag").alias("rf_max"),
+        F.min("l_shipdate").alias("sd_min"),
+        F.max("l_shipdate").alias("sd_max"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+    )
