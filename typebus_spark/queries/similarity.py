@@ -583,3 +583,63 @@ def q_knn_ivf_kmeans(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         "cos",
     )
+
+
+RP_DIMS = 8  # target dimensionality of the random projection
+
+
+def _rp_planes() -> list[list[float]]:
+    """Seeded Gaussian projection matrix (Johnson-Lindenstrauss), scaled
+    by 1/sqrt(k) so expected norms are preserved. Driver-side literals:
+    the same floats embed into both engines' plans bit-exactly."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    s = 1.0 / math.sqrt(RP_DIMS)
+    return [
+        [rng.gauss(0, 1) * s for _ in range(64)] for _ in range(RP_DIMS)
+    ]
+
+
+def _rp_oracle() -> str:
+    from typebus_spark.queries.dedup import _DOT
+
+    def lit_list(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    projs = ",\n       ".join(
+        f"round({_DOT.format(a='embedding', b=lit_list(p))}, 6) AS p{i}"
+        for i, p in enumerate(_rp_planes())
+    )
+    return f"""
+SELECT vec_id, label,
+       {projs}
+FROM embeddings
+"""
+
+
+@query(
+    "q_embedding_random_projection",
+    oracle=_rp_oracle(),
+    doc=(
+        "Random-projection dimensionality reduction (Johnson-"
+        f"Lindenstrauss): each 64-d embedding → {RP_DIMS} coordinates "
+        "via a seeded Gaussian matrix embedded as plan literals "
+        "(1/sqrt(k)-scaled so distances are preserved in expectation) — "
+        "the cheap-sketch companion to int8 quantization for storing or "
+        "pre-filtering a 100 TB embedding corpus. Pure scan-side "
+        "expressions, no shuffle, no UDF; fully hash-checked because "
+        "repr(float) literals and the ordered double fold are "
+        "bit-identical on both engines."
+    ),
+)
+def q_embedding_random_projection(spark, sf_dir):
+    from typebus_spark.functions.vector import dot_lit_sql
+
+    e = t(spark, sf_dir, "embeddings")
+    cols = [
+        F.expr(f"round({dot_lit_sql('embedding', p)}, 6)").alias(f"p{i}")
+        for i, p in enumerate(_rp_planes())
+    ]
+    return e.select("vec_id", "label", *cols)
