@@ -60,3 +60,35 @@ def test_engine_end_to_end(spark, tmp_path):
     assert d["service"] == "facade-service"
     # user types plus the auto-declared discovery types (C1)
     assert {"api.OrderPlaced", "api.OrderConfirmed"} <= set(d["types"])
+
+
+def test_engine_discover_over_bus(spark, tmp_path):
+    """Engine.discover round-trips a peer's descriptor over the bus —
+    the programmatic form of describe --from-bus."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from typebus_spark.catalog.discovery import request_descriptor
+    from typebus_spark.engine import Engine
+    from typebus_spark.runtime import FileBus, start_service
+
+    peer = Engine("peer-service", spark=spark)
+    schema = StructType([StructField("x", StringType(), False)])
+    peer.declare_type("api.In", schema)
+    peer.declare_type("api.Out", schema)
+    peer.register_stream(
+        "api.In", "api.Out", lambda df: df.select("meta", "x")
+    )
+
+    me = Engine("me-service", spark=spark)
+    bus_root = str(tmp_path / "bus")
+    # the peer consumes the bus; request first so one drain answers it
+    request_descriptor(spark, FileBus(bus_root), "peer-service")
+    q = start_service(
+        peer.service, FileBus(bus_root), spark, str(tmp_path / "ck")
+    )
+    q.awaitTermination(60)
+
+    desc = me.discover("peer-service", bus_root, timeout=10)
+    assert desc["service"] == "peer-service"
+    assert {"in": "api.In", "out": "api.Out"} in desc["service_methods"]

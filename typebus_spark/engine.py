@@ -92,6 +92,20 @@ class Engine:
                 q.stop()
         self._queries.clear()
 
+    def discover(
+        self, target_service: str, bus_root: str, timeout: float = 60.0
+    ) -> dict:
+        """Fetch a RUNNING peer service's descriptor over the bus (the
+        reference's `gen -s` discovery round trip, programmatic form —
+        see catalog/discovery.py). Returns the parsed descriptor dict;
+        feed it to catalog.codegen targets or inspect its
+        service_methods/types."""
+        from typebus_spark.catalog.discovery import describe_from_bus
+
+        return describe_from_bus(
+            self.spark, bus_root, target_service, timeout=timeout
+        )
+
     # -- relational surface -------------------------------------------------
 
     def table(self, name: str) -> DataFrame:
