@@ -233,3 +233,40 @@ def test_drain_jobs_per_round_bounded(spark, sf_dir):
             sc.setJobGroup("", "")
         jobs = sc.statusTracker().getJobIdsForGroup(name)
         assert len(jobs) <= bound, (name, len(jobs))
+
+
+def test_chunk_overlap_is_scan_side(spark, sf_dir):
+    """Chunking must stay a projection chain (explode+slice above the
+    scan): the only allowed exchange is ensure_parallelism's deliberate
+    round-robin SPREAD of a small input — never a shuffle on a key
+    (which would mean chunk extraction stopped being scan-local)."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_chunk_overlap"))
+    n_ex = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert plan.count("RoundRobinPartitioning") >= n_ex, plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "Generate" in plan  # the explode of chunk starts
+
+
+def test_random_projection_is_scan_side(spark, sf_dir):
+    plan = formatted_plan(_df(spark, sf_dir, "q_embedding_random_projection"))
+    assert "Exchange" not in plan, plan
+
+
+def test_profile_single_pass_no_cartesian(spark, sf_dir):
+    """Multi-distinct profiling must plan as ONE Expand pass over the
+    table — never per-column scans or a join of sub-aggregates."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_profile_table"))
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+    # exactly one file scan (the formatted text repeats node NAMES in
+    # the detail section, so count scan LOCATIONS instead)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_new_pair_queries_no_cartesian_no_global_sort(spark, sf_dir):
+    for name in ("q_split_leakage_safe", "q_contamination_fuzzy"):
+        df = _df(spark, sf_dir, name)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert not has_global_sort(df), name
