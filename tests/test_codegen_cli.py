@@ -410,3 +410,63 @@ def test_cli_gen_push(tmp_path):
             ["gen", "-t", str(tmp_path / "cat"), "-l", "python",
              "-o", "-", "--push", "--conf", str(tmp_path / "nope.conf")]
         )
+
+
+def test_scala_codegen_edge_types():
+    """Round-5 review fixes: string defaults render as Scala string
+    literals (repr() would emit Char-quoted garbage), None defaults fall
+    back to Option, and field-less types emit case OBJECTS whose codec
+    implicits reference `Name.type` (a bare `Name` is a term and fails
+    scalac)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from typebus_spark.catalog.codegen import to_scala
+    from typebus_spark.catalog.types import TypeCatalog
+
+    cat = TypeCatalog()
+    cat.declare_type(
+        "api.with_defaults",
+        StructType(
+            [
+                StructField("status", StringType(), False),
+                StructField("note", StringType(), True),
+            ]
+        ),
+        defaults={"status": 'pend"ing', "note": None},
+    )
+    cat.declare_type("api.ping", StructType([]))
+    src = to_scala(cat)
+    assert 'status: String = "pend\\"ing"' in src
+    assert "note: Option[String] = None" in src
+    assert "final case object Ping" in src
+    assert "new AvroByteStreamReader[Ping.type]" in src
+    assert "AvroByteStreamReader[Ping]\n" not in src
+    assert src.count("{") == src.count("}")
+
+
+def test_cli_gen_scala_with_local_descriptor(tmp_path):
+    """gen -l scala honors a locally supplied --descriptor for the
+    RpcClient section (previously only --from-bus reached it)."""
+    import json as _json
+
+    from typebus_spark.cli import main
+
+    _cat(tmp_path)
+    desc = {
+        "service": "order-service",
+        "service_methods": [
+            {"in": "api.order_placed", "out": "api.order_placed"}
+        ],
+        "types": {},
+    }
+    dpath = tmp_path / "desc.json"
+    dpath.write_text(_json.dumps(desc))
+    out = tmp_path / "gen.scala"
+    rc = main(
+        ["gen", "-t", str(tmp_path / "cat"), "-l", "scala",
+         "--descriptor", str(dpath), "-o", str(out)]
+    )
+    assert rc == 0
+    src = out.read_text()
+    assert "class RpcClient" in src
+    assert "wire[OrderPlaced, OrderPlaced](x)" in src

@@ -37,7 +37,12 @@ KEY_SQL = (
 
 OUT = os.path.join(REPO, "typebus_spark", "queries", "_ivf_codebook.py")
 
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",  # bench comparator SF — keeps the DuckDB
+    # like-for-like timing of this oracle a real measurement
+]
 
 
 def fingerprint(sf_dir: str) -> int:

@@ -63,11 +63,22 @@ def await_descriptor(
     deadline = time.monotonic() + timeout
     while True:
         rows = bus.read(spark, [Service.DESCRIPTOR_FQN]).collect()
+        # The reply topic is append-only: a long-lived bus accumulates a
+        # descriptor row per (re)start of the target, and collect()
+        # order over parquet parts is arbitrary — always take the row
+        # with the LATEST meta.occurred_at so codegen never runs
+        # against a stale schema after the service evolved.
+        best = None
+        best_ts = ""
         for r in rows:
             env = json.loads(bytes(r["value"]).decode("utf-8"))
             payload = env.get("payload") or {}
             if payload.get("service") == target_service:
-                return json.loads(payload["descriptor"])
+                ts = str((env.get("meta") or {}).get("occurred_at") or "")
+                if best is None or ts >= best_ts:
+                    best, best_ts = payload, ts
+        if best is not None:
+            return json.loads(best["descriptor"])
         if time.monotonic() >= deadline:
             raise TimeoutError(
                 f"no ServiceDescriptor reply from {target_service!r} "

@@ -50,15 +50,22 @@ def _push_generated(parser, args, source: str) -> None:
             conf = json.load(f)
     except FileNotFoundError:
         parser.error(f"--push: config file not found: {args.conf}")
+    except json.JSONDecodeError as e:
+        parser.error(f"--push: invalid JSON in {args.conf}: {e}")
     paths = (conf.get("code_gen") or {}).get("push") or []
     if not paths:
         parser.error(
             f"--push: no code_gen.push paths configured in {args.conf}"
         )
+    # validate EVERY target before writing ANY: erroring halfway would
+    # leave projects half-synced — the exact state --push exists to avoid
+    missing = [d for d in paths if not os.path.isdir(d)]
+    if missing:
+        parser.error(
+            f"--push: target(s) not directories: {', '.join(missing)}"
+        )
     fname = _GEN_FILENAMES[args.lang]
     for d in paths:
-        if not os.path.isdir(d):
-            parser.error(f"--push: target is not a directory: {d}")
         dest = os.path.join(d, fname)
         with open(dest, "w") as f:
             f.write(source)
@@ -147,16 +154,17 @@ def main(argv: list[str] | None = None) -> int:
         desc = None
         if args.from_bus:
             desc = _fetch_descriptor()
-        elif not args.types and args.lang != "client":
+        elif args.descriptor:
+            # a locally supplied descriptor serves every language that
+            # consumes one (client, and scala's RpcClient section), not
+            # just --lang client
+            with open(args.descriptor) as f:
+                desc = json.load(f)
+        if desc is None and not args.types and args.lang != "client":
             p.error("gen requires -t/--types or --from-bus")
         if args.lang == "client":
             if desc is None:
-                if not args.descriptor:
-                    p.error(
-                        "--lang client requires --descriptor or --from-bus"
-                    )
-                with open(args.descriptor) as f:
-                    desc = json.load(f)
+                p.error("--lang client requires --descriptor or --from-bus")
             out = to_rpc_client(desc)
             if args.out == "-":
                 print(out)
@@ -164,14 +172,16 @@ def main(argv: list[str] | None = None) -> int:
                 with open(args.out, "w") as fo:
                     fo.write(out)
             return 0
-        if desc is not None:
+        # an explicit catalog dir wins; the descriptor then only feeds
+        # the targets that consume one (scala's RpcClient)
+        if args.types:
+            cat = TypeCatalog(args.types)
+        else:
             from typebus_spark.catalog.discovery import (
                 catalog_from_descriptor,
             )
 
             cat = catalog_from_descriptor(desc)
-        else:
-            cat = TypeCatalog(args.types)
         if args.lang == "python":
             out = to_python(cat)
         elif args.lang == "scala":

@@ -234,10 +234,20 @@ def _kmeans_cen_ctes() -> str:
             vec = "[" + ", ".join(repr(x) for x in c) + "]"
             rows.append(f"({key}, {i}, {vec})")
     values = ",\n".join(rows)
+    # Fail LOUDLY on an unknown corpus: without the guard an unfrozen
+    # fingerprint silently yields an empty centroid set and the whole
+    # oracle returns zero rows — a hash mismatch with no hint that
+    # tools/freeze_ivf_codebook.py needs re-running.
     return (
         f"cenall(fk, c, cv) AS (VALUES {values}),\n"
         f"cen AS (SELECT c, cv FROM cenall\n"
-        f"        WHERE fk = (SELECT {KEY_SQL} FROM embeddings))"
+        f"        WHERE fk = (SELECT {KEY_SQL} FROM embeddings)\n"
+        f"        UNION ALL\n"
+        f"        SELECT CAST(error('no frozen KMeans codebook for this "
+        f"corpus fingerprint; run tools/freeze_ivf_codebook.py') "
+        f"AS BIGINT), CAST(NULL AS DOUBLE[])\n"
+        f"        WHERE NOT EXISTS (SELECT 1 FROM cenall WHERE fk = "
+        f"(SELECT {KEY_SQL} FROM embeddings)))"
     )
 
 

@@ -859,7 +859,6 @@ def drain_batches(
         )
     now = now_epoch
     feedback: dict[str, DataFrame] | None = None
-    _last_counts: dict[str, int] = {}
     for _ in range(max_rounds):
         res = run_batch(
             service,
@@ -888,16 +887,16 @@ def drain_batches(
 
                 df = drop_head(df, buffer_size, buffer_order)
             par = df.sparkSession.sparkContext.defaultParallelism
-            # Size the snapshot to the DATA, not the cluster: the retry
-            # queue only shrinks round over round (rows either succeed,
-            # dead-letter, or stay — nothing is added after round 1), so
-            # the previous round's measured count bounds this round's
-            # rows. A 500-row shed queue on 32 partitions schedules 32
-            # near-empty tasks in EVERY downstream job of the round —
-            # with the bound we coalesce to ~20k rows/partition.
-            prev_n = _last_counts.get(fqn)
-            if prev_n is not None:
-                par = max(1, min(par, -(-prev_n // 20_000)))
+            # Size the snapshot to the DATA where a hard bound exists:
+            # under dropHead shedding the queue is capped at buffer_size
+            # rows by construction, and a 500-row shed queue on 32
+            # partitions schedules 32 near-empty tasks in EVERY
+            # downstream job of the round — coalesce to ~20k rows/
+            # partition instead. Without the cap there is NO safe bound
+            # (a chained stream's queue can GROW when upstream replies
+            # start failing in a later round), so the uncapped path
+            # keeps full parallelism rather than risking a coalesce(1)
+            # on a grown queue.
             if buffer_size is not None:
                 par = max(1, min(par, -(-buffer_size // 20_000)))
             # lazy checkpoint + count: ONE job materializes the queue
@@ -907,9 +906,7 @@ def drain_batches(
             # pulls the round's orig_failed checkpoint (its upstream)
             # into cache, so the dead-letter/trace arms scan cached rows
             ck = df.coalesce(par).localCheckpoint(eager=False)
-            n = ck.count()
-            _last_counts[fqn] = n
-            if n > 0:
+            if ck.count() > 0:
                 feedback[fqn] = ck
         if not feedback:
             break
