@@ -31,6 +31,23 @@ from typebus_spark import get_spark  # noqa: E402
 from typebus_spark import suite  # noqa: E402
 
 
+def builds_with_jobs(spark, fn, sf_dir: str, name: str) -> bool:
+    """True when ``fn(spark, sf_dir)`` runs Spark jobs DURING plan
+    construction (streaming starts, drain rounds, trainer collects,
+    iterative loops) — such a query does real work per call, so its
+    returned handle must never be served from the prepared-plan cache.
+    Pre-touch the tables first (see main) or first-scan listing jobs
+    misattribute."""
+    sc = spark.sparkContext
+    grp = f"_probe_{name}"
+    sc.setJobGroup(grp, grp)
+    try:
+        fn(spark, sf_dir)
+    finally:
+        sc.setJobGroup("", "")
+    return bool(sc.statusTracker().getJobIdsForGroup(grp))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -88,17 +105,13 @@ def main() -> None:
                 pass
     for name, q in suite.QUERIES.items():
         try:
-            grp = f"_warm_{name}"
-            sc.setJobGroup(grp, grp)
-            df = q.fn(spark, warm_dir)
-            sc.setJobGroup("", "")
-            if sc.statusTracker().getJobIdsForGroup(grp):
+            if builds_with_jobs(spark, q.fn, warm_dir, name):
                 stateful.add(name)
-            df.write.format("noop").mode("overwrite").save()
+            q.fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         except Exception:
             pass  # the timed pass reports the failure
-        finally:
-            sc.setJobGroup("", "")
         spark.catalog.clearCache()
         gc.collect()
 
