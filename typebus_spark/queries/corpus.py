@@ -426,3 +426,59 @@ def q_chunk_overlap(spark, sf_dir):
         window=CHUNK_W,
         stride=CHUNK_S,
     )
+
+
+@query(
+    "q_robust_outliers",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, source, len({TOKS}) AS n FROM documents),
+med AS (SELECT source,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY n) AS med
+        FROM tt GROUP BY source),
+dev AS (SELECT tt.source, tt.n, med.med,
+               abs(tt.n - med.med) AS adev
+        FROM tt JOIN med ON tt.source = med.source),
+mad AS (SELECT source,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        FROM dev GROUP BY source)
+SELECT d.source, d.med AS median_tokens, m.mad AS mad_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.source = m.source
+GROUP BY 1, 2, 3
+""",
+    doc=(
+        "Robust per-source length-outlier detection (median + MAD, the "
+        "quality filter that survives heavy-tailed corpora where "
+        "mean/stddev break): docs with |len - median| > 3 MAD flagged "
+        "per source. Two exact interpolated-percentile aggregates "
+        "(shuffle on the source key only), medians broadcast back — "
+        "fully hash-checked because Spark percentile() and DuckDB "
+        "percentile_cont use the same linear interpolation on the same "
+        "sorted values (verified bit-identical across all sources)."
+    ),
+)
+def q_robust_outliers(spark, sf_dir):
+    from typebus_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", F.size(tokens("text")).alias("n")
+    )
+    med = base.groupBy("source").agg(
+        F.expr("percentile(n, 0.5)").alias("median_tokens")
+    )
+    dev = base.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n") - F.col("median_tokens"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_tokens")
+    )
+    out = dev.join(F.broadcast(mad), "source")
+    return out.groupBy("source", "median_tokens", "mad_tokens").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("adev") > 3 * F.col("mad_tokens")).cast("long")
+        ).alias("n_outliers"),
+    )
