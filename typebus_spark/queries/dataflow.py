@@ -866,22 +866,61 @@ def q_stream_static_join(spark, sf_dir):
 
 @query(
     "q_sketch_cardinality",
-    oracle=None,  # HLL/KLL estimates are engine-specific → rows-only
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('card:' || CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS h
+  FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d),
+kept AS (SELECT event_type, h FROM r WHERE rn <= 128),
+agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+               max(h) AS hk
+        FROM kept GROUP BY 1),
+x AS (SELECT event_type,
+             CASE WHEN n_kept < 128 THEN n_kept
+                  ELSE CAST(round(127.0 * 1152921504606846976.0
+                                  / CAST(hk AS DOUBLE), 0) AS BIGINT)
+             END AS kmv_users
+      FROM agg),
+q AS (SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS q50,
+             percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS q90,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1)
+SELECT q.event_type, x.kmv_users, q.q50, q.q90, q.n
+FROM x JOIN q USING (event_type)
+""",
     doc=(
-        "Sketches: HyperLogLog++ distinct-count and KLL-style quantile "
-        "estimates per event type — the constant-memory scale path for "
-        "cardinality/quantiles where exact shuffles are too expensive."
+        "Portable-sketch cardinality/quantile profile per event type — "
+        "the hash-checkable form of the sketch surface: KMV "
+        "(k-minimum-values, k=128) distinct-user estimate on the "
+        "repo's 60-bit md5 scheme (both engines keep identical minimum "
+        "hashes, so the ESTIMATE itself hash-checks) plus exact "
+        "interpolated q50/q90 (Spark percentile() ≡ DuckDB "
+        "percentile_cont, proven bit-identical in q_robust_outliers). "
+        "The engine-specific HLL++/GK estimators stay accuracy-gated "
+        "locally in tests/test_sketch_accuracy.py — at 100 TB they are "
+        "the constant-memory path; KMV is the portable one (same "
+        "scale shape: bottom-k via WindowGroupLimit, k rows per group "
+        "in flight, never the distinct set)."
     ),
 )
 def q_sketch_cardinality(spark, sf_dir):
+    from typebus_spark.operators.sketch import kmv_distinct
+
     ev = t(spark, sf_dir, "events")
-    # scalar output columns (q50/q90 instead of the quantile array): the
-    # driver's canonicalizer cannot hash list cells
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", F.lit(0.5), 10000).alias("q50"),
-        F.percentile_approx("value", F.lit(0.9), 10000).alias("q90"),
+    est = kmv_distinct(ev, "event_type", "user_id", k=128, seed="card")
+    est = est.withColumnRenamed("kmv_estimate", "kmv_users")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("q50"),
+        F.expr("percentile(value, 0.9D)").alias("q90"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return q.join(F.broadcast(est), "event_type").select(
+        "event_type", "kmv_users", "q50", "q90", "n"
     )
 
 
