@@ -319,7 +319,9 @@ def test_scala_codegen_shape():
     src = to_scala(cat)
     assert "final case class OrderPlaced(" in src
     assert "order_id: String" in src  # non-nullable: bare type
-    assert "qty: Int = 1" in src  # catalog default carried over
+    # nullable-with-default keeps Option (nullability is independent of
+    # default presence): a wire null still has a representation
+    assert "qty: Option[Int] = Some(1)" in src
     assert "amount: Option[Double] = None" in src  # nullable -> Option
     assert "tags: Option[Seq[String]] = None" in src
     assert "attrs: Option[Map[String, String]] = None" in src
@@ -327,6 +329,19 @@ def test_scala_codegen_shape():
     assert "implicit val OrderPlacedReader = new AvroByteStreamReader[OrderPlaced]" in src
     assert src.count("{") == src.count("}")
     assert "RpcClient" not in src  # no descriptor, no client
+    # reference import block (gen/package.scala:90-96) — the RpcClient
+    # section needs every one of these to pass scalac
+    for imp in (
+        "import akka.actor.ActorSystem",
+        "import scala.concurrent.Future",
+        "import io.surfkit.typebus._",
+        "import io.surfkit.typebus.event.EventMeta",
+        "import io.surfkit.typebus.bus.Publisher",
+        "import io.surfkit.typebus.client._",
+        "import io.surfkit.typebus.event.{ServiceIdentifier,"
+        " ServiceException}",
+    ):
+        assert imp in src, imp
 
     desc = {
         "service": "order-service",
@@ -336,10 +351,13 @@ def test_scala_codegen_shape():
         "types": {},
     }
     src2 = to_scala(cat, desc)
+    # Client.wire signature parity (Client.scala:32): explicit
+    # Option[EventMeta] second arg, forwarded — not a dropped implicit
     assert (
-        "def orderPlaced(x: OrderPlaced)(implicit meta: EventMeta):"
+        "def orderPlaced(x: OrderPlaced,"
+        " eventMeta: Option[EventMeta] = None):"
         " Future[Either[ServiceException, OrderPlaced]] ="
-        " wire[OrderPlaced, OrderPlaced](x)" in src2
+        " wire[OrderPlaced, OrderPlaced](x, eventMeta)" in src2
     )
     assert src2.count("{") == src2.count("}")
 
@@ -469,4 +487,4 @@ def test_cli_gen_scala_with_local_descriptor(tmp_path):
     assert rc == 0
     src = out.read_text()
     assert "class RpcClient" in src
-    assert "wire[OrderPlaced, OrderPlaced](x)" in src
+    assert "wire[OrderPlaced, OrderPlaced](x, eventMeta)" in src

@@ -123,3 +123,227 @@ def test_recursive_unroll_depth_property(depth):
         lvl += 1
     assert lvl == depth
     assert [f.name for f in s.fields] == ["v"]
+
+
+# --------------------------------------------------------------------
+# Full-envelope Avro wire property (VERDICT r5 #5): random declared
+# payload shapes — Option (every avro field is a ["null", T] union),
+# Map, nested struct/array, Either-shaped RPC results, and recursive
+# types via the catalog's bounded unrolling — encoded and decoded
+# through the SAME schema the envelope path hands to from_avro
+# (avro_schema_json(published_event_schema(payload))). Only the
+# spark-avro-jar comparison is skipped (jar absent in env;
+# test_runtime.py::test_avro_wire_format gates that path).
+
+import datetime as dt
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    FloatType,
+    MapType,
+    TimestampType,
+)
+
+from typebus_spark.codec.avro_binary import decode as _adec
+from typebus_spark.codec.avro_binary import encode as _aenc
+from typebus_spark.codec.envelope import (
+    avro_schema_json,
+    published_event_schema,
+)
+
+_TS_VALUES = st.datetimes(
+    min_value=dt.datetime(1970, 1, 2),
+    max_value=dt.datetime(2200, 1, 1),
+)
+
+_SCALARS: list = [
+    (StringType(), st.text(max_size=12)),
+    (LongType(), st.integers(-(2**63), 2**63 - 1)),
+    (IntegerType(), st.integers(-(2**31), 2**31 - 1)),
+    (DoubleType(), st.floats(allow_nan=False, width=64)),
+    (FloatType(), st.floats(allow_nan=False, width=32)),
+    (BooleanType(), st.booleans()),
+    (TimestampType(), _TS_VALUES),
+    (BinaryType(), st.binary(max_size=12)),
+]
+
+_FIELD_NAMES = st.lists(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=5),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+
+@st.composite
+def _type_and_value(draw, depth: int):
+    """Draw (Catalyst DataType, matching python value-or-None)."""
+    choices = len(_SCALARS) + (3 if depth > 0 else 0)
+    pick = draw(st.integers(0, choices - 1))
+    if pick < len(_SCALARS):
+        t, vs = _SCALARS[pick]
+        return t, draw(st.none() | vs)
+    kind = pick - len(_SCALARS)
+    if kind == 0:  # array with nullable items
+        et, _ = draw(_type_and_value(depth - 1))
+        items = [
+            draw(_type_and_value(depth - 1))[1]
+            if draw(st.booleans())
+            else None
+            for _ in range(draw(st.integers(0, 3)))
+        ]
+        # items must all match et — redraw values against the SAME type
+        items = [
+            None if v is None else draw(_value_for(et, depth - 1))
+            for v in items
+        ]
+        return ArrayType(et), items
+    if kind == 1:  # map<string, nullable T>
+        vt, _ = draw(_type_and_value(depth - 1))
+        keys = draw(
+            st.lists(st.text(max_size=6), max_size=3, unique=True)
+        )
+        return (
+            MapType(StringType(), vt),
+            {
+                k: (
+                    draw(_value_for(vt, depth - 1))
+                    if draw(st.booleans())
+                    else None
+                )
+                for k in keys
+            },
+        )
+    # struct
+    names = draw(_FIELD_NAMES)
+    fields, value = [], {}
+    for n in names:
+        ft, fv = draw(_type_and_value(depth - 1))
+        fields.append(StructField(n, ft))
+        value[n] = fv
+    return StructType(fields), value
+
+
+def _value_for(t, depth: int):
+    """Value strategy for an already-drawn type."""
+    for st_t, vs in _SCALARS:
+        if type(t) is type(st_t):
+            return vs
+    if isinstance(t, ArrayType):
+        return st.lists(
+            st.none() | _value_for(t.elementType, depth - 1), max_size=3
+        )
+    if isinstance(t, MapType):
+        return st.dictionaries(
+            st.text(max_size=6),
+            st.none() | _value_for(t.valueType, depth - 1),
+            max_size=3,
+        )
+    if isinstance(t, StructType):
+        return st.fixed_dictionaries(
+            {
+                f.name: st.none() | _value_for(f.dataType, depth - 1)
+                for f in t.fields
+            }
+        )
+    raise TypeError(str(t))
+
+
+_META = {
+    "event_id": "e-1",
+    "event_type": "api.T",
+    "correlation_id": None,
+    "trace": False,
+    "direct_reply": {"path": "tcp://h:1", "service_name": "s"},
+    "key": None,
+    "socket_id": None,
+    "response_to": None,
+    "extra": {"a": "b"},
+    "occurred_at": dt.datetime(2026, 8, 14, 12, 0, 0, 123456),
+}
+
+
+def _envelope_roundtrip(payload_schema: StructType, payload_value: dict):
+    schema = avro_schema_json(published_event_schema(payload_schema))
+    ev = {"meta": dict(_META), "payload": payload_value}
+    assert _adec(schema, _aenc(schema, ev)) == ev
+
+
+@given(_type_and_value(depth=2))
+@settings(max_examples=60, deadline=None)
+def test_avro_envelope_roundtrip_random_shapes(tv):
+    t, v = tv
+    if not isinstance(t, StructType):
+        t = StructType([StructField("x", t)])
+        v = {"x": v}
+    if not t.fields:
+        t = StructType([StructField("x", LongType())])
+        v = {"x": 1}
+    _envelope_roundtrip(t, v)
+
+
+@given(
+    st.booleans(),
+    st.text(max_size=20),
+    st.integers(-(2**63), 2**63 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_avro_envelope_roundtrip_either_shape(is_right, msg, val):
+    """Either[ServiceException, T] as the RPC gather emits it
+    (streaming/rpc.py; reference Client.scala:32): exactly one branch
+    set, the other null — the avro union handles both sides."""
+    either = StructType(
+        [
+            StructField(
+                "left",
+                StructType([StructField("message", StringType())]),
+            ),
+            StructField(
+                "right",
+                StructType([StructField("value", LongType())]),
+            ),
+        ]
+    )
+    v = (
+        {"left": None, "right": {"value": val}}
+        if is_right
+        else {"left": {"message": msg}, "right": None}
+    )
+    _envelope_roundtrip(either, v)
+
+
+@given(st.integers(1, 4), st.lists(st.integers(0, 2**31), max_size=4))
+@settings(max_examples=25, deadline=None)
+def test_avro_envelope_roundtrip_recursive_shape(depth, chain):
+    """Recursive declared type (G2 bounded unrolling) through the full
+    envelope schema: a linked-node chain up to the unroll depth."""
+    from pyspark.sql.types import LongType as _L
+
+    from typebus_spark.catalog.types import TypeCatalog, ref_field
+
+    c = TypeCatalog()
+    node = StructType(
+        [StructField("v", _L()), ref_field("next", "t.Node")]
+    )
+    schema = c.declare_recursive_type(
+        "t.Node", node, max_depth=depth
+    ).schema
+    # build a value chain no deeper than the unrolled schema allows
+    val: dict | None = None
+    for x in reversed(chain[:depth]):
+        nxt = val
+        val = {"v": x, "next": nxt}
+        if nxt is not None and "next" not in nxt:
+            # deepest level is pruned to just {v}
+            pass
+    if val is None:
+        val = {"v": 0, "next": None}
+    # prune the chain tail to match the pruned deepest level
+    cur, lvl = val, 0
+    while cur.get("next") is not None:
+        cur, lvl = cur["next"], lvl + 1
+    if lvl >= depth:
+        cur.pop("next", None)
+    _envelope_roundtrip(schema, val)

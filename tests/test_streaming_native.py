@@ -207,3 +207,85 @@ def test_stream_stream_join_drops_late_side_input(spark, tmp_path):
     got = sorted(str(r["v_ts"]) for r in emitted)
     assert "2024-01-01 11:40:00" not in got, got  # late input dropped
     assert "2024-01-01 12:20:00" in got, got  # on-time input joined
+
+
+def test_streaming_fold_last_ttl_survives_restart(spark, tmp_path):
+    """E1/O3 at scale (EntityDb.scala:12-25 + actor passivation): state
+    must survive a kill-and-restart from the checkpoint, and
+    TTL-expired keys must drop.
+
+    Observable: after the TTL elapses, an event OLDER than the dead
+    key's last state is accepted (state was removed); a key whose TTL
+    has not elapsed keeps rejecting older events across restarts. The
+    two behaviors run as separate folds (long vs short TTL) so neither
+    assertion races the multi-second restart overhead on this host."""
+    import time
+
+    schema = "id string, ts string, status string, amount double"
+    emitted: list = []
+
+    def make(name, ttl):
+        d = str(tmp_path / f"{name}_events")
+        ckpt = str(tmp_path / f"{name}_ckpt")
+        os.makedirs(d)
+
+        def push(*rows):
+            spark.createDataFrame(list(rows), schema).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            ).write.mode("append").parquet(d)
+
+        def run_once():
+            from typebus_spark.session import pinned_shuffle_partitions
+
+            # a fresh stream + query per call = kill-and-restart; only
+            # the checkpoint carries state across calls
+            stream = spark.readStream.schema(
+                "id string, ts timestamp, status string, amount double"
+            ).parquet(d)
+            folded = streaming_fold_last(
+                stream, "id", "ts",
+                "id string, ts timestamp, status string, amount double",
+                ttl_seconds=ttl,
+            )
+            # 1 state partition: 5 restarts × N stores dominate the
+            # test's wall otherwise (state partition count is fixed at
+            # first start, part of the checkpoint)
+            with pinned_shuffle_partitions(spark, 1):
+                q = (
+                    folded.writeStream.foreachBatch(
+                        lambda df, _bid: emitted.extend(df.collect())
+                    )
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+            q.awaitTermination(120)
+
+        return push, run_once
+
+    def statuses(k):
+        return [r["status"] for r in emitted if r["id"] == k]
+
+    # --- survival: TTL far beyond the test's runtime -----------------
+    push_a, run_a = make("live", ttl=300)
+    push_a(("e3", "2024-01-01 00:20:00", "alpha", 1.0))
+    run_a()
+    # restart: an event OLDER than the checkpointed state must lose
+    push_a(("e3", "2024-01-01 00:02:00", "old", 9.0))
+    run_a()
+    assert statuses("e3") == ["alpha"]  # state survived the restart
+
+    # --- expiry: TTL shorter than a deliberate pause -----------------
+    push_b, run_b = make("dead", ttl=1)
+    push_b(("e1", "2024-01-01 00:10:00", "created", 1.0))
+    run_b()
+    time.sleep(3)  # let e1's 1 s processing-time TTL elapse
+    # restart: another key's data triggers the batch; e1's timed-out
+    # state is removed during it
+    push_b(("e9", "2024-01-01 00:00:00", "tick", 0.0))
+    run_b()
+    # restart again: e1's OLDER event is accepted — its state is gone
+    push_b(("e1", "2024-01-01 00:05:00", "stale", 9.0))
+    run_b()
+    assert statuses("e1") == ["created", "stale"]

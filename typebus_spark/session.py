@@ -26,9 +26,26 @@ def _shm_scratch() -> str | None:
     real disk I/O + fsync latency there, pure overhead for bench-scale
     intermediates. On a production cluster ``spark.local.dir`` points
     at fast local disks instead — this is the local-mode analog of that
-    deployment choice, not a semantics change."""
+    deployment choice, not a semantics change.
+
+    tmpfs is typically capped at half RAM, so the redirect is gated on
+    free capacity: below ``SPARK_GRAFT_SHM_MIN_GB`` (default 16 GiB)
+    free, shuffle spill on larger inputs could exhaust the mount and
+    fail jobs that would succeed on disk — fall back to the default
+    tmp dir instead. ``SPARK_GRAFT_SHM_SCRATCH=0`` disables outright.
+    """
+    if os.environ.get("SPARK_GRAFT_SHM_SCRATCH", "1") == "0":
+        return None
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        min_gb = float(os.environ.get("SPARK_GRAFT_SHM_MIN_GB", "16"))
+        try:
+            st = os.statvfs(shm)
+            free_gb = st.f_bavail * st.f_frsize / (1 << 30)
+        except OSError:
+            return None
+        if free_gb < min_gb:
+            return None
         path = os.path.join(shm, "typebus-spark-scratch")
         os.makedirs(path, exist_ok=True)
         return path
