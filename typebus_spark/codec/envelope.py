@@ -310,7 +310,7 @@ def _json_decode_expr(payload_schema_json: str) -> Column:
 
     payload_schema = StructType.fromJson(_json.loads(payload_schema_json))
     env = published_event_schema(payload_schema)
-    return F.from_json(F.col("value").cast("string"), env)
+    return F.from_json(F.col("value").cast("string"), env).alias("e")
 
 
 def decode_envelope(
@@ -340,12 +340,12 @@ def decode_envelope(
         env = published_event_schema(payload_schema)
         decoded = from_avro(
             F.col("value"), avro_schema_json(env), {"mode": "PERMISSIVE"}
-        )
+        ).alias("e")
     else:
         decoded = _json_decode_expr(payload_schema.json())
     tail = ("topic", "value") if keep_value else ("topic",)
     return raw.select(
-        decoded.alias("e"),
+        decoded,
         *[c for c in ("topic", "key", "value") if c in raw.columns],
     ).select("e.meta", "e.payload", *[c for c in tail if c in raw.columns])
 

@@ -40,13 +40,24 @@ def lit_vec_sql(vals) -> str:
     return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
-    """Ordered-fold dot product in double precision."""
-    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _dot_by_name(a: str, b: str) -> Column:
+    prods = F.zip_with(
+        F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-from functools import lru_cache
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Ordered-fold dot product in double precision (name pairs hit a
+    fragment cache — the fold tree is ~15 py4j round trips)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _dot_by_name(a, b)
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
 @lru_cache(maxsize=64)

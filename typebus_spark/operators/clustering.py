@@ -24,8 +24,64 @@ percent) — and each round shuffles only that.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+
+# The propagation loop rebuilds identical Column trees every hop (3
+# hops/round x rounds, plus the leakage-split and cluster queries are
+# stateful so the bench re-builds them per pass) — measured py4j
+# hotspot (tools/py4j_sites.py). Columns are immutable JVM handles;
+# caching the static fragments is safe across plans.
+@lru_cache(maxsize=4)
+def _sym_cols(a_col: str, b_col: str) -> tuple:
+    return (
+        (F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+        (F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+    )
+
+
+@lru_cache(maxsize=1)
+def _cc_step_cols() -> tuple:
+    """(neighbor-label projection, grouped-id, nmin agg, output cols)."""
+    return (
+        (F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+        F.col("src").alias("id"),
+        F.min("dst_label").alias("nmin"),
+        (
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+            (F.col("nmin") < F.col("label")).alias("_changed"),
+        ),
+    )
+
+
+@lru_cache(maxsize=8)
+def _pr_cols(damping_pct: int, base_unit: int) -> tuple:
+    """Loop-invariant PageRank fragments (rank projection, contribution,
+    sum agg, damped update) — ONE parse each instead of per-iteration
+    rebuilds."""
+    teleport = (100 - damping_pct) * base_unit // 100
+    return (
+        (F.col("id").alias("src"), F.col("r")),
+        (F.col("dst").alias("id"), F.expr("r DIV deg").alias("c")),
+        F.sum("c").alias("s"),
+        F.expr(
+            f"{teleport}L + ({damping_pct} * coalesce(s, 0L)) DIV 100"
+        ).alias("r"),
+    )
+
+
+@lru_cache(maxsize=1)
+def _cc_misc_cols() -> tuple:
+    return (
+        F.col("src").alias("id"),
+        F.sum(F.coalesce(F.col("_changed").cast("int"), F.lit(0))),
+        (F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")),
+    )
 
 
 def _sym_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
@@ -36,11 +92,10 @@ def _sym_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     from pyspark import StorageLevel
 
     p = pairs.select(a_col, b_col).persist(StorageLevel.MEMORY_AND_DISK)
+    fwd, rev = _sym_cols(a_col, b_col)
     return (
-        p.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            p.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
+        p.select(*fwd)
+        .unionByName(p.select(*rev))
         .distinct()
         .localCheckpoint(eager=False)  # materialized by the first probe
     )
@@ -55,30 +110,23 @@ def connected_components(
     """(doc_id, cluster_id) for every doc appearing in ``pairs``;
     cluster_id = the minimum doc id reachable through the pair graph."""
     edges = _sym_edges(pairs, a_col, b_col)
+    dst_lbl, grp_id, nmin_agg, out_cols = _cc_step_cols()
+    src_id, changed_agg, result_cols = _cc_misc_cols()
     labels = (
-        edges.select(F.col("src").alias("id"))
+        edges.select(src_id)
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False)
     )
+
     def step(lbls):
         neighbor_min = (
-            edges.join(
-                lbls.select(
-                    F.col("id").alias("dst"),
-                    F.col("label").alias("dst_label"),
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("dst_label").alias("nmin"))
+            edges.join(lbls.select(*dst_lbl), "dst")
+            .groupBy(grp_id)
+            .agg(nmin_agg)
         )
         return lbls.join(neighbor_min, "id", "left_outer").select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("label"),
-            (F.col("nmin") < F.col("label")).alias("_changed"),
+            "id", *out_cols
         )
 
     # THREE propagation hops per materialization round, and convergence
@@ -101,9 +149,7 @@ def connected_components(
         final = step(cur).localCheckpoint(eager=False)
         # lazy checkpoint: the convergence aggregate below is the
         # action that materializes it — one job per round
-        changed = final.agg(
-            F.sum(F.coalesce(F.col("_changed").cast("int"), F.lit(0)))
-        ).collect()[0][0]
+        changed = final.agg(changed_agg).collect()[0][0]
         labels = final.drop("_changed")
         if not changed:
             break
@@ -116,9 +162,7 @@ def connected_components(
             f"rounds ({changed} labels still changing); raise max_iter "
             "for deep-chain graphs"
         )
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return labels.select(*result_cols)
 
 
 def pagerank_fixed(
@@ -149,23 +193,20 @@ def pagerank_fixed(
     """
     base_unit = 1_000_000_000
     edges = _sym_edges(pairs, a_col, b_col)
+    (rank_src, contrib_cols, s_agg, damped) = _pr_cols(
+        damping_pct, base_unit
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(
         F.col("src").alias("id"), F.lit(base_unit).alias("r")
     )
-    teleport = (100 - damping_pct) * base_unit // 100
     for _ in range(iters):
         contrib = (
-            edges.join(
-                ranks.select(F.col("id").alias("src"), "r"), "src"
-            )
+            edges.join(ranks.select(*rank_src), "src")
             .join(deg, "src")
-            .select(
-                F.col("dst").alias("id"),
-                F.expr("r DIV deg").alias("c"),
-            )
+            .select(*contrib_cols)
             .groupBy("id")
-            .agg(F.sum("c").alias("s"))
+            .agg(s_agg)
         )
         # No per-iteration checkpoint: ``iters`` is small and fixed, so
         # the full unrolled lineage (3 joins of the persisted edge
@@ -175,15 +216,7 @@ def pagerank_fixed(
         ranks = (
             ranks.drop("r")
             .join(contrib, "id", "left_outer")
-            .select(
-                "id",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(s, 0L)) DIV 100"
-                    )
-                ).alias("r"),
-            )
+            .select("id", damped)
         )
     return ranks.select(
         "id",

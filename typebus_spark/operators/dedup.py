@@ -36,20 +36,28 @@ from typebus_spark.functions.text import (
 from typebus_spark.functions.vector import cosine, hyperplane_signs
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _exact_dedup_cols(id_col: str, text_col: str, normalize: bool) -> tuple:
+    content = norm_text(text_col) if normalize else F.col(text_col)
+    return (
+        (F.col(id_col), F.md5(content).alias("content_hash")),
+        (
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        ),
+    )
+
+
 def exact_dedup(
     df: DataFrame, id_col: str, text_col: str, normalize: bool = True
 ) -> DataFrame:
     """One row per distinct content: canonical (min) id, copy count, and
     the content hash. ``SELECT hash, min(id), count(*) GROUP BY hash``."""
-    content = norm_text(text_col) if normalize else F.col(text_col)
-    return (
-        df.select(F.col(id_col), F.md5(content).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.min(id_col).alias("canonical_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-    )
+    sel, agg = _exact_dedup_cols(id_col, text_col, normalize)
+    return df.select(*sel).groupBy("content_hash").agg(*agg)
 
 
 def shingle_key(col: F.Column | str) -> F.Column:
@@ -73,14 +81,26 @@ def distinct_shingles(
     compute-bound and a small file arrives as one partition)."""
     from typebus_spark.session import ensure_parallelism
 
+    explode_cols, key_col = _shingle_rows_cols(id_col, text_col, n)
     return (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
-        .select(
+        .select(*explode_cols)
+        .select("_id", key_col)
+        .distinct()
+    )
+
+
+@lru_cache(maxsize=64)
+def _shingle_rows_cols(id_col: str, text_col: str, n: int) -> tuple:
+    """Cached shingle-explode projection — the ~40-round-trip shingle
+    tree is identical across queries (and across bench passes of the
+    stateful pipelines that embed it)."""
+    return (
+        (
             F.col(id_col).alias("_id"),
             F.explode(shingles(tokens(text_col), n)).alias("_s"),
-        )
-        .select("_id", shingle_key("_s").alias("shingle"))
-        .distinct()
+        ),
+        shingle_key("_s").alias("shingle"),
     )
 
 
@@ -115,7 +135,18 @@ def jaccard_pairs(
     sh = distinct_shingles(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if metric not in ("jaccard", "containment"):
+        raise ValueError("metric must be 'jaccard' or 'containment'")
+    (
+        n_sh_agg,
+        a_proj,
+        b_proj,
+        ab_lt,
+        shared_agg,
+        sa_proj,
+        sb_proj,
+    ) = _pair_index_cols()
+    sizes = sh.groupBy("_id").agg(n_sh_agg)
     if max_shingle_freq is not None:
         freq_ok = (
             sh.groupBy("shingle")
@@ -124,24 +155,14 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, "shingle")
-    a = sh.select(F.col("_id").alias("a"), "shingle")
-    b = sh.select(F.col("_id").alias("b"), "shingle")
+    a = sh.select(*a_proj)
+    b = sh.select(*b_proj)
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        a.join(b, "shingle").filter(ab_lt).groupBy("a", "b").agg(shared_agg)
     )
-    sa = sizes.select(F.col("_id").alias("a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("_id").alias("b"), F.col("n_sh").alias("nb"))
-    if metric == "containment":
-        score = F.col("shared") / F.least(F.col("na"), F.col("nb"))
-    elif metric == "jaccard":
-        score = F.col("shared") / (
-            F.col("na") + F.col("nb") - F.col("shared")
-        )
-    else:
-        raise ValueError("metric must be 'jaccard' or 'containment'")
+    sa = sizes.select(*sa_proj)
+    sb = sizes.select(*sb_proj)
+    score, rounded = _pair_score_cols(metric)
     # Filter on the RAW ratio (a single IEEE division — bit-identical
     # across engines) and round only the emitted column: filtering the
     # rounded value would keep pairs in [threshold-5e-7, threshold)
@@ -150,9 +171,34 @@ def jaccard_pairs(
         shared.join(sa, "a")
         .join(sb, "b")
         .filter(score >= threshold)
-        .withColumn(metric, F.round(score, 6))
+        .withColumn(metric, rounded)
         .select("a", "b", metric)
     )
+
+
+@lru_cache(maxsize=1)
+def _pair_index_cols() -> tuple:
+    """Static fragments of the inverted-index pair plan."""
+    return (
+        F.count(F.lit(1)).alias("n_sh"),
+        (F.col("_id").alias("a"), F.col("shingle")),
+        (F.col("_id").alias("b"), F.col("shingle")),
+        F.col("a") < F.col("b"),
+        F.count(F.lit(1)).alias("shared"),
+        (F.col("_id").alias("a"), F.col("n_sh").alias("na")),
+        (F.col("_id").alias("b"), F.col("n_sh").alias("nb")),
+    )
+
+
+@lru_cache(maxsize=4)
+def _pair_score_cols(metric: str) -> tuple:
+    if metric == "containment":
+        score = F.col("shared") / F.least(F.col("na"), F.col("nb"))
+    else:
+        score = F.col("shared") / (
+            F.col("na") + F.col("nb") - F.col("shared")
+        )
+    return score, F.round(score, 6)
 
 
 def containment_pairs(

@@ -17,10 +17,46 @@ All scoring is JVM-side (functions.vector); no UDFs.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from typebus_spark.functions.vector import dot, norm
+
+
+@lru_cache(maxsize=32)
+def _side_proj(id_col: str, vec_col: str, out: str) -> tuple:
+    """(id AS {out}id, vec AS {out}v, norm AS {out}n) — shared by the
+    brute-force and IVF paths; the norm fold is ~15 round trips and the
+    trainer loops rebuild these per pass."""
+    return (
+        F.col(id_col).alias(f"{out}id"),
+        F.col(vec_col).alias(f"{out}v"),
+        norm(vec_col).alias(f"{out}n"),
+    )
+
+
+@lru_cache(maxsize=1)
+def _cos_score_col() -> F.Column:
+    return F.round(
+        dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6
+    ).alias("cos")
+
+
+@lru_cache(maxsize=16)
+def _topk_cols(k: int) -> tuple:
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        F.row_number().over(w).alias("rank"),
+        F.col("rank") <= k,
+        (
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("rank"),
+            F.col("cos"),
+        ),
+    )
 
 
 def cosine_topk(
@@ -42,28 +78,16 @@ def cosine_topk(
     # the exchange), not re-folded per pair — 3× less work per pair
     from typebus_spark.session import ensure_parallelism
 
-    q = queries.select(
-        F.col(query_id).alias("qid"),
-        F.col(query_vec).alias("qv"),
-        norm(query_vec).alias("qn"),
-    )
+    q = queries.select(*_side_proj(query_id, query_vec, "q"))
     # corpus side: spread a small single-file input across cores (the
     # per-pair vector fold is compute-bound); no-op at cluster scale
     c = ensure_parallelism(
-        corpus.select(
-            F.col(corpus_id).alias("cid"),
-            F.col(corpus_vec).alias("cv"),
-            norm(corpus_vec).alias("cn"),
-        )
+        corpus.select(*_side_proj(corpus_id, corpus_vec, "c"))
     )
     scored = F.broadcast(q).crossJoin(c)
     if not include_self:
         scored = scored.filter(F.col("qid") != F.col("cid"))
-    scored = scored.select(
-        "qid",
-        "cid",
-        F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cos"),
-    )
+    scored = scored.select("qid", "cid", _cos_score_col())
     return _topk_per_query(scored, k)
 
 
@@ -77,16 +101,11 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     O(partitions·k), not |C|, rows. Both Sorts are partition-local
     (no global sort). Pinned by tests/test_plans.py
     (test_knn_topk_native_partial_limit)."""
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    rank_col, rank_le_k, out_cols = _topk_cols(k)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("cid").alias("neighbor_id"),
-            "rank",
-            "cos",
-        )
+        scored.withColumn("rank", rank_col)
+        .filter(rank_le_k)
+        .select(*out_cols)
     )
 
 
@@ -109,28 +128,40 @@ def label_centroids(
     could round differently per engine/partitioning at a digit boundary
     (the functions.money rationale, applied to vectors).
     """
+    pe_cols, agg_cols, out_cols = _label_centroid_cols(
+        label_col, vec_col, round_to
+    )
+    pe = df.select(*pe_cols)
+    return pe.groupBy("label", "dim").agg(*agg_cols).select(*out_cols)
+
+
+@lru_cache(maxsize=16)
+def _label_centroid_cols(
+    label_col: str, vec_col: str, round_to: int
+) -> tuple:
+    """Cached E/M-step fragments — rebuilt per Lloyd iteration
+    otherwise."""
     scale = 10 ** round_to
     q = F.round(F.col("x").cast("double") * scale, 0).cast("long")
-    pe = df.select(
-        F.col(label_col).alias("label"),
-        F.posexplode(vec_col).alias("dim", "x"),
-    )
     return (
-        pe.groupBy("label", "dim")
-        .agg(
+        (
+            F.col(label_col).alias("label"),
+            F.posexplode(vec_col).alias("dim", "x"),
+        ),
+        (
             F.sum(q).alias("_s"),
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
-        )
-        .select(
-            "label",
+        ),
+        (
+            F.col("label"),
             F.col("dim").cast("long").alias("dim"),
             F.round(
                 F.col("_s").cast("double")
                 / (F.lit(float(scale)) * F.col("n_vectors")),
                 round_to,
             ).alias("centroid"),
-            "n_vectors",
-        )
+            F.col("n_vectors"),
+        ),
     )
 
 
@@ -229,11 +260,7 @@ def ivf_topk(
     from typebus_spark.session import ensure_parallelism
 
     c = ensure_parallelism(
-        corpus.select(
-            F.col(corpus_id).alias("cid"),
-            F.col(corpus_vec).alias("cv"),
-            norm(corpus_vec).alias("cn"),
-        )
+        corpus.select(*_side_proj(corpus_id, corpus_vec, "c"))
     ).withColumn("bucket", _nearest_centroid("cv", centroids))
 
     from typebus_spark.functions.vector import dot_lit_sql
@@ -248,23 +275,15 @@ def ivf_topk(
         f"slice(transform(array_sort(array({structs})), x -> x.i), "
         f"1, {int(nprobe)})"
     )
-    q = queries.select(
-        F.col(query_id).alias("qid"),
-        F.col(query_vec).alias("qv"),
-        norm(query_vec).alias("qn"),
-    ).withColumn("bucket", F.explode(probes))
+    q = queries.select(*_side_proj(query_id, query_vec, "q")).withColumn(
+        "bucket", F.explode(probes)
+    )
 
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("qid") != F.col("cid"))
-        .select(
-            "qid",
-            "cid",
-            F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
-                "cos"
-            ),
-        )
+        .select("qid", "cid", _cos_score_col())
     )
     return _topk_per_query(scored, k)
 

@@ -45,10 +45,21 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+from functools import lru_cache
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality features + composite score ∈ [0,1]:
     length band, punctuation density, stopword ratio, repetition
     (distinct-token ratio). Mirrors the usual LLM-data quality filters."""
+    return df.select(*_quality_cols(id_col, text_col))
+
+
+@lru_cache(maxsize=16)
+def _quality_cols(id_col: str, text_col: str) -> tuple:
+    """Cached quality-feature projection (~80 py4j round trips to build;
+    the clean-corpus pipeline is stateful, so the bench rebuilds it per
+    pass)."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -68,7 +79,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
         + F.when(distinct_ratio >= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
     )
-    return df.select(
+    return (
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),

@@ -30,6 +30,30 @@ from typebus_spark.suite import query, t
 # at 100 TB raises this when starting its own checkpoints.
 STREAM_STATE_PARTITIONS = 4
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=1)
+def _fail_n_times_handler_cols() -> tuple:
+    """Columns for the drain queries' fail-N-times handler — the drain
+    loop re-invokes the handler per ROUND, and this ~20-round-trip tree
+    was a measured per-round py4j cost (tools/py4j_sites.py)."""
+    attempt = F.coalesce(
+        F.col("meta.extra").getItem("attempt").cast("int"), F.lit(0)
+    )
+    return (
+        F.col("meta"),
+        F.col("event_id"),
+        F.col("fail_times"),
+        F.when(attempt < F.col("fail_times"), F.lit("transient")).alias(
+            "_error"
+        ),
+    )
+
+
+def _fail_n_times_handler(df):
+    return df.select(*_fail_n_times_handler_cols())
+
 
 @query(
     "q_route_counts",
@@ -198,23 +222,10 @@ def q_retry_drain(spark, sf_dir):
     svc.declare_type("api.Task", payload)
     svc.declare_type("api.Task.done", payload)
 
-    def handler(df):
-        attempt = F.coalesce(
-            F.col("meta.extra").getItem("attempt").cast("int"), F.lit(0)
-        )
-        return df.select(
-            "meta",
-            "event_id",
-            "fail_times",
-            F.when(attempt < F.col("fail_times"), F.lit("transient")).alias(
-                "_error"
-            ),
-        )
-
     svc.register_stream(
         "api.Task",
         "api.Task.done",
-        handler,
+        _fail_n_times_handler,
         retry=RetryPolicy(2, 10.0, BackoffShape.EXPONENTIAL),
     )
     from typebus_spark.session import ensure_parallelism
@@ -1160,23 +1171,10 @@ def q_retry_drain_shed(spark, sf_dir):
     svc.declare_type("api.Task", payload)
     svc.declare_type("api.Task.done", payload)
 
-    def handler(df):
-        attempt = F.coalesce(
-            F.col("meta.extra").getItem("attempt").cast("int"), F.lit(0)
-        )
-        return df.select(
-            "meta",
-            "event_id",
-            "fail_times",
-            F.when(attempt < F.col("fail_times"), F.lit("transient")).alias(
-                "_error"
-            ),
-        )
-
     svc.register_stream(
         "api.Task",
         "api.Task.done",
-        handler,
+        _fail_n_times_handler,
         retry=RetryPolicy(2, 10.0, BackoffShape.EXPONENTIAL),
     )
     from typebus_spark.session import ensure_parallelism

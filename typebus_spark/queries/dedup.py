@@ -9,8 +9,11 @@ xxhash64 (engine-local) → rows-only check, as declared.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pyspark.sql.functions as F
 
+from typebus_spark.functions.text import tokens
 from typebus_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -402,20 +405,25 @@ def q_pipeline_clean_corpus(spark, sf_dir):
     ).select(F.col("b").alias("doc_id")).distinct()
     clean = survivors.join(near_b, "doc_id", "left_anti")
 
+    lang_cols, lang_aggs = _clean_corpus_lang_cols()
+    return clean.select(*lang_cols).groupBy("pred_lang").agg(*lang_aggs)
+
+
+@lru_cache(maxsize=1)
+def _clean_corpus_lang_cols() -> tuple:
     toks = F.transform(tokens("text"), F.lower)
     en_hits = F.size(
         F.filter(toks, lambda t_: t_.isin("the", "a", "and", "of", "to"))
     )
     return (
-        clean.select(
+        (
             F.when(en_hits > 0, "en").otherwise("und").alias("pred_lang"),
             F.size(tokens("text")).cast("long").alias("n_tokens"),
-        )
-        .groupBy("pred_lang")
-        .agg(
+        ),
+        (
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-        )
+        ),
     )
 
 

@@ -28,6 +28,38 @@ from pyspark.sql.types import StructType
 from typebus_spark.catalog.types import TypeCatalog
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _descriptor_answer_cols(name: str, desc: str) -> tuple:
+    """Cached descriptor-reply fragments (filter, [service, descriptor]
+    literal columns) — the auto-registered discovery stream rebuilds
+    these per batch otherwise."""
+    import pyspark.sql.functions as F
+
+    return (
+        F.col("service").isNull() | (F.col("service") == name),
+        (F.lit(name).alias("service"), F.lit(desc).alias("descriptor")),
+    )
+
+
+@lru_cache(maxsize=64)
+def _entity_lookup_cols(state_cols: tuple, key_col: str) -> tuple:
+    """Cached T4 lookup fragments (snapshot projection, join condition,
+    reply projection) — pure function of the state schema."""
+    import pyspark.sql.functions as F
+
+    return (
+        tuple(F.col(c).alias(f"_s_{c}") for c in state_cols),
+        F.col("id") == F.col(f"_s_{key_col}"),
+        tuple(
+            (F.col("id") if c == key_col else F.col(f"_s_{c}")).alias(c)
+            for c in state_cols
+        ),
+    )
+
+
 class BackoffShape(str, Enum):
     """RetryPolicy shapes (bus/package.scala:19-29): delay, attempt*delay,
     attempt²*delay."""
@@ -132,13 +164,8 @@ class Service:
         def answer(df: DataFrame) -> DataFrame:
             # reply only when addressed to us (or broadcast/null target)
             desc = json.dumps(self.descriptor(), sort_keys=True)
-            return df.filter(
-                F.col("service").isNull() | (F.col("service") == self.name)
-            ).select(
-                "meta",
-                F.lit(self.name).alias("service"),
-                F.lit(desc).alias("descriptor"),
-            )
+            flt, cols = _descriptor_answer_cols(self.name, desc)
+            return df.filter(flt).select("meta", *cols)
 
         self.register_stream(
             self.GET_DESCRIPTOR_FQN,
@@ -227,25 +254,16 @@ class Service:
                 acc, StructType([StructField("id", key_field.dataType, False)])
             )
         state_cols = [f.name for f in state_schema.fields]
-        snap = snapshot.select(
-            *[F.col(c).alias(f"_s_{c}") for c in state_cols]
+        snap_proj, join_cond, out_cols = _entity_lookup_cols(
+            tuple(state_cols), key_col
         )
+        snap = snapshot.select(*snap_proj)
 
         def lookup(df: DataFrame) -> DataFrame:
             # DbAccessor answer: request id ⋈ snapshot key (broadcast by
             # AQE when the snapshot is small; stream-static in streaming)
-            got = df.select("meta", "id").join(
-                snap, F.col("id") == F.col(f"_s_{key_col}"), "left_outer"
-            )
-            return got.select(
-                "meta",
-                *[
-                    (
-                        F.col("id") if c == key_col else F.col(f"_s_{c}")
-                    ).alias(c)
-                    for c in state_cols
-                ],
-            )
+            got = df.select("meta", "id").join(snap, join_cond, "left_outer")
+            return got.select("meta", *out_cols)
 
         self.register_stream(acc, state_type, lookup, service_level=True)
         return ed

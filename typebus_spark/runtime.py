@@ -107,7 +107,7 @@ class BatchResult:
             kind = kinds.get(name)
             if kind is None:
                 continue
-            v = fanned.filter(F.col("_kind") == kind).select(
+            v = fanned.filter(_kind_eq(kind)).select(
                 "key", "value", "topic"
             )
             built = v if built is None else built.unionByName(v)
@@ -265,6 +265,43 @@ def _FANNED_TAIL() -> tuple:
 def _topic_col(topic: str) -> F.Column:
     """``lit(topic) AS topic`` — rebuilt per stream per round otherwise."""
     return F.lit(topic).alias("topic")
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal (topic/type names are code-declared
+    identifiers, but escape defensively)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+@lru_cache(maxsize=512)
+def _topic_in(topics: tuple, negate: bool = False) -> F.Column:
+    """``topic [NOT] IN (...)`` as ONE parsed expression — the Column
+    form (``F.col("topic").isin(*ts)``) costs ~5 py4j round trips and is
+    rebuilt per stream per round in the router; this is 1 trip per
+    distinct topic set, then free."""
+    lst = ", ".join(_sql_str(t) for t in topics)
+    return F.expr(f"topic {'NOT ' if negate else ''}IN ({lst})")
+
+
+@lru_cache(maxsize=256)
+def _retry_pending_cols(retry_t: str) -> tuple:
+    """(meta, payload, lit-topic) projection for backoff-pending rows."""
+    return (F.col("meta"), F.col("payload"), _topic_col(retry_t))
+
+
+@lru_cache(maxsize=8)
+def _kind_eq(kind: str) -> F.Column:
+    return F.col("_kind") == kind
+
+
+@lru_cache(maxsize=1)
+def _fid_col() -> F.Column:
+    return F.col("meta.event_id").alias("_fid")
+
+
+@lru_cache(maxsize=1)
+def _fid_join_cond() -> F.Column:
+    return F.col("meta.event_id") == F.col("_fid")
 
 
 @lru_cache(maxsize=1)
@@ -429,7 +466,7 @@ def run_batch(
     """
     res = BatchResult()
     decoded_inputs = decoded_inputs or {}
-    now = F.lit(now_epoch) if now_epoch is not None else None
+    now = now_epoch  # int|None passes through to the cached retry builders
     # Streams sharing a payload schema decode TOGETHER (one from_json
     # checkpoint per schema group, not per stream — a service with N
     # same-shaped streams pays one decode job instead of N; per-stream
@@ -534,7 +571,7 @@ def run_batch(
                 deadletter_src = gdec
                 for f in group_live:
                     decoded_by_fqn[f] = gdec.filter(
-                        F.col("topic").isin(*_stream_topics(f))
+                        _topic_in(tuple(_stream_topics(f)))
                     ).drop("value")
             elif single_group:
                 # Control-plane slice: tiny topic filter over the
@@ -549,7 +586,7 @@ def run_batch(
                 )
                 sdec = decode_envelope(
                     deadletter_src.filter(
-                        F.col("topic").isin(*gtopics)
+                        _topic_in(tuple(gtopics))
                     ).select("value", "topic"),
                     payload_schema,
                 )
@@ -557,22 +594,22 @@ def run_batch(
                     decoded_by_fqn[f] = (
                         sdec
                         if len(group_live) == 1
-                        else sdec.filter(F.col("topic").isin(*_stream_topics(f)))
+                        else sdec.filter(_topic_in(tuple(_stream_topics(f))))
                     )
             else:
                 gdec = decode_envelope(
-                    raw.filter(F.col("topic").isin(*gtopics)), payload_schema
+                    raw.filter(_topic_in(tuple(gtopics))), payload_schema
                 ).localCheckpoint(eager=False)
                 for f in group_live:
                     decoded_by_fqn[f] = (
                         gdec
                         if len(group_live) == 1
-                        else gdec.filter(F.col("topic").isin(*_stream_topics(f)))
+                        else gdec.filter(_topic_in(tuple(_stream_topics(f))))
                     )
 
     if raw is not None and (live is None or live - ignored):
         unhandled = (deadletter_src if single_group else raw).filter(
-            ~F.col("topic").isin(*ignored)
+            _topic_in(tuple(sorted(ignored)), negate=True)
         )
         res._add(
             DEAD_LETTER_TOPIC,
@@ -598,11 +635,7 @@ def run_batch(
             if emit_decoded_retry:
                 res._add_decoded_retry(
                     in_fqn,
-                    pending.select(
-                        "meta",
-                        "payload",
-                        F.lit(retry_topic(in_fqn)).alias("topic"),
-                    ),
+                    pending.select(*_retry_pending_cols(retry_topic(in_fqn))),
                 )
             elif lazy or not pending.isEmpty():
                 res._add(
@@ -675,8 +708,8 @@ def run_batch(
             def _orig(ids: DataFrame) -> DataFrame:
                 return (
                     good.join(
-                        ids.select(F.col("meta.event_id").alias("_fid")),
-                        F.col("meta.event_id") == F.col("_fid"),
+                        ids.select(_fid_col()),
+                        _fid_join_cond(),
                         "left_semi",
                     )
                     .select("meta", "payload.*")

@@ -83,8 +83,16 @@ def last_by_time(
     event (event-time order, deterministic tiebreak) — ``max`` over a
     struct whose fields compare lexicographically, so the whole thing
     stays a JVM hash-aggregate with map-side partials."""
+    return _last_by_time_cached(value_col, ts_col, tuple(tiebreak or ()))
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _last_by_time_cached(value_col: str, ts_col: str, tiebreak: tuple):
     fields = [F.col(ts_col).alias("_t")]
-    for i, c in enumerate(tiebreak or []):
+    for i, c in enumerate(tiebreak):
         fields.append(F.col(c).alias(f"_tb{i}"))
     fields.append(F.col(value_col).alias("_v"))
     return F.max(F.struct(*fields)).getField("_v")

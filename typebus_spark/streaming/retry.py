@@ -46,8 +46,9 @@ def split_failures(out: DataFrame) -> tuple[DataFrame, DataFrame]:
     the marker column."""
     if ERROR_COL not in out.columns:
         return out, None  # type: ignore[return-value]
-    ok = out.filter(F.col(ERROR_COL).isNull()).drop(ERROR_COL)
-    bad = out.filter(F.col(ERROR_COL).isNotNull())
+    ok_cond, bad_cond = _split_conds()
+    ok = out.filter(ok_cond).drop(ERROR_COL)
+    bad = out.filter(bad_cond)
     return ok, bad
 
 
@@ -106,12 +107,53 @@ def _payload_struct(payload_cols: tuple) -> F.Column:
     return F.struct(*[F.col(c) for c in payload_cols]).alias("payload")
 
 
+@lru_cache(maxsize=2)
+def _split_conds() -> tuple:
+    """Static (ok, bad) filter conditions for the ``_error`` convention —
+    rebuilt per stream per drain round otherwise."""
+    return (F.col(ERROR_COL).isNull(), F.col(ERROR_COL).isNotNull())
+
+
+@lru_cache(maxsize=256)
+def _retry_decoded_cols(
+    policy: RetryPolicy, payload_cols: tuple, retry_t: str, now_key
+) -> tuple:
+    """The full (meta', payload, topic) projection for retry re-queue
+    rows, keyed by (policy, payload shape, topic, pinned epoch). The
+    meta-update tree (withField + map_concat) is ~25 py4j round trips
+    and the drain loop rebuilt it per stream per ROUND; a drain pins one
+    epoch so this caches across rounds. ``now_key=None`` = wall clock."""
+    now_c = (
+        F.lit(now_key)
+        if now_key is not None
+        else F.unix_timestamp(F.current_timestamp())
+    )
+    _, _, kept_map, nxt_str, backoff = _retry_parts(policy)
+    new_meta = F.col("meta").withField(
+        "extra",
+        F.map_concat(
+            kept_map,
+            F.create_map(
+                F.lit(ATTEMPT_KEY),
+                nxt_str,
+                F.lit(NOT_BEFORE_KEY),
+                (now_c + backoff).cast("string"),
+            ),
+        ),
+    )
+    return (
+        new_meta.alias("meta"),
+        _payload_struct(payload_cols),
+        F.lit(retry_t).alias("topic"),
+    )
+
+
 def retry_decoded(
     failed: DataFrame,
     in_fqn: str,
     policy: RetryPolicy,
     payload_cols: list[str],
-    now: F.Column | None = None,
+    now: F.Column | int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Failed decoded rows → (DECODED retry rows, gave-up rows).
 
@@ -124,14 +166,21 @@ def retry_decoded(
     Output shape is the decoded-stream shape ``(meta, payload, topic)`` —
     an in-process drain loop feeds it straight back into the router
     without the encode→publish→decode JSON round-trip the durable bus
-    path pays (see ``encode_retry`` for that form).
+    path pays (see ``encode_retry`` for that form). ``now`` as an int (or
+    None for wall clock) hits the cached projection; a Column falls back
+    to a per-call build.
     """
-    now = now if now is not None else F.unix_timestamp(F.current_timestamp())
     eligible_cond, gaveup_cond, kept_map, nxt_str, backoff = _retry_parts(
         policy
     )
     eligible = failed.filter(eligible_cond)
     gave_up = failed.filter(gaveup_cond)
+
+    if now is None or isinstance(now, int):
+        cols = _retry_decoded_cols(
+            policy, tuple(payload_cols), retry_topic(in_fqn), now
+        )
+        return eligible.select(*cols), gave_up
 
     new_meta = F.col("meta").withField(
         "extra",
@@ -158,18 +207,23 @@ def encode_retry(
     in_fqn: str,
     policy: RetryPolicy,
     payload_cols: list[str],
-    now: F.Column | None = None,
+    now: F.Column | int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Failed decoded rows → (retry-TOPIC bus rows, gave-up rows): the
     durable form of ``retry_decoded`` — same meta update, envelope
     re-encoded for publishing to the per-stream retry topic."""
     decoded, gave_up = retry_decoded(failed, in_fqn, policy, payload_cols, now)
-    retry_rows = decoded.select(
+    retry_rows = decoded.select(*_encode_retry_cols(retry_topic(in_fqn)))
+    return retry_rows, gave_up
+
+
+@lru_cache(maxsize=256)
+def _encode_retry_cols(retry_t: str) -> tuple:
+    return (
         F.lit(None).cast("binary").alias("key"),
         F.to_json(F.struct("meta", "payload")).cast("binary").alias("value"),
-        F.lit(retry_topic(in_fqn)).alias("topic"),
+        F.lit(retry_t).alias("topic"),
     )
-    return retry_rows, gave_up
 
 
 from functools import lru_cache
