@@ -36,8 +36,10 @@ def replicate(df, id_col: str, factor: int, id_stride: int):
     rep = df.withColumn(
         "_r", F.explode(F.expr(f"sequence(0, {factor - 1})"))
     )
+    # _r is INT; under ANSI mode _r * a ~1e9 stride overflows INT32 —
+    # widen to long before the multiply.
     return rep.withColumn(
-        id_col, F.col(id_col) + F.col("_r") * id_stride
+        id_col, F.col(id_col) + F.col("_r").cast("long") * F.lit(id_stride)
     ).drop("_r")
 
 
@@ -63,13 +65,16 @@ def main() -> None:
     big_ev = replicate(ev, "event_id", factor, 100_000_000)
     n_docs = big_docs.count()
 
-    def run(op_name, df, rows_in):
+    def run(op_name, df, rows_in, collect_rows=False):
         plan = formatted_plan(df)
         plan_ok = (
             "CartesianProduct" not in plan and not has_global_sort(df)
         )
         t0 = time.perf_counter()
-        rows_out = df.count()
+        # count() on a global aggregate PRUNES the aggregate
+        # expressions (Catalyst rewrites to an empty agg) — ops whose
+        # work lives in the aggregates themselves must collect().
+        rows_out = len(df.collect()) if collect_rows else df.count()
         wall = round(time.perf_counter() - t0, 2)
         print(
             json.dumps(
@@ -188,6 +193,7 @@ def ann_profile_smoke(spark, sf_dir: str, factor: int, run) -> None:
             F.max("l_quantity").alias("q_max"),
         ),
         big_li.count(),
+        collect_rows=True,
     )
 
 

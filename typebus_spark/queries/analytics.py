@@ -472,7 +472,16 @@ FROM lineitem
     ),
 )
 def q_profile_table(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
+    from typebus_spark.session import ensure_parallelism
+
+    # The Expand (3 projections/row for the two exact distincts) is the
+    # CPU-dense part; a small parquet file scans as 1-3 partitions, so
+    # spread it first (no-op at scale — see ensure_parallelism).
+    li = ensure_parallelism(
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_shipdate", "l_quantity"
+        )
+    )
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_orderkey").isNull().cast("long")).alias("ok_nulls"),

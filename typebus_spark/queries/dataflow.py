@@ -16,7 +16,10 @@ from typebus_spark.functions.money import cents, money
 from typebus_spark.operators.asof import asof_join
 from typebus_spark.registry import Service
 from typebus_spark.runtime import run_batch
-from typebus_spark.session import pinned_shuffle_partitions
+from typebus_spark.session import (
+    no_data_microbatches_disabled,
+    pinned_shuffle_partitions,
+)
 from typebus_spark.streaming.rpc import correlate_batch
 from typebus_spark.suite import query, t
 
@@ -29,6 +32,14 @@ from typebus_spark.suite import query, t
 # 3.15 s -> 2.37 s on the stream-stream join); a production deployment
 # at 100 TB raises this when starting its own checkpoints.
 STREAM_STATE_PARTITIONS = 4
+
+# Python-stateful operators (applyInPandasWithState) have a different
+# optimum: per-GROUP pandas overhead in the Python worker dominates the
+# state-store open/commit I/O that drives the JVM-stateful choice above,
+# so more partitions buy parallel Python workers. Swept at sf0.1 on the
+# entity fold (1500 keys): 4 → 3.3-3.5 s, 8 → 2.6-3.1 s, 16 → 2.1-3.0 s,
+# 32 → 3.7 s (store-open cost takes over). 16 = cores/2 balances both.
+PANDAS_STATE_PARTITIONS = 16
 
 from functools import lru_cache  # noqa: E402
 
@@ -735,7 +746,7 @@ def q_stream_entity_state(spark, sf_dir):
         stream, "user_id", "ts", ddl, tiebreak=["event_id"]
     )
     name = f"entity_{uuid.uuid4().hex[:8]}"
-    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+    with pinned_shuffle_partitions(spark, PANDAS_STATE_PARTITIONS):
         q = (
             state.writeStream.format("memory")
             .queryName(name)
@@ -810,7 +821,11 @@ def q_stream_stream_join(spark, sf_dir):
         "inner",
     ).select("p_event_id", "user_id", "p_ts", "v_ts")
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+    # Inner join emits on match (batch 0); the trailing no-data batch
+    # only evicts state — skipping it saves ~40% wall (see
+    # session.no_data_microbatches_disabled).
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS), \
+            no_data_microbatches_disabled(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)

@@ -939,8 +939,16 @@ def drain_batches(
             # pulls the round's orig_failed checkpoint (its upstream)
             # into cache, so the dead-letter/trace arms scan cached rows
             ck = df.coalesce(par).localCheckpoint(eager=False)
-            if ck.count() > 0:
-                feedback[fqn] = ck
+            n = ck.count()
+            if n > 0:
+                # The count just measured the queue, so the NEXT round
+                # can be sized to the data even on the uncapped path:
+                # coalesce on top of the materialized checkpoint is a
+                # narrow read of the cached blocks (no recompute), and
+                # every consumer job of the next round then schedules
+                # ~20k-row tasks instead of ``par`` near-empty ones.
+                tgt = max(1, min(par, -(-n // 20_000)))
+                feedback[fqn] = ck.coalesce(tgt) if tgt < par else ck
         if not feedback:
             break
         now += clock_step

@@ -263,6 +263,39 @@ def pinned_shuffle_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+@contextlib.contextmanager
+def no_data_microbatches_disabled(spark: SparkSession):
+    """Skip the trailing zero-input watermark micro-batch (around a
+    streaming ``.start()``) for EAGER-EMIT append operators.
+
+    After the last data batch, Spark runs one extra no-data batch to
+    advance the watermark and evict state. For operators whose output
+    is already complete at that point — INNER stream-stream joins and
+    ``dropDuplicates`` emit on arrival, never on eviction — that batch
+    is pure state-cleanup I/O: measured 1.8 s of addBatch on 0 input
+    rows for the sf0.1 stream-stream join (the eviction scan walks
+    every KeyWithIndex state entry per partition), ~40% of the query's
+    wall. A replay-style availableNow query discards the checkpoint
+    afterwards, so skipping the cleanup batch changes nothing.
+
+    Do NOT use where output DEPENDS on watermark advance or clock
+    ticks: windowed aggregation in append mode (finalized windows are
+    emitted BY the no-data batch), outer/semi stream-stream joins
+    (unmatched rows emit on eviction), and any
+    flatMapGroups/applyInPandasWithState with event-time or processing
+    -time timeouts (timeouts fire in no-data batches). The conf is
+    read per trigger, so scoping it around ``.start()`` +
+    ``awaitTermination`` of a single query is safe.
+    """
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 _STREAM_STAGE_CACHE: dict[tuple[str, float], str] = {}
 
 _TABLE_CACHE: dict[tuple[int, str, str], object] = {}
