@@ -941,13 +941,17 @@ def drain_batches(
             ck = df.coalesce(par).localCheckpoint(eager=False)
             n = ck.count()
             if n > 0:
-                # The count just measured the queue, so the NEXT round
-                # can be sized to the data even on the uncapped path:
-                # coalesce on top of the materialized checkpoint is a
-                # narrow read of the cached blocks (no recompute), and
-                # every consumer job of the next round then schedules
-                # ~20k-row tasks instead of ``par`` near-empty ones.
-                tgt = max(1, min(par, -(-n // 20_000)))
+                # The count just measured the queue, so a NEAR-EMPTY
+                # queue can stop scheduling ``par`` empty tasks in every
+                # consumer job of the next round (coalesce on top of the
+                # materialized checkpoint is a narrow read of the cached
+                # blocks, no recompute). The threshold must stay SMALL:
+                # the queue feeds the next round's full router (decode +
+                # handlers — CPU-dense), so collapsing a real queue
+                # de-parallelizes the round. Measured at sf0.1 (100k-row
+                # queue): ~20k rows/task → 5 tasks cost 1.9 → 5.4 s;
+                # only sub-1k-rows/core queues are safe to shrink.
+                tgt = max(1, min(par, -(-n // 1_000)))
                 feedback[fqn] = ck.coalesce(tgt) if tgt < par else ck
         if not feedback:
             break
