@@ -446,3 +446,48 @@ def test_chunk_tokens_partition_and_coverage_properties(spark):
                 assert chunks[k] == expect, (window, stride, n, k)
             if stride == window:
                 assert sum(chunks.values()) == n  # exact partition
+
+
+def test_heavy_hitters_exact_on_skewed_keys(spark):
+    """heavy_hitters: sketch candidates are a superset, the verify pass
+    makes the output EXACT — equal to the brute-force groupBy/HAVING on
+    a zipfian key set, with false positives filtered out."""
+    from typebus_spark.operators.sketch import heavy_hitters
+
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 60
+        + [(f"cold{i}",) for i in range(540)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    # threshold 1/20 of 1000 rows = 50: hot (400) and warm (60) pass
+    got = {
+        (r.k, r.n) for r in heavy_hitters(df, "k", num=1, den=20).collect()
+    }
+    assert got == {("hot", 400), ("warm", 60)}
+    # tighter threshold drops warm (60 <= 1000/10)
+    got = {
+        (r.k, r.n) for r in heavy_hitters(df, "k", num=1, den=10).collect()
+    }
+    assert got == {("hot", 400)}
+    # empty result when nothing crosses the bar; still exact, no error
+    assert heavy_hitters(df, "k", num=1, den=2).count() == 0
+
+
+def test_heavy_hitters_plan_bounded(spark):
+    """The verify pass scans the keyed stream ONCE and shuffles only
+    the candidate groups — no cartesian, no global sort, no second
+    subtree re-scanning the input."""
+    from typebus_spark.operators.sketch import heavy_hitters
+    from typebus_spark.plans.checks import formatted_plan, has_global_sort
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [(f"t{i}",) for i in range(50)], "k string"
+    )
+    hh = heavy_hitters(df, "k", num=1, den=4)
+    plan = formatted_plan(hh)
+    assert "CartesianProduct" not in plan
+    assert not has_global_sort(hh)
+    # exactly one scan of the input in the verify plan (the sketch pass
+    # already ran at build time)
+    assert plan.count("Scan ") <= 2  # scan + possible reuse line

@@ -289,3 +289,70 @@ def test_streaming_fold_last_ttl_survives_restart(spark, tmp_path):
     push_b(("e1", "2024-01-01 00:05:00", "stale", 9.0))
     run_b()
     assert statuses("e1") == ["created", "stale"]
+
+
+def test_no_data_microbatch_skip_inner_join(spark, tmp_path):
+    """session.no_data_microbatches_disabled: an INNER watermarked
+    stream-stream join emits every match in the data batch, so skipping
+    the trailing no-data (state-eviction) batch must not change output —
+    and must actually skip it (one batch instead of two)."""
+    import uuid
+
+    from typebus_spark.session import no_data_microbatches_disabled
+
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 00:10:00"), (2, "u2", "2024-01-01 00:20:00")],
+        "pid long, user string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:05:00"),  # 5 min before pid 1 -> match
+            ("u2", "2024-01-01 00:19:00"),  # 1 min before pid 2 -> match
+            ("u1", "2024-01-01 00:50:00"),  # after -> no match
+        ],
+        "vuser string, vts string",
+    ).withColumn("vts", F.col("vts").cast("timestamp"))
+
+    def run(skip_no_data):
+        l = _stage_stream(
+            spark, tmp_path, f"ndl_{uuid.uuid4().hex[:6]}", left
+        ).withWatermark("ts", "1 hour")
+        r = _stage_stream(
+            spark, tmp_path, f"ndr_{uuid.uuid4().hex[:6]}", right
+        ).withWatermark("vts", "1 hour")
+        joined = l.join(
+            r,
+            (F.col("user") == F.col("vuser"))
+            & (F.col("vts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("vts") <= F.col("ts")),
+            "inner",
+        ).select("pid", "user", "vts")
+        name = f"nd_{uuid.uuid4().hex[:6]}"
+        import contextlib
+
+        ctx = (
+            no_data_microbatches_disabled(spark)
+            if skip_no_data
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        q.awaitTermination(60)
+        rows = {tuple(r) for r in spark.table(name).collect()}
+        return rows, len(q.recentProgress)
+
+    base_rows, base_batches = run(skip_no_data=False)
+    skip_rows, skip_batches = run(skip_no_data=True)
+    assert skip_rows == base_rows and len(base_rows) == 2
+    assert skip_batches < base_batches  # the eviction batch was skipped
+    # the conf is restored by the context manager
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        == "true"
+    )

@@ -119,6 +119,20 @@ def main() -> None:
         kmv_distinct(big_ev, "event_type", "user_id", k=64),
         big_ev.count(),
     )
+    from typebus_spark.operators.sketch import heavy_hitters
+
+    tok = big_docs.select(
+        F.explode(
+            F.transform(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: F.lower(x),
+            )
+        ).alias("token")
+    )
+    # two linear scans (sketch + verify), shuffle = candidates+1 rows;
+    # wall must grow ~linearly with the token stream, never with the
+    # vocabulary
+    run("heavy_hitter_tokens", heavy_hitters(tok, "token", 1, 500), n_docs)
     n_ev = big_ev.count()
     ann_profile_smoke(spark, sf_dir, factor, run)
     drain_smoke(spark, big_ev, factor, n_ev)

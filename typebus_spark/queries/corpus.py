@@ -482,3 +482,44 @@ def q_robust_outliers(spark, sf_dir):
             (F.col("adev") > 3 * F.col("mad_tokens")).cast("long")
         ).alias("n_outliers"),
     )
+
+
+@query(
+    "q_heavy_hitter_tokens",
+    oracle=f"""
+WITH tok AS (SELECT unnest(list_transform({TOKS}, x -> lower(x))) AS token
+             FROM documents),
+tot AS (SELECT count(*) AS t FROM tok),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
+SELECT token, CAST(n AS BIGINT) AS n
+FROM c, tot WHERE n * 500 > t
+""",
+    doc=(
+        "EXACT heavy-hitter tokens (frequency > 1/500 of the corpus "
+        "token stream) via the two-pass sketch-then-verify shape: a "
+        "single-scan KSP frequent-items sketch (df.stat.freqItems, "
+        "JVM treeAggregate, ~1/support-entry state per partition, no "
+        "key-domain shuffle) proposes a guaranteed-superset candidate "
+        "set; one more scan counts candidates exactly (non-candidates "
+        "collapse to a null group that still feeds the exact total) "
+        "and an integer-arithmetic threshold drops false positives. "
+        "This is the vocabulary/stopword analysis a plain groupBy "
+        "cannot do at 100 TB — there the shuffle state IS the "
+        "vocabulary; here it is len(candidates)+1 rows. Hash-checked "
+        "against the plain GROUP BY / HAVING oracle because the final "
+        "counts are exact."
+    ),
+)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    from typebus_spark.operators.sketch import heavy_hitters
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.transform(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: F.lower(x),
+            )
+        ).alias("token")
+    )
+    return heavy_hitters(tok, "token", num=1, den=500)
