@@ -270,3 +270,29 @@ def test_new_pair_queries_no_cartesian_no_global_sort(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert not has_global_sort(df), name
+
+
+def test_relational4_plan_discipline(spark, sf_dir):
+    # Q2/Q9/Q16/Q20 adaptations: every join must broadcast (the fact
+    # side is the only big input), every filter must reach its scan,
+    # and nothing may global-sort. Q12's date band must hit the
+    # lineitem scan BEFORE the orders join.
+    for name in (
+        "q2_min_cost_supplier",
+        "q9_product_profit",
+        "q12_priority_by_returnflag",
+        "q16_supplier_part_counts",
+        "q20_promotable_suppliers",
+    ):
+        df = _df(spark, sf_dir, name)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert not has_global_sort(df), name
+    pf = " ".join(pushed_filters(_df(spark, sf_dir, "q12_priority_by_returnflag")))
+    assert "l_shipdate" in pf, pf
+    # Q11's scalar threshold is a one-row broadcast over the per-part
+    # aggregate — a nested-loop join against ONE row, never a shuffle.
+    plan = formatted_plan(_df(spark, sf_dir, "q11_important_parts"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

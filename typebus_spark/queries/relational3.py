@@ -1,8 +1,9 @@
 """Relational inventory, part 3 — the remaining TPC-H query shapes the
-star schema supports (no ``partsupp``/``l_commitdate``/``l_shipmode``
-columns exist in the driver tables, so Q2/Q9/Q11/Q12/Q16/Q20 are
-out of reach and Q4/Q8/Q14/Q17/Q21/Q22 are adapted to the available
-columns; adaptations are noted per query).
+star schema supports directly (no ``partsupp``/``l_commitdate``/
+``l_shipmode`` columns exist in the driver tables, so Q4/Q8/Q14/Q17/
+Q21/Q22 are adapted to the available columns here, and Q2/Q9/Q11/Q12/
+Q16/Q20 — which need a partsupp stand-in — live in
+``relational4.py``; adaptations are noted per query).
 
 Like ``relational.py``, every query is unmodified Spark built-ins —
 broadcast dims, one fact shuffle, map-side partials, exact integer-cents

@@ -51,6 +51,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from typebus_spark.queries import relational  # noqa: E402,F401
 from typebus_spark.queries import relational2  # noqa: E402,F401
 from typebus_spark.queries import relational3  # noqa: E402,F401
+from typebus_spark.queries import relational4  # noqa: E402,F401
 from typebus_spark.queries import skewq  # noqa: E402,F401
 from typebus_spark.queries import analytics  # noqa: E402,F401
 from typebus_spark.queries import dataflow  # noqa: E402,F401
