@@ -72,3 +72,68 @@ def hash_sample(
     engines, and reruns (re-derivable row set for audits)."""
     thr = int(round(fraction * HASH_BUCKETS))
     return df.filter(hash_bucket(id_col, seed) < thr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    threshold_col: str,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-row Bernoulli IMPORTANCE sampling, deterministic & portable:
+    keep a row iff ``hash_bucket(id) < threshold_col`` where the
+    threshold column holds ``round(keep_probability * HASH_BUCKETS)``.
+
+    Generalizes :func:`hash_sample` from one constant fraction to a
+    per-row keep probability (quality weight, domain rebalancing
+    factor, importance ratio à la DSIR — Xie et al. 2023). Because the
+    coin is the row's own 60-bit md5 bucket, the decision is a pure
+    function of (seed, id): reruns, repartitioning, and other engines
+    reproduce the exact sample — an auditor can re-derive WHY any row
+    was kept or dropped. Pure expression, scan-speed, no shuffle.
+    """
+    return df.filter(hash_bucket(id_col, seed) < F.col(threshold_col))
+
+
+def rebalance_sources(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    seed: int = 7,
+) -> DataFrame:
+    """Uniform domain rebalancing (temperature → 0 mix): downsample
+    each ``group_col`` domain to ~equal expected size — keep
+    probability ``min(1, N / (k·n_g))`` for a domain of ``n_g`` rows
+    among ``k`` domains totalling ``N``.
+
+    The per-domain threshold is derived with ONE exact double division
+    of integer-valued operands (both engines see identical doubles →
+    identical round), then sampling is :func:`weighted_sample` — fully
+    deterministic and engine-replayable. Cost: one tiny per-domain
+    aggregate broadcast back over the scan; the corpus itself is
+    never shuffled. Returns the surviving rows with the per-domain
+    ``sample_thr`` attached.
+    """
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    totals = counts.agg(
+        F.sum("n_before").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+    )
+    thr = counts.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_before",
+        F.least(
+            F.lit(HASH_BUCKETS),
+            F.round(
+                F.lit(float(HASH_BUCKETS))
+                * F.col("_n")
+                / (F.col("_k") * F.col("n_before")),
+                0,
+            ).cast("long"),
+        ).alias("sample_thr"),
+    )
+    return weighted_sample(
+        df.join(F.broadcast(thr), group_col), id_col, "sample_thr", seed
+    )

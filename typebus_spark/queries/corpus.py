@@ -523,3 +523,119 @@ def q_heavy_hitter_tokens(spark, sf_dir):
         ).alias("token")
     )
     return heavy_hitters(tok, "token", num=1, den=500)
+
+
+@query(
+    "q_mix_rebalance_sample",
+    oracle="""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before
+           FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_before) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k FROM c),
+thr AS (SELECT source, n_before,
+               least(10000, CAST(round(10000.0 * n / (k * n_before), 0)
+                                 AS BIGINT)) AS sample_thr
+        FROM c, tot),
+s AS (SELECT d.source, d.doc_id
+      FROM documents d JOIN thr ON d.source = thr.source
+      WHERE (('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 10000) < thr.sample_thr)
+SELECT thr.source, thr.n_before, thr.sample_thr,
+       CAST(count(s.doc_id) AS BIGINT) AS n_after,
+       CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_checksum
+FROM thr LEFT JOIN s ON thr.source = s.source
+GROUP BY 1, 2, 3
+""",
+    doc=(
+        "Deterministic domain-rebalancing resample (the training-mix "
+        "op: downsample over-represented sources to a ~uniform mix, "
+        "keep probability min(1, N/(k*n_source))): per-source keep "
+        "thresholds from one tiny aggregate broadcast back over the "
+        "scan, then per-row Bernoulli sampling on the 60-bit md5 "
+        "bucket — the exact sample is a pure function of (seed, "
+        "doc_id), so reruns/engines/auditors reproduce it row for row "
+        "(operators/sampling.py weighted_sample / rebalance_sources). "
+        "The corpus is never shuffled; result is the per-source "
+        "before/after audit with an id checksum pinning the exact "
+        "surviving row set."
+    ),
+)
+def q_mix_rebalance_sample(spark, sf_dir):
+    from typebus_spark.operators.sampling import rebalance_sources
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = rebalance_sources(docs, "doc_id", "source", seed=7)
+    audit = kept.groupBy("source", "n_before", "sample_thr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+    # domains sampled to zero still appear in the audit (left join)
+    base = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+    )
+    return (
+        base.join(audit.drop("n_before"), "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.col("sample_thr").alias("sample_thr"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
+        )
+    )
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT lower(x) AS w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({TOKS}) AS x FROM documents)
+  GROUP BY 1),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+  FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+  WHERE length(w) >= 2)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 30
+""",
+    doc=(
+        "BPE-trainer pair statistics (the inner loop of byte-pair/"
+        "WordPiece tokenizer induction): corpus-weighted counts of "
+        "adjacent symbol pairs, top-30 merge candidates. The key scale "
+        "property of real BPE trainers is preserved: pairs explode "
+        "over the DISTINCT word vocabulary weighted by word frequency "
+        "— corpus text is scanned once into a (word, freq) aggregate "
+        "(sub-linear vocab growth), and the quadratic-ish character "
+        "work runs on the vocab only. Adjacent pairs come from one "
+        "single-arg transform over a 1..len-1 sequence (JVM codegen, "
+        "no UDF); deterministic (n, pair) tie-break on the top-k."
+    ),
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    from typebus_spark.functions.text import tokens
+    from typebus_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents").select("text"))
+    words = (
+        docs.select(
+            F.explode(F.transform(tokens("text"), F.lower)).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )

@@ -846,6 +846,119 @@ def q_stream_stream_join(spark, sf_dir):
 
 
 @query(
+    "q_stream_outer_join",
+    oracle="""
+WITH cutoff AS (
+  SELECT least(
+           (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+           (SELECT max(ts) FROM events
+            WHERE event_type IN ('view', 'click'))
+         ) - INTERVAL 2 HOUR AS c),
+     p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'
+             AND ts <= (SELECT c FROM cutoff)),
+     v AS (SELECT user_id, ts FROM events
+           WHERE event_type IN ('view', 'click'))
+SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+       CAST(count(v.ts) AS BIGINT) AS n_attributed,
+       min(v.ts) AS first_view_ts, max(v.ts) AS last_view_ts
+FROM p LEFT JOIN v ON p.user_id = v.user_id
+  AND v.ts >= p.ts - INTERVAL 30 MINUTE
+  AND v.ts <= p.ts
+GROUP BY 1, 2, 3
+""",
+    doc=(
+        "STREAM-STREAM LEFT OUTER join with watermarks + a time-range "
+        "condition: like q_stream_stream_join, but purchases with NO "
+        "view/click in the preceding 30 minutes still emit (null-"
+        "extended) — the un-attributed-conversion shape. Outer rows are "
+        "produced by STATE EVICTION: they only emit once the watermark "
+        "passes the purchase's match horizon, which the trailing "
+        "no-data batch drives after the availableNow replay — so this "
+        "query must NOT disable no-data microbatches (its output "
+        "depends on that batch; see CLAUDE.md). Determinism: the global "
+        "watermark stalls at min(side max event time) − 1 h delay, so "
+        "outer rows inside the trailing delay + range window are never "
+        "finalized; BOTH engines therefore drop purchases newer than "
+        "min(max purchase ts, max view ts) − 2 h — strictly beyond "
+        "delay (1 h) + range (30 m), so every surviving purchase is "
+        "provably evicted-or-matched by end of replay. The filter runs "
+        "on the RESULT (batch side + oracle), never on the stream: "
+        "pre-filtering the left stream would cap its own watermark at "
+        "the cutoff and the newest kept rows could never evict — the "
+        "watermark must advance past the data you keep. The cutoff "
+        "literal is resolved from the batch table at plan time (one "
+        "tiny scan job, exempted from bench.py's prepared-plan cache "
+        "by its job detection)."
+    ),
+)
+def q_stream_outer_join(spark, sf_dir):
+    import datetime
+
+    from typebus_spark.session import load_table, stage_events_stream
+
+    row = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+            F.max(
+                F.when(F.col("event_type").isin("view", "click"), F.col("ts"))
+            ).alias("mv"),
+        )
+        .collect()[0]
+    )
+    cutoff = min(row["mp"], row["mv"]) - datetime.timedelta(hours=2)
+    left = stage_events_stream(spark, sf_dir, "soj_left_")
+    right = stage_events_stream(spark, sf_dir, "soj_right_")
+    p = (
+        left.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("ts").cast("timestamp").alias("p_wts"),
+        )
+        .withWatermark("p_wts", "1 hour")
+    )
+    v = (
+        right.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+            F.col("ts").cast("timestamp").alias("v_wts"),
+        )
+        .withWatermark("v_wts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_wts") >= F.col("p_wts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_wts") <= F.col("p_wts")),
+        "left_outer",
+    ).select("p_event_id", "user_id", "p_ts", "v_ts")
+    name = f"soj_{uuid.uuid4().hex[:8]}"
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .filter(F.col("p_ts") <= F.lit(cutoff))
+        .groupBy("p_event_id", "user_id", "p_ts")
+        .agg(
+            F.count("v_ts").cast("long").alias("n_attributed"),
+            F.min("v_ts").alias("first_view_ts"),
+            F.max("v_ts").alias("last_view_ts"),
+        )
+    )
+
+
+@query(
     "q_stream_static_join",
     oracle="""
 SELECT c.c_mktsegment, count(*) AS n_events,
