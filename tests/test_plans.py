@@ -296,3 +296,38 @@ def test_relational4_plan_discipline(spark, sf_dir):
     plan = formatted_plan(_df(spark, sf_dir, "q11_important_parts"))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_filter_is_scan_side(spark, sf_dir):
+    """The Gopher rule gate must stay a projection over the scan — any
+    exchange means a rule stopped being a per-row expression."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_filter_gopher"))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_reservoir_uses_window_group_limit(spark, sf_dir):
+    """Per-group reservoir must plan the rank<=k filter as a
+    WindowGroupLimit (partial top-k before the group shuffle), so the
+    exchange carries O(partitions*k) rows per group, not whole groups."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_reservoir_per_group"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_source_overlap_broadcasts_sizes(spark, sf_dir):
+    """The source-pair overlap joins per-source size aggregates into the
+    pair frame — those must broadcast, and the shingle self-join must be
+    a hash join on the shingle key (never a nested-loop pair blowup)."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_source_overlap"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_perplexity_buckets_window_is_distributed(spark, sf_dir):
+    """Tier ranking must never plan a single-partition global window:
+    the rank window is partitioned by the range-partition id and the
+    offsets ride in as an array literal."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_perplexity_buckets"))
+    assert "hashpartitioning(_pid" in plan, plan
+    assert "rangepartitioning(avg_logprob" in plan, plan

@@ -290,3 +290,141 @@ def bigram_logprob(
             F.sum("lp_u").cast("double") / 1e9 / n.cast("double"), 6
         ).alias("avg_logprob"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Pairwise SOURCE-level shingle overlap — the corpus-composition
+    diagnostic run before mixing: which domains/sources feed the model
+    near-identical material? One row per source pair (a < b) with the
+    distinct-shingle counts, the intersection size, and the exact
+    set-Jaccard.
+
+    Shape: the same inverted shingle index as the dedup family
+    (``distinct_shingles`` — 60-bit md5 keys hashed at the scan), but
+    keyed by SOURCE instead of document: the self-join on the shingle
+    key produces at most |sources-containing-shingle|² rows per
+    shingle, and the final frame is |sources|² — tiny even when the
+    corpus is 100 TB. The per-source size aggregate broadcasts into
+    the pair join.
+    """
+    from typebus_spark.operators.dedup import distinct_shingles
+
+    sh = distinct_shingles(df, group_col, text_col, shingle_n).persist()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("_id").alias("src_a"), "shingle")
+    b = sh.select(F.col("_id").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("_id").alias("src_a"), F.col("_n").alias("n_a"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("_id").alias("src_b"), F.col("_n").alias("n_b"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .filter(jac >= min_jaccard)
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "inter",
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 3,
+    n_range_partitions: int = 32,
+) -> DataFrame:
+    """CCNet-style perplexity tiering (Wenzek et al. 2020): score every
+    document with the corpus bigram LM (``bigram_logprob`` grouped per
+    document) and split the corpus into ``n_buckets`` equal-population
+    tiers by score — bucket 1 ("head") is the most fluent text, the
+    last bucket ("tail") the least; curation keeps head+middle or
+    re-weights tiers when mixing.
+
+    Bucketing is EXACT equal-population (ntile semantics: bucket sizes
+    differ by at most one, larger buckets first) but computed WITHOUT a
+    single-partition global window: the per-doc scores are range-
+    partitioned on (score DESC, id), ranked locally per partition, and
+    shifted by per-partition row-count offsets — the only driver
+    traffic is one count per range partition, and no node ever holds
+    more than one partition's rows. ``floor((rank-1)*n/N)+1`` is
+    algebraically identical to SQL ``ntile(n)`` for strict total
+    orders, so a plain single-window ntile (the oracle form) matches
+    bit-for-bit.
+
+    The score pipeline inherits ``bigram_logprob``'s portability
+    scheme (per-bigram integer nano-units before summation), so tier
+    assignment is engine- and partitioning-invariant away from exact
+    rank ties, which the (score DESC, id) total order removes.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    scored = bigram_logprob(df, id_col, text_col)
+    rb = scored.repartitionByRange(
+        n_range_partitions, F.col("avg_logprob").desc(), F.col(id_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = dict(
+        rb.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    offs, total = [], 0
+    for p in range(n_range_partitions):
+        offs.append(total)
+        total += counts.get(p, 0)
+    if total == 0:
+        return rb.select(
+            F.col(id_col),
+            "n_bigrams",
+            "avg_logprob",
+            F.lit(None).cast("long").alias("bucket"),
+            F.lit(None).cast("string").alias("tier"),
+        )
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col)
+    )
+    rank0 = (
+        F.row_number().over(w_local)
+        + F.element_at(F.lit(offs), F.col("_pid") + 1)
+        - 1
+    ).cast("long")
+    out = (
+        rb.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r0", rank0)
+        # integer DIV keeps the boundary exact at any rank magnitude
+        # (a double divide misrounds once rank*n exceeds 2^53)
+        .withColumn(
+            "bucket",
+            F.expr(f"CAST(_r0 * {n_buckets} DIV {total} AS BIGINT) + 1"),
+        )
+        .select(F.col(id_col), "n_bigrams", "avg_logprob", "bucket")
+    )
+    if n_buckets == 3:
+        tier = F.element_at(
+            F.lit(["head", "middle", "tail"]), F.col("bucket").cast("int")
+        )
+    else:
+        tier = F.concat(F.lit("b"), F.col("bucket"))
+    return out.withColumn("tier", tier)

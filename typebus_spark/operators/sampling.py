@@ -137,3 +137,35 @@ def rebalance_sources(
     return weighted_sample(
         df.join(F.broadcast(thr), group_col), id_col, "sample_thr", seed
     )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic k-row 'reservoir' per group: rank rows inside each
+    group by the md5 of ``seed:id`` (a stable uniform shuffle) and keep
+    the first ``k``. Unlike a true streaming reservoir the selection is
+    a pure function of (seed, id, group membership) — reruns and other
+    engines reproduce the exact sample, and a row's rank only changes
+    if rows HASHED BELOW it enter its group.
+
+    Scale: the rank-then-filter shape is planned as a WindowGroupLimit
+    (per-partition partial top-k before the shuffle), so the exchange
+    carries O(partitions · k) rows per group, not the whole group —
+    the per-group sample of a 100 TB corpus never materializes full
+    groups on one node.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+        id_col,
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -225,3 +225,100 @@ def chunk_tokens(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+GOPHER_THRESHOLDS = {
+    "min_words": 20,
+    "max_words": 80,
+    "min_mean_word_len": 2.5,
+    "max_mean_word_len": 8.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_frac": 0.9,
+    "max_ellipsis_frac": 0.3,
+    "min_alpha_frac": 0.8,
+    "min_stop_hits": 2,
+    "max_dup_ratio": 0.55,
+}
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021, table A1):
+    the canonical pre-training heuristic gate — word-count bounds, mean
+    word length bounds, symbol-to-word ratio (# and ellipses), fraction
+    of bullet-/ellipsis-shaped lines, alphabetic-word fraction, a
+    minimum stop-word count, and a duplicate-token-ratio cap (the
+    single-line analog of Gopher's duplicate-line fractions).
+
+    Emits the measured features plus one 0/1 flag per rule and the
+    conjunction ``keep`` — keeping flags separate lets a curation run
+    report WHICH rule fired per document, not just the survivor set.
+
+    Everything is a Catalyst scan-side expression (no UDF, no shuffle):
+    at 100 TB this runs at parquet-scan speed and composes with the
+    dedup/mixing stages downstream. Thresholds are data-set knobs
+    (``GOPHER_THRESHOLDS``); the defaults discriminate on the synthetic
+    corpus while keeping every rule exercised. Exact integer/IEEE
+    arithmetic only (single divisions of integer-valued operands), so
+    the DuckDB oracle reproduces every flag bit-identically.
+    """
+    g = GOPHER_THRESHOLDS
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    feat = df.selectExpr(
+        f"{id_col}",
+        f"split(trim({text_col}), '\\\\s+') AS _toks",
+        f"split({text_col}, '\\n') AS _lines",
+        f"{text_col} AS _text",
+    ).selectExpr(
+        f"{id_col}",
+        "CAST(size(_toks) AS BIGINT) AS n_words",
+        "aggregate(_toks, 0L, (a, x) -> a + length(x)) AS _len_sum",
+        "CAST(size(_toks) - size(array_distinct(_toks)) AS BIGINT)"
+        " AS _n_dup",
+        f"CAST(size(filter(_toks, x -> lower(x) IN ({stop_list})))"
+        " AS BIGINT) AS stop_hits",
+        "CAST(size(filter(_toks, x -> x rlike '[A-Za-z]')) AS BIGINT)"
+        " AS _n_alpha",
+        "CAST(length(_text) - length(replace(_text, '#', '')) AS BIGINT)"
+        " + CAST((length(_text) - length(replace(_text, '...', '')))"
+        " DIV 3 AS BIGINT) AS _n_sym",
+        "CAST(size(_lines) AS BIGINT) AS _n_lines",
+        "CAST(size(filter(_lines, l -> trim(l) LIKE '-%'"
+        " OR trim(l) LIKE '•%')) AS BIGINT) AS _n_bullet",
+        "CAST(size(filter(_lines, l -> trim(l) LIKE '%...')) AS BIGINT)"
+        " AS _n_ellipsis",
+    )
+    return feat.selectExpr(
+        f"{id_col}",
+        "n_words",
+        "round(CAST(_len_sum AS DOUBLE) / n_words, 4) AS mean_word_len",
+        "round(CAST(_n_dup AS DOUBLE) / n_words, 4) AS dup_ratio",
+        "stop_hits",
+        f"CAST(n_words BETWEEN {g['min_words']} AND {g['max_words']}"
+        " AS BIGINT) AS ok_words",
+        "CAST(CAST(_len_sum AS DOUBLE) / n_words"
+        f" BETWEEN {g['min_mean_word_len']}D AND {g['max_mean_word_len']}D"
+        " AS BIGINT) AS ok_mean_len",
+        "CAST(CAST(_n_sym AS DOUBLE) / n_words"
+        f" <= {g['max_symbol_ratio']}D AS BIGINT) AS ok_symbols",
+        "CAST(CAST(_n_bullet AS DOUBLE) / _n_lines"
+        f" <= {g['max_bullet_frac']}D AND"
+        " CAST(_n_ellipsis AS DOUBLE) / _n_lines"
+        f" <= {g['max_ellipsis_frac']}D AS BIGINT) AS ok_lines",
+        "CAST(CAST(_n_alpha AS DOUBLE) / n_words"
+        f" >= {g['min_alpha_frac']}D AS BIGINT) AS ok_alpha",
+        f"CAST(stop_hits >= {g['min_stop_hits']} AS BIGINT) AS ok_stops",
+        "CAST(CAST(_n_dup AS DOUBLE) / n_words"
+        f" <= {g['max_dup_ratio']}D AS BIGINT) AS ok_dup",
+        f"CAST(n_words BETWEEN {g['min_words']} AND {g['max_words']}"
+        f" AND CAST(_len_sum AS DOUBLE) / n_words"
+        f" BETWEEN {g['min_mean_word_len']}D AND {g['max_mean_word_len']}D"
+        f" AND CAST(_n_sym AS DOUBLE) / n_words <= {g['max_symbol_ratio']}D"
+        f" AND CAST(_n_bullet AS DOUBLE) / _n_lines"
+        f" <= {g['max_bullet_frac']}D"
+        f" AND CAST(_n_ellipsis AS DOUBLE) / _n_lines"
+        f" <= {g['max_ellipsis_frac']}D"
+        f" AND CAST(_n_alpha AS DOUBLE) / n_words >= {g['min_alpha_frac']}D"
+        f" AND stop_hits >= {g['min_stop_hits']}"
+        f" AND CAST(_n_dup AS DOUBLE) / n_words <= {g['max_dup_ratio']}D"
+        " AS BIGINT) AS keep",
+    )

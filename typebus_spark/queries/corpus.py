@@ -8,18 +8,20 @@ import pyspark.sql.functions as F
 
 from typebus_spark.operators.corpus_stats import (
     contamination_report,
+    source_overlap,
     repetition_stats,
     token_entropy,
     top_ngrams,
     vocab_topk,
 )
+from typebus_spark.operators.text_analysis import STOPWORDS, gopher_rules
 from typebus_spark.operators.mixing import (
     pack_sequences,
     stratified_sample,
     token_budget_mix,
 )
-from typebus_spark.operators.sampling import hash_split
-from typebus_spark.queries.text import TOKS, _shingles_sql
+from typebus_spark.operators.sampling import hash_split, reservoir_per_group
+from typebus_spark.queries.text import TOKS, _shingles_sql, _sql_list
 from typebus_spark.suite import query, t
 
 # The 90/5/5 hash split of q_corpus_split, as oracle SQL (same md5
@@ -638,4 +640,193 @@ def q_bpe_pair_counts(spark, sf_dir):
         .agg(F.sum("freq").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), "pair")
         .limit(30)
+    )
+
+
+_GOPHER_FEAT_SQL = f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks,
+                   string_split(text, chr(10)) AS lines, text
+            FROM documents),
+feat AS (SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                (a, b) -> a + b) AS len_sum,
+    CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_dup,
+    CAST(len(list_filter(toks, x -> list_contains({_sql_list(STOPWORDS)},
+                                                  lower(x)))) AS BIGINT)
+      AS stop_hits,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+      AS BIGINT) AS n_alpha,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      + CAST((length(text) - length(replace(text, '...', ''))) // 3
+             AS BIGINT) AS n_sym,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l -> trim(l) LIKE '-%'
+                                     OR trim(l) LIKE '\u2022%'))
+      AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS BIGINT)
+      AS n_ellipsis
+  FROM tt)
+"""
+
+
+def _gopher_oracle() -> str:
+    from typebus_spark.operators.text_analysis import GOPHER_THRESHOLDS as g
+
+    conds = {
+        "ok_words": f"n_words BETWEEN {g['min_words']} AND {g['max_words']}",
+        "ok_mean_len": (
+            f"CAST(len_sum AS DOUBLE) / n_words BETWEEN"
+            f" {g['min_mean_word_len']} AND {g['max_mean_word_len']}"
+        ),
+        "ok_symbols": (
+            f"CAST(n_sym AS DOUBLE) / n_words <= {g['max_symbol_ratio']}"
+        ),
+        "ok_lines": (
+            f"CAST(n_bullet AS DOUBLE) / n_lines <= {g['max_bullet_frac']}"
+            f" AND CAST(n_ellipsis AS DOUBLE) / n_lines"
+            f" <= {g['max_ellipsis_frac']}"
+        ),
+        "ok_alpha": (
+            f"CAST(n_alpha AS DOUBLE) / n_words >= {g['min_alpha_frac']}"
+        ),
+        "ok_stops": f"stop_hits >= {g['min_stop_hits']}",
+        "ok_dup": (
+            f"CAST(n_dup AS DOUBLE) / n_words <= {g['max_dup_ratio']}"
+        ),
+    }
+    flags = ",\n       ".join(
+        f"CAST({c} AS BIGINT) AS {name}" for name, c in conds.items()
+    )
+    keep = " AND ".join(f"({c})" for c in conds.values())
+    return f"""
+{_GOPHER_FEAT_SQL}
+SELECT doc_id, n_words,
+       round(CAST(len_sum AS DOUBLE) / n_words, 4) AS mean_word_len,
+       round(CAST(n_dup AS DOUBLE) / n_words, 4) AS dup_ratio,
+       stop_hits,
+       {flags},
+       CAST({keep} AS BIGINT) AS keep
+FROM feat
+"""
+
+
+@query(
+    "q_filter_gopher",
+    oracle=_gopher_oracle(),
+    doc=(
+        "Gopher-style rule-based quality gate (word-count / mean-word-"
+        "length bounds, symbol & bullet/ellipsis ratios, alpha-word "
+        "fraction, stop-word minimum, duplicate-token cap) with one 0/1 "
+        "flag per rule — pure scan-side Catalyst expressions, exact "
+        "integer/IEEE arithmetic so every flag is oracle-replayable."
+    ),
+)
+def q_filter_gopher(spark, sf_dir):
+    return gopher_rules(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q_reservoir_per_group",
+    oracle="""
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id)
+          AS BIGINT) AS rk
+  FROM documents)
+WHERE rk <= 5
+""",
+    doc=(
+        "Deterministic per-source k-sample: rank by md5(seed:id) inside "
+        "each source, keep first 5. Planned as WindowGroupLimit "
+        "(per-partition partial top-k), so the shuffle carries "
+        "O(partitions*k) rows per group at any corpus size."
+    ),
+)
+def q_reservoir_per_group(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return reservoir_per_group(docs, "doc_id", "source", k=5).select(
+        "source", "doc_id", "rk"
+    )
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+WITH tt AS (SELECT source, {TOKS} AS toks FROM documents),
+ex AS (SELECT source, unnest({_shingles_sql(3)}) AS s FROM tt),
+sh AS (SELECT DISTINCT source,
+              ('0x' || substr(md5(s), 1, 15))::BIGINT AS shingle FROM ex),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM sh GROUP BY source),
+inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.source < b.source GROUP BY 1, 2)
+SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, inter,
+       round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+""",
+    doc=(
+        "Pairwise source-level shingle Jaccard (corpus-composition "
+        "diagnostic): the dedup family's inverted 60-bit shingle index "
+        "keyed by SOURCE — pair cost is collisions-proportional and the "
+        "result is |sources|^2 rows regardless of corpus size."
+    ),
+)
+def q_source_overlap(spark, sf_dir):
+    return source_overlap(
+        t(spark, sf_dir, "documents"), "source", "text", shingle_n=3
+    )
+
+
+@query(
+    "q_perplexity_buckets",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest({_shingles_sql(2)}) AS bg FROM tt),
+uni AS (SELECT unnest(toks) AS w FROM tt),
+ugc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+v AS (SELECT count(DISTINCT w) AS vs FROM uni),
+bgc AS (SELECT bg, count(*) AS c2 FROM ex GROUP BY bg),
+scored AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(c2 + 1 AS DOUBLE)
+                       / CAST(c1 + vs AS DOUBLE)) * 1e9, 0) AS BIGINT)
+           AS lp_u
+  FROM ex
+  JOIN bgc USING (bg)
+  JOIN ugc ON string_split(bg, ' ')[1] = ugc.w
+  CROSS JOIN v),
+docs AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(CAST(sum(lp_u) AS DOUBLE) / 1e9
+               / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams, avg_logprob,
+       CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS BIGINT)
+         AS bucket,
+       CASE ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS tier
+FROM docs
+""",
+    doc=(
+        "CCNet-style perplexity tiering: corpus bigram-LM score per "
+        "document, corpus split into equal-population head/middle/tail "
+        "tiers. Exact ntile semantics computed WITHOUT a single-"
+        "partition window — range partition on (score, id), local rank, "
+        "per-partition offset shift (driver traffic = one count per "
+        "range partition)."
+    ),
+)
+def q_perplexity_buckets(spark, sf_dir):
+    from typebus_spark.operators.corpus_stats import perplexity_buckets
+
+    return perplexity_buckets(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
     )
