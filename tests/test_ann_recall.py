@@ -187,3 +187,70 @@ def test_kmeans_codebook_matches_frozen(spark, sf_dir):
     assert len(live) == len(frozen)
     for lc, fc in zip(live, frozen):
         assert lc == fc  # bit-exact, not approx — the oracle needs ulps
+
+
+def test_pq_rerank_recall_floor(spark, sf_dir):
+    """Two-stage PQ (ADC shortlist -> exact re-rank) recall gate: recall
+    equals the shortlist's containment of the true top-k (survivors are
+    re-scored exactly), so a broken encode/reconstruction collapses it
+    toward shortlist/corpus (~10% here) while the measured value sits
+    near 0.6 on both fixtures."""
+    from typebus_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk_rerank,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    exact = _topk_sets(cosine_topk(q, c, k=K))
+    books = pq_codebooks(
+        e, "embedding", m=8, k_per_sub=16, seed=7,
+        id_col="vec_id", id_prefix=256,
+    )
+    approx = _topk_sets(pq_topk_rerank(q, c, k=K, books=books, shortlist=50))
+    hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.4, f"PQ re-rank recall@{K} = {recall:.2f}"
+
+
+def test_pq_rerank_is_exact_on_survivors(spark, sf_dir):
+    """Re-ranked cos values must equal the exact brute-force cos for
+    every (query, neighbor) the two result sets share — stage 2 scores
+    raw vectors, not reconstructions."""
+    from typebus_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk_rerank,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in cosine_topk(q, c, k=K).collect()
+    }
+    books = pq_codebooks(
+        e, "embedding", m=8, k_per_sub=16, seed=7,
+        id_col="vec_id", id_prefix=256,
+    )
+    approx = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in pq_topk_rerank(q, c, k=K, books=books, shortlist=50).collect()
+    }
+    shared = set(exact) & set(approx)
+    assert shared, "no overlap between exact and PQ results"
+    for key in shared:
+        assert exact[key] == approx[key], (key, exact[key], approx[key])

@@ -331,3 +331,15 @@ def test_perplexity_buckets_window_is_distributed(spark, sf_dir):
     plan = formatted_plan(_df(spark, sf_dir, "q_perplexity_buckets"))
     assert "hashpartitioning(_pid" in plan, plan
     assert "rangepartitioning(avg_logprob" in plan, plan
+
+
+def test_pq_rerank_plan_discipline(spark, sf_dir):
+    """Two-stage PQ: the re-rank join must broadcast the shortlist into
+    the raw-vector scan (BroadcastHashJoin, never a sort-merge over the
+    corpus), and the final top-k must keep the WindowGroupLimit partial
+    so the per-query shuffle carries O(partitions*k) rows."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_knn_pq"))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -653,3 +653,145 @@ def q_embedding_random_projection(spark, sf_dir):
         for i, p in enumerate(_rp_planes())
     ]
     return e.select("vec_id", "label", *cols)
+
+
+PQ_M = 8  # subspaces (64 dims -> 8-dim sub-vectors)
+PQ_K = 16  # centroids per subspace -> 4 bits each = 64x compression
+PQ_SEED = 7
+PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
+
+_L2SQ = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+    "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (p, q) -> p + q)"
+)
+_NSQ = (
+    "list_reduce(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)"
+)
+
+
+def _pq_oracle() -> str:
+    """Replay the ENTIRE two-stage PQ pipeline in DuckDB: md5-prefix
+    anchor pick → per-subspace slice codebooks → argmin-by-L2² codes
+    (ordered fold, index tie-break — the exact arithmetic of
+    operators.similarity._pq_code_sql) → reconstruction by sub-centroid
+    concat → ADC cosine shortlist → exact-cosine re-rank of the
+    shortlist. The reconstructed norm is grouped per-subspace (sqrt of
+    the SUM of the per-subspace folds) on BOTH sides, matching the
+    Spark plan's literal ‖c‖² lookups bit-for-bit."""
+    dsub = 64 // PQ_M
+    cen = _PREFIX_CEN_CTES.format(
+        seed=PQ_SEED, prefix=IVF_PREFIX, n_cen=PQ_K
+    )
+    parts = [
+        cen,
+        "corp AS (SELECT vec_id AS cid, embedding AS v FROM embeddings)",
+    ]
+    for j in range(PQ_M):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        l2 = _L2SQ.format(a=f"corp.v[{lo}:{hi}]", b="s.sv")
+        parts.append(
+            f"""sub{j} AS (SELECT c, cv[{lo}:{hi}] AS sv FROM cen),
+code{j} AS (SELECT cid, c AS c{j} FROM (
+  SELECT corp.cid, s.c,
+         row_number() OVER (PARTITION BY corp.cid
+                            ORDER BY {l2} ASC, s.c) AS rnk
+  FROM corp CROSS JOIN sub{j} s) WHERE rnk = 1)"""
+        )
+    nsqs = " + ".join(
+        _NSQ.format(a=f"s{j}.sv") for j in range(PQ_M)
+    )
+    concat_sv = " || ".join(f"s{j}.sv" for j in range(PQ_M))
+    code_joins = " ".join(
+        f"JOIN code{j} USING (cid)" for j in range(1, PQ_M)
+    )
+    sub_joins = " ".join(
+        f"JOIN sub{j} s{j} ON s{j}.c = c{j}" for j in range(PQ_M)
+    )
+    dot_q_cv = _DOT.format(a="qs.qv", b="enc.cv")
+    dot_q_v = _DOT.format(a="q2.qv", b="raw.v")
+    return f"""
+WITH {",".join(parts)},
+enc AS (
+  SELECT code0.cid, {concat_sv} AS cv, sqrt({nsqs}) AS cn
+  FROM code0 {code_joins} {sub_joins}),
+qs AS (SELECT vec_id AS qid, embedding AS qv,
+              {_NORM.format(a='embedding')} AS qn
+       FROM embeddings WHERE vec_id < {N_QUERIES}),
+adc AS (
+  SELECT qs.qid, enc.cid,
+         round({dot_q_cv} / (qs.qn * enc.cn), 6) AS cos
+  FROM qs CROSS JOIN enc WHERE qs.qid <> enc.cid),
+sl AS (SELECT qid, cid FROM (
+         SELECT qid, cid,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rank
+         FROM adc) WHERE rank <= {PQ_SHORTLIST}),
+raw AS (SELECT vec_id AS cid, embedding AS v,
+               {_NORM.format(a='embedding')} AS nn
+        FROM embeddings),
+rescored AS (
+  SELECT sl.qid, sl.cid,
+         round({dot_q_v} / (q2.qn * raw.nn), 6) AS cos
+  FROM sl JOIN raw USING (cid) JOIN qs q2 USING (qid)),
+r AS (SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rank
+      FROM rescored)
+SELECT qid AS query_id, cid AS neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+FROM r WHERE rank <= {K}
+"""
+
+
+@query(
+    "q_knn_pq",
+    oracle=_pq_oracle(),
+    doc=(
+        "Two-stage product-quantization ANN (FAISS IndexPQ + re-rank): "
+        f"corpus encoded as {PQ_M} sub-centroid codes ({PQ_K} centroids/"
+        "subspace — 4 bits each, a 64x vector compression), ADC cosine "
+        f"over reconstructions shortlists {PQ_SHORTLIST} candidates per "
+        "query, exact cosine re-ranks ONLY the shortlist. Codebooks are "
+        "plan literals, encode is a pure scan projection, the "
+        "reconstructed norm is a literal lookup — the whole approximate "
+        "pipeline is hash-checked because anchors, folds, and "
+        "tie-breaks replay identically in SQL."
+    ),
+)
+def q_knn_pq(spark, sf_dir):
+    from typebus_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk_rerank,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(
+        e,
+        "embedding",
+        m=PQ_M,
+        k_per_sub=PQ_K,
+        seed=PQ_SEED,
+        id_col="vec_id",
+        id_prefix=IVF_PREFIX,
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = pq_topk_rerank(
+        q,
+        e.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("corpus_vec"),
+        ),
+        k=K,
+        books=books,
+        shortlist=PQ_SHORTLIST,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "cos",
+    )
