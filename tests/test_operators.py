@@ -491,3 +491,16 @@ def test_heavy_hitters_plan_bounded(spark):
     # exactly one scan of the input in the verify plan (the sketch pass
     # already ran at build time)
     assert plan.count("Scan ") <= 2  # scan + possible reuse line
+
+
+def test_bpe_train_merges_hand_example(spark):
+    """Tiny hand-computed corpus: words aa(x3), ab(x2). Round 1 merges
+    'a a' (weight 3); round 2's only remaining pair is 'a b' (weight 2);
+    round 3 finds no pairs and the trainer stops early."""
+    from typebus_spark.operators.text_analysis import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [("aa ab aa",), ("ab aa",)], schema="text string"
+    )
+    merges = bpe_train_merges(df, "text", n_merges=4)
+    assert merges == [(1, "a a", 3), (2, "a b", 2)]

@@ -343,3 +343,15 @@ def test_pq_rerank_plan_discipline(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_curated_mix_plan_discipline(spark, sf_dir):
+    """The curation pipeline's doc_id joins (gate x tiers, audit
+    base x kept) must be hash joins, never a CartesianProduct. The
+    plan's BroadcastNestedLoopJoins are the 1-row vocab-size scalar
+    broadcasts inside bigram_logprob (deliberate); a data-sized
+    nested-loop would instead show as a Cross over two scans, which the
+    per-family pins (gopher/perplexity) already exclude."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_pipeline_curated_mix"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan

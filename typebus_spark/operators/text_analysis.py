@@ -322,3 +322,76 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         f" AND CAST(_n_dup AS DOUBLE) / n_words <= {g['max_dup_ratio']}D"
         " AS BIGINT) AS keep",
     )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, n_merges: int = 4
+) -> list[tuple[int, str, int]]:
+    """Iterative BPE merge learning (the full trainer loop whose single
+    inner step is ``q_bpe_pair_counts``): learn ``n_merges`` merges,
+    each round re-tokenizing the vocabulary with the merges so far.
+
+    Returns ``[(round, pair, merged_count), ...]`` — the merge table a
+    tokenizer ships with.
+
+    Scale shape (the real-BPE-trainer trick): the corpus is scanned
+    ONCE into a ``(word, freq)`` vocabulary aggregate; every round runs
+    on the (persisted) vocab only — sub-linear in corpus size — as one
+    weighted pair aggregate + a global top-1 (TakeOrdered, no global
+    sort), so exactly ONE row reaches the driver per round. Merges are
+    applied by literal string replace over a double-space symbol
+    encoding ('  h  e  l  l  o  '): every boundary carries two spaces,
+    a match consumes one per side and the replacement restores it, so
+    left-to-right non-overlapping replace is EXACTLY leftmost-first BPE
+    merge application — and both Spark and DuckDB replace() share that
+    semantic, which is what makes the whole iterative trainer
+    oracle-replayable (verified: identical char-split, replace, and
+    sequence behavior on both engines).
+    """
+    from pyspark import StorageLevel
+
+    from typebus_spark.functions.text import tokens as _tokens
+    from typebus_spark.session import ensure_parallelism
+
+    words = (
+        ensure_parallelism(df.select(F.col(text_col).alias("text")))
+        .select(F.explode(F.transform(_tokens("text"), F.lower)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    vocab = words.selectExpr(
+        "freq",
+        "concat('  ', concat_ws('  ', split(w, '')), '  ') AS s",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    merges: list[tuple[int, str, int]] = []
+    sym_expr = "s"
+    for r in range(n_merges):
+        syms = f"split(trim({sym_expr}), ' +')"
+        top = (
+            vocab.selectExpr("freq", f"{syms} AS syms")
+            .filter("size(syms) >= 2")
+            .selectExpr(
+                "freq",
+                "explode(transform(sequence(1, size(syms) - 1), "
+                "i -> concat(element_at(syms, i), ' ', "
+                "element_at(syms, i + 1)))) AS pair",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        left, right = pair.split(" ")
+        merges.append((r + 1, pair, n))
+        # literal-escape via repr-ish quoting: symbols never contain
+        # quotes (whitespace-split words), so simple '' quoting is safe
+        pat = f"' {left}  {right} '"
+        rep = f"' {left}{right} '"
+        sym_expr = f"replace({sym_expr}, {pat}, {rep})"
+    return merges

@@ -670,10 +670,13 @@ feat AS (SELECT doc_id,
 """
 
 
-def _gopher_oracle() -> str:
+def _gopher_conds() -> dict[str, str]:
+    """Per-rule SQL conditions over the ``feat`` CTE of
+    ``_GOPHER_FEAT_SQL`` — shared by the standalone gate oracle and the
+    curated-mix pipeline oracle."""
     from typebus_spark.operators.text_analysis import GOPHER_THRESHOLDS as g
 
-    conds = {
+    return {
         "ok_words": f"n_words BETWEEN {g['min_words']} AND {g['max_words']}",
         "ok_mean_len": (
             f"CAST(len_sum AS DOUBLE) / n_words BETWEEN"
@@ -695,6 +698,10 @@ def _gopher_oracle() -> str:
             f"CAST(n_dup AS DOUBLE) / n_words <= {g['max_dup_ratio']}"
         ),
     }
+
+
+def _gopher_oracle() -> str:
+    conds = _gopher_conds()
     flags = ",\n       ".join(
         f"CAST({c} AS BIGINT) AS {name}" for name, c in conds.items()
     )
@@ -784,34 +791,47 @@ def q_source_overlap(spark, sf_dir):
     )
 
 
-@query(
-    "q_perplexity_buckets",
-    oracle=f"""
-WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-ex AS (SELECT doc_id, unnest({_shingles_sql(2)}) AS bg FROM tt),
-uni AS (SELECT unnest(toks) AS w FROM tt),
-ugc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
-v AS (SELECT count(DISTINCT w) AS vs FROM uni),
-bgc AS (SELECT bg, count(*) AS c2 FROM ex GROUP BY bg),
-scored AS (
+def _pplx_ctes(p: str = "") -> str:
+    """The bigram-LM document-scoring CTE chain (ends at ``{p}docs``:
+    doc_id, n_bigrams, avg_logprob), name-prefixable so it composes
+    with other CTE blocks (the curated-mix pipeline joins it against
+    the Gopher feature block, whose names would otherwise collide)."""
+    return f"""{p}tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+{p}ex AS (SELECT doc_id, unnest({_shingles_sql(2)}) AS bg FROM {p}tt),
+{p}uni AS (SELECT unnest(toks) AS w FROM {p}tt),
+{p}ugc AS (SELECT w, count(*) AS c1 FROM {p}uni GROUP BY w),
+{p}v AS (SELECT count(DISTINCT w) AS vs FROM {p}uni),
+{p}bgc AS (SELECT bg, count(*) AS c2 FROM {p}ex GROUP BY bg),
+{p}scored AS (
   SELECT doc_id,
          CAST(round(ln(CAST(c2 + 1 AS DOUBLE)
                        / CAST(c1 + vs AS DOUBLE)) * 1e9, 0) AS BIGINT)
            AS lp_u
-  FROM ex
-  JOIN bgc USING (bg)
-  JOIN ugc ON string_split(bg, ' ')[1] = ugc.w
-  CROSS JOIN v),
-docs AS (
+  FROM {p}ex
+  JOIN {p}bgc USING (bg)
+  JOIN {p}ugc ON string_split(bg, ' ')[1] = {p}ugc.w
+  CROSS JOIN {p}v),
+{p}docs AS (
   SELECT doc_id, count(*) AS n_bigrams,
          round(CAST(sum(lp_u) AS DOUBLE) / 1e9
                / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
-  FROM scored GROUP BY doc_id)
+  FROM {p}scored GROUP BY doc_id)"""
+
+
+_PPLX_TIER_CASE = (
+    "CASE ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) "
+    "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+)
+
+
+@query(
+    "q_perplexity_buckets",
+    oracle=f"""
+WITH {_pplx_ctes()}
 SELECT doc_id, n_bigrams, avg_logprob,
        CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS BIGINT)
          AS bucket,
-       CASE ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)
-            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+       {_PPLX_TIER_CASE}
          AS tier
 FROM docs
 """,
@@ -829,4 +849,169 @@ def q_perplexity_buckets(spark, sf_dir):
 
     return perplexity_buckets(
         t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+N_BPE_MERGES = 4
+
+
+def _bpe_train_oracle(n_merges: int = N_BPE_MERGES) -> str:
+    """Replay the FULL iterative BPE trainer in DuckDB: vocab aggregate
+    → per-round weighted pair counts → top-1 merge (n DESC, pair ASC)
+    → double-space literal replace (leftmost-first semantics, verified
+    identical to Spark's replace) → next round. Each round's merge is
+    pulled into the next round's replace via scalar subqueries."""
+    parts = [
+        f"""words AS (
+  SELECT lower(x) AS w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({TOKS}) AS x FROM documents) GROUP BY 1),
+v0 AS (SELECT freq,
+              '  ' || array_to_string(string_split(w, ''), '  ') || '  '
+                AS s
+       FROM words WHERE length(w) >= 2)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""p{r} AS (
+  SELECT t.syms[i] || ' ' || t.syms[i + 1] AS pair, t.freq
+  FROM (SELECT freq, string_split_regex(trim(s), ' +') AS syms
+        FROM v{r}) t,
+       unnest(generate_series(1, len(t.syms) - 1)) AS g(i)
+  WHERE len(t.syms) >= 2),
+m{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+         FROM p{r} GROUP BY pair ORDER BY n DESC, pair LIMIT 1)"""
+        )
+        if r + 1 < n_merges:
+            lft = f"string_split((SELECT pair FROM m{r}), ' ')[1]"
+            rgt = f"string_split((SELECT pair FROM m{r}), ' ')[2]"
+            parts.append(
+                f"""v{r + 1} AS (
+  SELECT freq,
+         replace(s, ' ' || {lft} || '  ' || {rgt} || ' ',
+                 ' ' || {lft} || {rgt} || ' ') AS s
+  FROM v{r})"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS round, pair, n FROM m{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@query(
+    "q_bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    doc=(
+        "Iterative BPE tokenizer training (the full merge-learning "
+        f"loop, {N_BPE_MERGES} rounds): corpus scanned ONCE into a "
+        "(word, freq) vocab, each round counts weighted adjacent-symbol "
+        "pairs over the persisted vocab and applies the argmax merge "
+        "via a double-space literal replace whose left-to-right "
+        "semantics equal leftmost-first BPE on both engines — ONE row "
+        "reaches the driver per round, so the trainer is iterative-"
+        "distributed like the Lloyd codebook, and the whole loop is "
+        "hash-checked."
+    ),
+)
+def q_bpe_train_merges(spark, sf_dir):
+    from typebus_spark.operators.text_analysis import bpe_train_merges
+
+    merges = bpe_train_merges(
+        t(spark, sf_dir, "documents"), "text", n_merges=N_BPE_MERGES
+    )
+    return spark.createDataFrame(
+        merges, schema="round long, pair string, n long"
+    )
+
+
+_MIX_RATES = {"head": 10_000, "middle": 5_000, "tail": 1_000}
+_MIX_SEED = 13
+_MIX_RATE_CASE = (
+    "CASE tier WHEN 'head' THEN 10000 WHEN 'middle' THEN 5000 "
+    "ELSE 1000 END"
+)
+
+
+def _curated_mix_oracle() -> str:
+    keep = " AND ".join(f"({c})" for c in _gopher_conds().values())
+    bucket = _BUCKET_SQL.format(seed=_MIX_SEED)
+    return f"""
+{_GOPHER_FEAT_SQL},
+{_pplx_ctes('px_')},
+gk AS (SELECT doc_id, n_words FROM feat WHERE {keep}),
+tiers AS (SELECT doc_id, {_PPLX_TIER_CASE} AS tier FROM px_docs),
+cand AS (SELECT gk.doc_id, gk.n_words, tiers.tier
+         FROM gk JOIN tiers USING (doc_id)),
+kept AS (SELECT * FROM cand WHERE {bucket} < {_MIX_RATE_CASE}),
+base AS (SELECT tier, CAST(count(*) AS BIGINT) AS n_candidates,
+                CAST(sum(n_words) AS BIGINT) AS cand_words
+         FROM cand GROUP BY tier),
+ka AS (SELECT tier, CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(sum(n_words) AS BIGINT) AS kept_words,
+              CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       FROM kept GROUP BY tier)
+SELECT base.tier, n_candidates, cand_words,
+       COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(kept_words, 0) AS kept_words,
+       COALESCE(id_checksum, 0) AS id_checksum
+FROM base LEFT JOIN ka ON base.tier = ka.tier
+"""
+
+
+@query(
+    "q_pipeline_curated_mix",
+    oracle=_curated_mix_oracle(),
+    doc=(
+        "End-to-end curation recipe (the composition a training-data "
+        "run actually executes): Gopher rule gate -> bigram-LM "
+        "perplexity tiering -> per-tier deterministic importance "
+        "sampling (head 100% / middle 50% / tail 10%, md5-bucket "
+        "Bernoulli so the exact surviving set is engine-replayable) -> "
+        "per-tier audit with token totals and an id checksum pinning "
+        "the surviving rows. Every stage is the already-verified "
+        "operator; the pipeline query proves they compose."
+    ),
+)
+def q_pipeline_curated_mix(spark, sf_dir):
+    from typebus_spark.operators.corpus_stats import perplexity_buckets
+    from typebus_spark.operators.sampling import weighted_sample
+
+    docs = t(spark, sf_dir, "documents")
+    g = (
+        gopher_rules(docs, "doc_id", "text")
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "n_words")
+    )
+    tiers = perplexity_buckets(docs, "doc_id", "text").select(
+        "doc_id", "tier"
+    )
+    cand = g.join(tiers, "doc_id")
+    rate = (
+        F.when(F.col("tier") == "head", _MIX_RATES["head"])
+        .when(F.col("tier") == "middle", _MIX_RATES["middle"])
+        .otherwise(_MIX_RATES["tail"])
+        .cast("long")
+    )
+    kept = weighted_sample(
+        cand.withColumn("sample_thr", rate),
+        "doc_id",
+        "sample_thr",
+        seed=_MIX_SEED,
+    )
+    base = cand.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("n_words").cast("long").alias("cand_words"),
+    )
+    ka = kept.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_words").cast("long").alias("kept_words"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+    return base.join(ka, "tier", "left").select(
+        "tier",
+        "n_candidates",
+        "cand_words",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_words", F.lit(0)).cast("long").alias("kept_words"),
+        F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
     )
