@@ -188,6 +188,24 @@ def ann_profile_smoke(spark, sf_dir: str, factor: int, run) -> None:
         ivf_topk(qs, corpus, 10, cents, nprobe=2),
         n_emb,
     )
+
+    # PQ: codebook from the BASE corpus prefix (constant in corpus
+    # size), ADC over the replicated corpus — linear scan over codes,
+    # re-rank touches only |Q|*shortlist raw vectors.
+    from typebus_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk_rerank,
+    )
+
+    books = pq_codebooks(
+        emb, "embedding", m=8, k_per_sub=16, seed=7,
+        id_col="vec_id", id_prefix=256,
+    )
+    run(
+        "ann_pq_rerank",
+        pq_topk_rerank(qs, corpus, 10, books, shortlist=50),
+        n_emb,
+    )
     big_emb.unpersist()
 
     li = load_table(spark, sf_dir, "lineitem")
