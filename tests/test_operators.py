@@ -504,3 +504,26 @@ def test_bpe_train_merges_hand_example(spark):
     )
     merges = bpe_train_merges(df, "text", n_merges=4)
     assert merges == [(1, "a a", 3), (2, "a b", 2)]
+
+
+def test_dsir_weights_discriminate_target_domain(spark, sf_dir):
+    """Target-domain (src0) documents must score higher importance on
+    average than the rest — the whole point of the LM ratio. Exact
+    BIGINT weights make the comparison noise-free."""
+    import pyspark.sql.functions as F
+
+    from typebus_spark.operators.corpus_stats import dsir_logweights
+    from typebus_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_logweights(
+        docs, "doc_id", "text", target_filter=(F.col("source") == "src0")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    rows = (
+        w.withColumn("is_t", (F.col("source") == "src0").cast("long"))
+        .groupBy("is_t")
+        .agg((F.sum("logweight") / F.sum("n_toks")).alias("per_tok"))
+        .collect()
+    )
+    per_tok = {int(r["is_t"]): float(r["per_tok"]) for r in rows}
+    assert per_tok[1] > per_tok[0], per_tok

@@ -355,3 +355,13 @@ def test_curated_mix_plan_discipline(spark, sf_dir):
     plan = formatted_plan(_df(spark, sf_dir, "q_pipeline_curated_mix"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_dsir_lm_joins_broadcast(spark, sf_dir):
+    """The two bounded LM frames (bucket counts, ratio) must broadcast
+    back over the token scan — a sort-merge there would shuffle the
+    whole exploded corpus on the bucket key."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_dsir_weights"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -428,3 +428,85 @@ def perplexity_buckets(
     else:
         tier = F.concat(F.lit("b"), F.col("bucket"))
     return out.withColumn("tier", tier)
+
+
+def dsir_logweights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter,
+    n_buckets: int = 1024,
+    seed: int = 5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how target-like it is under hashed-unigram bag-of-words
+    LMs — ``log w(x) = Σ_tok [ln p_target(bucket) − ln p_raw(bucket)]``
+    with add-1 smoothing over ``n_buckets`` md5 token buckets.
+    ``target_filter`` is a boolean Column selecting the target domain
+    (rows matching it define p_target; the WHOLE corpus defines p_raw).
+
+    Returns ``(id, n_toks, logweight)`` — logweight in exact 1e-9 units
+    (BIGINT): each per-token ln ratio is fixed to integer nano-units
+    BEFORE the per-document sum, so engine ulp drift in ``ln`` is
+    absorbed twelve orders below any selection threshold and the ranking
+    is over exact integers (the bigram_logprob portability scheme).
+
+    Scale shape: the two LMs are ``n_buckets``-row aggregates (bounded,
+    broadcast back as a join); the corpus is scanned once into a token
+    explode + one doc-key aggregate. Downstream selection composes with
+    ``operators.sampling.weighted_sample`` (threshold from the weight)
+    — no global sort, no driver data.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_filter.alias("_is_t"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("tok"),
+    ).withColumn(
+        "b",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets,
+    )
+    # one pass builds BOTH models: raw = all rows, target = flagged rows
+    lm = toks.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_r"),
+        F.sum(F.col("_is_t").cast("long")).cast("long").alias("c_t"),
+    )
+    tot = lm.agg(
+        F.sum("c_r").cast("long").alias("n_r"),
+        F.sum("c_t").cast("long").alias("n_t"),
+    )
+    # ln p_t(b) - ln p_r(b), add-1 smoothed, fixed to nano-units per
+    # BUCKET (a pure function of the exact integer counts, so both
+    # engines quantize identical doubles)
+    ratio = lm.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("c_t") + 1).cast("double")
+                    / (F.col("n_t") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("c_r") + 1).cast("double")
+                    / (F.col("n_r") + n_buckets).cast("double")
+                )
+            )
+            * 1e9,
+            0,
+        )
+        .cast("long")
+        .alias("lr_u"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("lr_u").cast("long").alias("logweight"),
+        )
+    )

@@ -1015,3 +1015,61 @@ def q_pipeline_curated_mix(spark, sf_dir):
         F.coalesce("kept_words", F.lit(0)).cast("long").alias("kept_words"),
         F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
     )
+
+
+_DSIR_BUCKETS = 1024
+_DSIR_SEED = 5
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, (source = 'src0') AS is_t,
+         (('0x' || substr(md5('{_DSIR_SEED}:' || t.tok), 1, 15))::BIGINT
+          % {_DSIR_BUCKETS}) AS b
+  FROM (SELECT doc_id, source,
+               unnest(list_transform({TOKS}, x -> lower(x))) AS tok
+        FROM documents) t),
+lm AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+              CAST(sum(CAST(is_t AS BIGINT)) AS BIGINT) AS c_t
+       FROM tok GROUP BY b),
+tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+               CAST(sum(c_t) AS BIGINT) AS n_t FROM lm),
+ratio AS (
+  SELECT b,
+         CAST(round((ln(CAST(c_t + 1 AS DOUBLE)
+                        / CAST(n_t + {_DSIR_BUCKETS} AS DOUBLE))
+                     - ln(CAST(c_r + 1 AS DOUBLE)
+                          / CAST(n_r + {_DSIR_BUCKETS} AS DOUBLE))) * 1e9,
+                    0) AS BIGINT) AS lr_u
+  FROM lm CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(lr_u) AS BIGINT) AS logweight
+FROM tok JOIN ratio USING (b)
+GROUP BY doc_id
+""",
+    doc=(
+        "DSIR importance weights (Xie et al. 2023): per-document "
+        "log p_target/p_raw under add-1-smoothed hashed-unigram LMs "
+        "(target = the src0 domain, raw = whole corpus) — the "
+        "data-selection score that targets a quality domain when "
+        "resampling a raw 100 TB crawl. Both LMs are bounded "
+        f"{_DSIR_BUCKETS}-bucket aggregates broadcast back over one "
+        "token scan; per-token ln ratios are fixed to integer "
+        "nano-units before the per-doc sum so the weights are exact "
+        "BIGINTs — engine-portable and safely rankable."
+    ),
+)
+def q_dsir_weights(spark, sf_dir):
+    from typebus_spark.operators.corpus_stats import dsir_logweights
+
+    docs = t(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs,
+        "doc_id",
+        "text",
+        target_filter=(F.col("source") == "src0"),
+        n_buckets=_DSIR_BUCKETS,
+        seed=_DSIR_SEED,
+    )
