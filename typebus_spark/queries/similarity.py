@@ -795,3 +795,91 @@ def q_knn_pq(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         "cos",
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Brute-force and IVF top-k both replay in SQL (their standalone
+    oracles); recall@k is the per-query overlap — the evaluation
+    harness itself is hash-checked, so an index regression shows up as
+    a VALUE change, not just a failing local test."""
+    brute = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+s AS (SELECT qid, cid,
+             round({_DOT.format(a='qv', b='cv')}
+                   / ({_NORM.format(a='qv')} * {_NORM.format(a='cv')}), 6)
+               AS cos
+      FROM q, c WHERE qid <> cid),
+r AS (SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+               AS rank
+      FROM s)
+SELECT qid AS query_id, cid AS neighbor_id FROM r WHERE rank <= {K}
+"""
+    return f"""
+WITH b AS ({brute}),
+a AS ({_ivf_oracle()}),
+hits AS (
+  SELECT b.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS hits
+  FROM b LEFT JOIN a
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id)
+SELECT query_id, CAST({K} AS BIGINT) AS k, hits,
+       round(CAST(hits AS DOUBLE) / {K}, 4) AS recall
+FROM hits
+"""
+
+
+@query(
+    "q_ann_recall",
+    oracle=_ann_recall_oracle(),
+    doc=(
+        "ANN evaluation harness as a query: recall@k of the IVF index "
+        "against the exact brute-force top-k, per query — both sides "
+        "replay in SQL (deterministic prefix centroids), so index "
+        "quality is itself a hash-checked VALUE and a bucketing "
+        "regression changes the answer instead of hiding behind a "
+        "rows-only check. The join is (query_id, neighbor_id) "
+        "equi-join over two k-bounded frames — trivially small at any "
+        "corpus size."
+    ),
+)
+def q_ann_recall(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    brute = cosine_topk(q, c, k=K).select("query_id", "neighbor_id")
+    centroids = train_centroids(
+        e,
+        "embedding",
+        n_centroids=IVF_N_CEN,
+        seed=IVF_SEED,
+        id_col="vec_id",
+        id_prefix=IVF_PREFIX,
+    )
+    approx = ivf_topk(q, c, k=K, centroids=centroids, nprobe=IVF_NPROBE).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = (
+        brute.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("an").cast("long").alias("hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(K).cast("long").alias("k"),
+        "hits",
+        F.round(F.col("hits").cast("double") / K, 4).alias("recall"),
+    )
