@@ -527,3 +527,56 @@ def test_dsir_weights_discriminate_target_domain(spark, sf_dir):
     )
     per_tok = {int(r["is_t"]): float(r["per_tok"]) for r in rows}
     assert per_tok[1] > per_tok[0], per_tok
+
+
+def test_bpe_train_merges_quote_safe(spark):
+    """Corpus words containing quotes/backslashes must not break the
+    merge-application plan (the learned symbols splice in as F.lit
+    VALUES, never as SQL-literal text)."""
+    from typebus_spark.operators.text_analysis import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [("don't don't can't",), ("don't o'clock a\\b a\\b",)],
+        schema="text string",
+    )
+    merges = bpe_train_merges(df, "text", n_merges=3)
+    assert merges and merges[0][1] == "' t", merges
+
+
+def test_bpe_merge_counts_non_increasing(spark, sf_dir):
+    """Each round takes the GLOBAL max pair count, and a merge can only
+    create pairs bounded by its constituents' counts — so the learned
+    counts are non-increasing (the standard BPE trainer invariant; a
+    broken re-tokenization between rounds violates it)."""
+    from typebus_spark.operators.text_analysis import bpe_train_merges
+    from typebus_spark.session import load_table
+
+    merges = bpe_train_merges(
+        load_table(spark, sf_dir, "documents"), "text", n_merges=4
+    )
+    counts = [n for _, _, n in merges]
+    assert counts == sorted(counts, reverse=True), merges
+
+
+def test_reservoir_stable_under_repartition(spark, sf_dir):
+    """The per-group reservoir must be a pure function of (seed, id,
+    group) — the same sample regardless of input partitioning."""
+    from typebus_spark.operators.sampling import reservoir_per_group
+    from typebus_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = {
+        (r.source, r.doc_id)
+        for r in reservoir_per_group(docs, "doc_id", "source", k=5).collect()
+    }
+    b = {
+        (r.source, r.doc_id)
+        for r in reservoir_per_group(
+            docs.repartition(17, "doc_id"), "doc_id", "source", k=5
+        ).collect()
+    }
+    assert a == b
+    per_group: dict = {}
+    for src, _ in a:
+        per_group[src] = per_group.get(src, 0) + 1
+    assert all(v <= 5 for v in per_group.values()), per_group

@@ -366,11 +366,10 @@ def bpe_train_merges(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     merges: list[tuple[int, str, int]] = []
-    sym_expr = "s"
+    cur = F.col("s")
     for r in range(n_merges):
-        syms = f"split(trim({sym_expr}), ' +')"
         top = (
-            vocab.selectExpr("freq", f"{syms} AS syms")
+            vocab.select("freq", F.split(F.trim(cur), " +").alias("syms"))
             .filter("size(syms) >= 2")
             .selectExpr(
                 "freq",
@@ -389,9 +388,10 @@ def bpe_train_merges(
         pair, n = top[0]["pair"], int(top[0]["n"])
         left, right = pair.split(" ")
         merges.append((r + 1, pair, n))
-        # literal-escape via repr-ish quoting: symbols never contain
-        # quotes (whitespace-split words), so simple '' quoting is safe
-        pat = f"' {left}  {right} '"
-        rep = f"' {left}{right} '"
-        sym_expr = f"replace({sym_expr}, {pat}, {rep})"
+        # the learned symbols splice in as F.lit VALUES (py4j-safe), not
+        # SQL-literal text — a quote or backslash inside a corpus word
+        # can't break the plan the way an f-string into F.expr would
+        cur = F.replace(
+            cur, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+        )
     return merges
