@@ -114,6 +114,17 @@ def rebalance_sources(
     never shuffled. Returns the surviving rows with the per-domain
     ``sample_thr`` attached.
     """
+    thr = rebalance_thresholds(df, group_col)
+    return weighted_sample(
+        df.join(F.broadcast(thr), group_col), id_col, "sample_thr", seed
+    )
+
+
+def rebalance_thresholds(df: DataFrame, group_col: str) -> DataFrame:
+    """The ``(group, n_before, sample_thr)`` frame behind
+    :func:`rebalance_sources` — exposed so audits can report EVERY
+    group's threshold, including groups the sample empties (deriving
+    the threshold from surviving rows would drop those)."""
     counts = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_before")
     )
@@ -121,7 +132,7 @@ def rebalance_sources(
         F.sum("n_before").cast("long").alias("_n"),
         F.count(F.lit(1)).cast("long").alias("_k"),
     )
-    thr = counts.crossJoin(F.broadcast(totals)).select(
+    return counts.crossJoin(F.broadcast(totals)).select(
         group_col,
         "n_before",
         F.least(
@@ -133,9 +144,6 @@ def rebalance_sources(
                 0,
             ).cast("long"),
         ).alias("sample_thr"),
-    )
-    return weighted_sample(
-        df.join(F.broadcast(thr), group_col), id_col, "sample_thr", seed
     )
 
 

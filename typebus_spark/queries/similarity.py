@@ -883,3 +883,94 @@ def q_ann_recall(spark, sf_dir):
         "hits",
         F.round(F.col("hits").cast("double") / K, 4).alias("recall"),
     )
+
+
+def _topic_balance_oracle() -> str:
+    """Frozen-KMeans topic assignment (the _kmeans_cen_ctes replay —
+    same trainer params as q_knn_ivf_kmeans, so the same frozen
+    codebook) + the q_mix_rebalance_sample audit math keyed by topic."""
+    dot_v_cv = _DOT.format(a="corp.v", b="cen.cv")
+    return f"""
+WITH {_kmeans_cen_ctes()},
+corp AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+assign AS (
+  SELECT corp.cid, cen.c,
+         row_number() OVER (PARTITION BY corp.cid
+                            ORDER BY {dot_v_cv} DESC, cen.c) AS rnk
+  FROM corp CROSS JOIN cen),
+topics AS (SELECT cid, CAST(c AS BIGINT) AS topic FROM assign
+           WHERE rnk = 1),
+cnt AS (SELECT topic, CAST(count(*) AS BIGINT) AS n_before
+        FROM topics GROUP BY topic),
+tot AS (SELECT CAST(sum(n_before) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k FROM cnt),
+thr AS (SELECT topic, n_before,
+               least(10000, CAST(round(10000.0 * n / (k * n_before), 0)
+                                 AS BIGINT)) AS sample_thr
+        FROM cnt, tot),
+s AS (SELECT t.topic, t.cid
+      FROM topics t JOIN thr USING (topic)
+      WHERE (('0x' || substr(md5('7:' || CAST(t.cid AS VARCHAR)), 1, 15))
+               ::BIGINT % 10000) < thr.sample_thr)
+SELECT thr.topic, thr.n_before, thr.sample_thr,
+       CAST(count(s.cid) AS BIGINT) AS n_after,
+       CAST(coalesce(sum(s.cid), 0) AS BIGINT) AS id_checksum
+FROM thr LEFT JOIN s ON thr.topic = s.topic
+GROUP BY 1, 2, 3
+"""
+
+
+@query(
+    "q_topic_balance",
+    oracle=_topic_balance_oracle(),
+    doc=(
+        "Embedding-topic-balanced resampling (cluster-based mix "
+        "curation): every vector is assigned to its nearest "
+        "KMeans-trained topic centroid (scan-side literal argmax — the "
+        "codebook broadcasts with the plan), over-represented topics "
+        "are downsampled to a ~uniform mix with the deterministic "
+        "md5-Bernoulli scheme, and the per-topic before/after audit "
+        "pins the exact surviving set. Hash-checked end to end: the "
+        "oracle replays the FROZEN bit-reproducible pyspark.ml "
+        "codebook (tools/freeze_ivf_codebook.py) plus the exact "
+        "rebalance arithmetic."
+    ),
+)
+def q_topic_balance(spark, sf_dir):
+    from typebus_spark.operators.sampling import (
+        rebalance_thresholds,
+        weighted_sample,
+    )
+    from typebus_spark.operators.similarity import (
+        _nearest_centroid,
+        train_centroids_kmeans,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = train_centroids_kmeans(
+        e, "embedding", n_centroids=IVF_N_CEN, seed=IVF_SEED
+    )
+    topics = e.select(
+        "vec_id",
+        _nearest_centroid("embedding", cents).cast("long").alias("topic"),
+    )
+    # audit joins FROM the thresholds frame so topics the sample
+    # empties still report their threshold (the oracle's LEFT JOIN)
+    thr = rebalance_thresholds(topics, "topic")
+    kept = weighted_sample(
+        topics.join(F.broadcast(thr.select("topic", "sample_thr")), "topic"),
+        "vec_id",
+        "sample_thr",
+        seed=7,
+    )
+    audit = kept.groupBy("topic").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum("vec_id").cast("long").alias("id_checksum"),
+    )
+    return thr.join(audit, "topic", "left").select(
+        "topic",
+        "n_before",
+        "sample_thr",
+        F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+        F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
+    )
