@@ -5,18 +5,27 @@ same operators the inventory queries exercise:
 
 Stages (each one the operator a 100 TB pipeline would run, at toy SF):
   1. quality filter        (operators.text_analysis.quality_score)
+  1b. Gopher rule gate     (operators.text_analysis.gopher_rules)
   2. model-based filter    (operators.text_analysis.linear_classifier)
+  2b. DSIR importance      (operators.corpus_stats.dsir_logweights)
   3. PII/term redaction    (functions.text.redact)
   4. exact dedup           (operators.dedup.exact_dedup)
   5. near-dup removal      (operators.dedup.minhash_lsh_pairs)
   6. duplicate clustering  (operators.clustering.connected_components)
   7. span-level cleanup    (operators.dedup.dedup_spans)
+  7b. perplexity tiering   (operators.corpus_stats.perplexity_buckets
+                            + per-tier importance sampling)
   8. leakage-safe split    (clusters + operators.sampling.hash_split —
                             near-dup families never straddle splits)
   9. sequence packing      (operators.mixing.pack_sequences)
   9b. overlapping chunking (operators.text_analysis.chunk_tokens)
- 10. embedding side: int8 quantization + SemDeDup
-     (functions.vector.int8_quantize, operators.dedup.semdedup)
+  9c. tokenizer induction  (operators.text_analysis.bpe_train_merges
+                            on the train split)
+ 10. embedding side: int8 quantization + SemDeDup + topic-balanced
+     resampling + two-stage PQ ANN
+     (functions.vector.int8_quantize, operators.dedup.semdedup,
+      operators.sampling.rebalance_thresholds,
+      operators.similarity.pq_topk_rerank)
 """
 
 from __future__ import annotations
@@ -62,6 +71,15 @@ def main() -> None:
     )
     docs = docs.join(q.select("doc_id"), "doc_id")
 
+    # 1b: Gopher rule gate — keep survivors, report which rules fire
+    from typebus_spark.operators.text_analysis import gopher_rules
+
+    flags = gopher_rules(docs, "doc_id", "text")
+    n_rule_drops = flags.filter(F.col("keep") == 0).count()
+    docs = docs.join(
+        flags.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+
     # 2: model-based gate (distilled linear head, weights as literals)
     toks = F.split(F.trim("text"), r"\s+")
     logit = linear_classifier(
@@ -72,6 +90,14 @@ def main() -> None:
         bias=-1.2,
     )
     docs = docs.filter(logit >= -2.0)
+
+    # 2b: DSIR importance weights toward the src0 target domain —
+    # exact BIGINT nano-unit weights, rankable/thresholdable downstream
+    from typebus_spark.operators.corpus_stats import dsir_logweights
+
+    dsir = dsir_logweights(
+        docs, "doc_id", "text", target_filter=(F.col("source") == "src0")
+    )
 
     # 3: scrub
     red, n_red = redact("text", [r"\bspark\b"])
@@ -100,6 +126,23 @@ def main() -> None:
         "doc_id",
     )
 
+    # 7b: perplexity tiering + per-tier curated sampling (head kept,
+    # middle halved, tail decimated — the CCNet-style recipe)
+    from typebus_spark.operators.corpus_stats import perplexity_buckets
+    from typebus_spark.operators.sampling import weighted_sample
+
+    tiers = perplexity_buckets(docs, "doc_id", "text")
+    rate = (
+        F.when(F.col("tier") == "head", 10000)
+        .when(F.col("tier") == "middle", 5000)
+        .otherwise(1000)
+        .cast("long")
+    )
+    curated = weighted_sample(
+        tiers.withColumn("sample_thr", rate), "doc_id", "sample_thr", seed=13
+    ).select("doc_id")
+    docs = docs.join(curated, "doc_id")
+
     # 8-9: LEAKAGE-SAFE deterministic split (key on the near-dup
     # family, not the doc — no duplicate family straddles train/test),
     # then pack the train split
@@ -114,6 +157,12 @@ def main() -> None:
         "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
     )
     packed = pack_sequences(train, "doc_id", "n_tokens", max_tokens=512)
+
+    # 9c: tokenizer induction on the train split — the merge table a
+    # production tokenizer ships with (one driver row per round)
+    from typebus_spark.operators.text_analysis import bpe_train_merges
+
+    merges = bpe_train_merges(train, "text", n_merges=3)
 
     # 9b: retrieval-side prep — overlapping token-window chunks of the
     # clean corpus (RAG indexing / eval slices)
@@ -140,6 +189,39 @@ def main() -> None:
     sd = semdedup(emb, "vec_id", "embedding", cen, threshold=0.3)
     kept_vec = sd.agg(F.sum("n_kept")).collect()[0][0]
 
+    # 10b: topic-balanced embedding resample + PQ ANN over survivors
+    from typebus_spark.operators.sampling import (
+        rebalance_thresholds,
+        weighted_sample as _wsample,
+    )
+    from typebus_spark.operators.similarity import (
+        _nearest_centroid,
+        pq_codebooks,
+        pq_topk_rerank,
+    )
+
+    topics = emb.select(
+        "vec_id", _nearest_centroid("embedding", cen).cast("long").alias("topic")
+    )
+    thr = rebalance_thresholds(topics, "topic")
+    balanced = _wsample(
+        topics.join(F.broadcast(thr.select("topic", "sample_thr")), "topic"),
+        "vec_id", "sample_thr", seed=7,
+    )
+    books = pq_codebooks(
+        emb, "embedding", m=8, k_per_sub=16, seed=7,
+        id_col="vec_id", id_prefix=256,
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nn = pq_topk_rerank(
+        queries,
+        emb.select(F.col("vec_id").alias("corpus_id"),
+                   F.col("embedding").alias("corpus_vec")),
+        k=3, books=books, shortlist=25,
+    )
+
     n_clean = docs.count()
     n_seq = (
         packed.groupBy("shard")
@@ -147,10 +229,17 @@ def main() -> None:
         .agg(F.sum(F.col("m") + 1))
         .collect()[0][0]
     )
-    print(f"documents: {n0} raw -> {n_clean} clean")
+    print(f"documents: {n0} raw -> {n_clean} clean"
+          f" ({n_rule_drops} dropped by Gopher rules)")
+    top_dsir = dsir.orderBy(F.col("logweight").desc()).limit(1).collect()[0]
+    print(f"most src0-like doc by DSIR: {top_dsir['doc_id']}"
+          f" (logweight {top_dsir['logweight']})")
+    print(f"BPE merges learned on train: {[p for _, p, _ in merges]}")
     print(f"train sequences packed (512 tok): {n_seq}")
     print(f"retrieval chunks (128/96 overlap): {chunks.count()}")
     print(f"embeddings: {qstats} quantized to int8, {kept_vec} kept after SemDeDup")
+    print(f"topic-balanced sample: {balanced.count()} of {emb.count()} vectors")
+    print(f"PQ ANN (shortlist 25 -> exact top-3): {nn.count()} neighbor rows")
     spark.stop()
 
 
