@@ -365,3 +365,13 @@ def test_dsir_lm_joins_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_topic_balance_plan_discipline(spark, sf_dir):
+    """Topic assignment is a scan-side literal argmax (codebook in the
+    plan); the threshold and sample joins must broadcast — a shuffle of
+    the corpus on the topic key would defeat the scan-speed design."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_topic_balance"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -967,7 +967,9 @@ def q_topic_balance(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_after"),
         F.sum("vec_id").cast("long").alias("id_checksum"),
     )
-    return thr.join(audit, "topic", "left").select(
+    # both sides are n_topics-row aggregates; broadcast explicitly so
+    # the static plan never falls to a sort-merge over two tiny frames
+    return thr.join(F.broadcast(audit), "topic", "left").select(
         "topic",
         "n_before",
         "sample_thr",
