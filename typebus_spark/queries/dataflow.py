@@ -1365,3 +1365,56 @@ def q_asof_forward(spark, sf_dir):
         right_ts="ts",
         direction="forward",
     )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+WITH x AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes']) AS window_start,
+         value
+  FROM events)
+SELECT window_start, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM x GROUP BY 1
+""",
+    doc=(
+        "REAL Structured Streaming SLIDING window: 1-hour windows every "
+        "30 minutes over the replayed event stream (each event lands in "
+        "exactly two overlapping windows), complete-mode memory sink — "
+        "the overlapping-window shape q_stream_hourly's tumbling agg "
+        "cannot express. The oracle replays the epoch-aligned window "
+        "grid via time_bucket (verified identical alignment), exact "
+        "integer-cents money."
+    ),
+)
+def q_stream_sliding(spark, sf_dir):
+    from typebus_spark.session import stage_events_stream
+
+    stream = stage_events_stream(spark, sf_dir, "stream_sliding_")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(cents("value")), 100).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(120)
+    return spark.table(name)
