@@ -189,6 +189,41 @@ def ann_profile_smoke(spark, sf_dir: str, factor: int, run) -> None:
         n_emb,
     )
 
+    # BPE trainer: vocab-bounded — wall is ~flat in corpus size
+    # because every round runs on the (word, freq) aggregate.
+    # DSIR: documented-linear (one token scan; the LMs are bounded
+    # 1024-bucket aggregates).
+    from typebus_spark.operators.corpus_stats import dsir_logweights
+    from typebus_spark.operators.text_analysis import bpe_train_merges
+
+    docs_tbl = load_table(spark, sf_dir, "documents")
+    big_nlp = replicate(docs_tbl, "doc_id", factor, 10_000_000).persist()
+    n_nlp = big_nlp.count()
+    t0 = time.perf_counter()
+    n_merges = len(bpe_train_merges(big_nlp, "text", n_merges=4))
+    print(
+        json.dumps(
+            {
+                "op": "bpe_train_merges",
+                "factor": factor,
+                "rows_in": n_nlp,
+                "rows_out": n_merges,
+                "wall_sec": round(time.perf_counter() - t0, 2),
+                "plan_ok": True,  # vocab-aggregate rounds, TakeOrdered top-1
+            }
+        ),
+        flush=True,
+    )
+    run(
+        "dsir_logweights",
+        dsir_logweights(
+            big_nlp, "doc_id", "text",
+            target_filter=F.col("source") == "src0",
+        ),
+        n_nlp,
+    )
+    big_nlp.unpersist()
+
     # PQ: codebook from the BASE corpus prefix (constant in corpus
     # size), ADC over the replicated corpus — linear scan over codes,
     # re-rank touches only |Q|*shortlist raw vectors.
