@@ -529,6 +529,35 @@ def test_dsir_weights_discriminate_target_domain(spark, sf_dir):
     assert per_tok[1] > per_tok[0], per_tok
 
 
+def test_rebalance_audit_zero_survivor_group(spark):
+    """A group the sample empties must still report its REAL n_before
+    and sample_thr (n_after = id_checksum = 0) — deriving the audit
+    from surviving rows would emit NULL thresholds for zeroed groups
+    and diverge from the DuckDB oracle's threshold CTE (round-7
+    ADVICE). doc_ids 3/6/8/10 hash (seed=7) to buckets 7855/7742/8553/
+    9736, all >= the group's threshold round(10000*5/(2*4)) = 6250, so
+    group 'over' keeps zero rows by construction."""
+    from typebus_spark.operators.sampling import rebalance_audit
+
+    df = spark.createDataFrame(
+        [(3, "over"), (6, "over"), (8, "over"), (10, "over"),
+         (3000, "tiny")],
+        schema="doc_id long, source string",
+    )
+    rows = {
+        r["source"]: r
+        for r in rebalance_audit(df, "doc_id", "source", seed=7).collect()
+    }
+    over = rows["over"]
+    assert over["n_before"] == 4
+    assert over["sample_thr"] == 6250
+    assert over["n_after"] == 0 and over["id_checksum"] == 0
+    # the under-represented group is capped at keep-everything
+    tiny = rows["tiny"]
+    assert tiny["sample_thr"] == 10000
+    assert tiny["n_after"] == 1 and tiny["id_checksum"] == 3000
+
+
 def test_bpe_train_merges_quote_safe(spark):
     """Corpus words containing quotes/backslashes must not break the
     merge-application plan (the learned symbols splice in as F.lit

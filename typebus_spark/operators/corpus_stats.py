@@ -446,11 +446,18 @@ def dsir_logweights(
     ``target_filter`` is a boolean Column selecting the target domain
     (rows matching it define p_target; the WHOLE corpus defines p_raw).
 
-    Returns ``(id, n_toks, logweight)`` — logweight in exact 1e-9 units
-    (BIGINT): each per-token ln ratio is fixed to integer nano-units
-    BEFORE the per-document sum, so engine ulp drift in ``ln`` is
-    absorbed twelve orders below any selection threshold and the ranking
-    is over exact integers (the bigram_logprob portability scheme).
+    Returns ``(id, n_toks, logweight)`` — logweight in exact 1e-6 units
+    (BIGINT): each per-bucket ln ratio is fixed to integer MICRO-units
+    before the per-document sum, so the ranking is over exact integers
+    (the bigram_logprob portability scheme). Micro (not nano) on
+    purpose: the residual portability risk of any quantize-then-sum
+    scheme is a bucket whose ``ln`` result lands within cross-engine
+    ulp drift (~4e-15 in ln units) of a half-unit rounding boundary —
+    flip probability per bucket ≈ drift/grid. At a 1e-9 grid that is
+    ~4e-6/bucket (≈0.4% per 1024-bucket corpus, and one flipped bucket
+    shifts EVERY document containing its tokens); at 1e-6 it is ~4e-9
+    (≈4e-6 per corpus). Resolution 1e-6 per token is still ~5 orders
+    below any DSIR selection threshold.
 
     Scale shape: the two LMs are ``n_buckets``-row aggregates (bounded,
     broadcast back as a join); the corpus is scanned once into a token
@@ -480,9 +487,10 @@ def dsir_logweights(
         F.sum("c_r").cast("long").alias("n_r"),
         F.sum("c_t").cast("long").alias("n_t"),
     )
-    # ln p_t(b) - ln p_r(b), add-1 smoothed, fixed to nano-units per
-    # BUCKET (a pure function of the exact integer counts, so both
-    # engines quantize identical doubles)
+    # ln p_t(b) - ln p_r(b), add-1 smoothed, fixed to MICRO-units per
+    # BUCKET (a pure function of the exact integer counts; the coarse
+    # grid keeps ulp drift ~6 orders away from the rounding boundary —
+    # see the docstring's flip-probability analysis)
     ratio = lm.crossJoin(F.broadcast(tot)).select(
         "b",
         F.round(
@@ -496,7 +504,7 @@ def dsir_logweights(
                     / (F.col("n_r") + n_buckets).cast("double")
                 )
             )
-            * 1e9,
+            * 1e6,
             0,
         )
         .cast("long")

@@ -147,6 +147,44 @@ def rebalance_thresholds(df: DataFrame, group_col: str) -> DataFrame:
     )
 
 
+def rebalance_audit(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-group before/after audit of :func:`rebalance_sources` —
+    ``(group, n_before, sample_thr, n_after, id_checksum)``.
+
+    Built from the THRESHOLD table, not from surviving rows: a group
+    the sample empties still reports its real ``n_before``/
+    ``sample_thr`` with ``n_after = id_checksum = 0`` (deriving the
+    audit from survivors would emit NULL thresholds for zeroed groups
+    and lie about why they vanished). The thresholds are computed once
+    and reused for the sample — one counts pass + one sample pass over
+    ``df``, and the kept aggregate left-joins onto the tiny threshold
+    frame.
+    """
+    thr = rebalance_thresholds(df, group_col)
+    kept = weighted_sample(
+        df.join(F.broadcast(thr.select(group_col, "sample_thr")), group_col),
+        id_col,
+        "sample_thr",
+        seed,
+    )
+    audit = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum(id_col).cast("long").alias("id_checksum"),
+    )
+    return thr.join(audit, group_col, "left").select(
+        group_col,
+        "n_before",
+        "sample_thr",
+        F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+        F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
+    )
+
+
 def reservoir_per_group(
     df: DataFrame,
     id_col: str,

@@ -556,36 +556,19 @@ GROUP BY 1, 2, 3
         "scan, then per-row Bernoulli sampling on the 60-bit md5 "
         "bucket — the exact sample is a pure function of (seed, "
         "doc_id), so reruns/engines/auditors reproduce it row for row "
-        "(operators/sampling.py weighted_sample / rebalance_sources). "
-        "The corpus is never shuffled; result is the per-source "
-        "before/after audit with an id checksum pinning the exact "
-        "surviving row set."
+        "(operators/sampling.py rebalance_audit). The corpus is never "
+        "shuffled; result is the per-source before/after audit with an "
+        "id checksum pinning the exact surviving row set. The audit is "
+        "built from the THRESHOLD table so a source sampled to zero "
+        "still reports its real threshold (n_after = 0), matching the "
+        "oracle's thr CTE."
     ),
 )
 def q_mix_rebalance_sample(spark, sf_dir):
-    from typebus_spark.operators.sampling import rebalance_sources
+    from typebus_spark.operators.sampling import rebalance_audit
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
-    kept = rebalance_sources(docs, "doc_id", "source", seed=7)
-    audit = kept.groupBy("source", "n_before", "sample_thr").agg(
-        F.count(F.lit(1)).cast("long").alias("n_after"),
-        F.sum("doc_id").cast("long").alias("id_checksum"),
-    )
-    # domains sampled to zero still appear in the audit (left join)
-    base = (
-        docs.groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_before"))
-    )
-    return (
-        base.join(audit.drop("n_before"), "source", "left")
-        .select(
-            "source",
-            "n_before",
-            F.col("sample_thr").alias("sample_thr"),
-            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
-            F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
-        )
-    )
+    return rebalance_audit(docs, "doc_id", "source", seed=7)
 
 
 @query(
@@ -1041,7 +1024,7 @@ ratio AS (
          CAST(round((ln(CAST(c_t + 1 AS DOUBLE)
                         / CAST(n_t + {_DSIR_BUCKETS} AS DOUBLE))
                      - ln(CAST(c_r + 1 AS DOUBLE)
-                          / CAST(n_r + {_DSIR_BUCKETS} AS DOUBLE))) * 1e9,
+                          / CAST(n_r + {_DSIR_BUCKETS} AS DOUBLE))) * 1e6,
                     0) AS BIGINT) AS lr_u
   FROM lm CROSS JOIN tot)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
@@ -1056,9 +1039,11 @@ GROUP BY doc_id
         "data-selection score that targets a quality domain when "
         "resampling a raw 100 TB crawl. Both LMs are bounded "
         f"{_DSIR_BUCKETS}-bucket aggregates broadcast back over one "
-        "token scan; per-token ln ratios are fixed to integer "
-        "nano-units before the per-doc sum so the weights are exact "
-        "BIGINTs — engine-portable and safely rankable."
+        "token scan; per-bucket ln ratios are fixed to integer "
+        "MICRO-units before the per-doc sum so the weights are exact "
+        "BIGINTs — engine-portable and safely rankable (the coarse "
+        "grid keeps ln ulp drift ~6 orders from any round boundary; "
+        "see dsir_logweights docstring)."
     ),
 )
 def q_dsir_weights(spark, sf_dir):
