@@ -1,0 +1,145 @@
+"""Pure-stdlib PNG/WAV codec tests (operators/codecs.py) — the REAL
+decode path behind ``decode_media(decoder="real")``.
+
+Strategy mirrors the IVF codebook: fixtures freeze expected outputs as
+literals (_media_fixtures.py) and tests pin live == frozen, so decoder
+drift trips locally before the driver's oracle compare; compliance is
+anchored by an EXTERNALLY produced PNG (libpng blob), not just
+self-round-trips.
+"""
+
+import base64
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
+from typebus_spark.operators.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    real_decode,
+    real_resize,
+)
+
+# 1x1 RGBA PNG written by libpng (well-known blob): red, alpha 0x7f —
+# validates standard compliance independently of our own encoder
+_LIBPNG_1X1 = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQ"
+    "DwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+
+
+def test_decode_external_libpng_blob():
+    d = decode_png(_LIBPNG_1X1)
+    assert (d["width"], d["height"], d["channels"]) == (1, 1, 4)
+    assert d["pixels"] == b"\xff\x00\x00\x7f"
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (6, 4)])
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(color_type, ch, filt):
+    w, h = 5, 4
+    px = bytes((i * 7 + 3) % 256 for i in range(w * h * ch))
+    blob = encode_png(px, w, h, color_type, filters=[filt] * h)
+    d = decode_png(blob)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert d["pixels"] == px
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.sampled_from([0, 2, 6]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_random(w, h, color_type, seed):
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    px = bytes((seed // (i + 1) + i * i) % 256 for i in range(w * h * ch))
+    assert decode_png(encode_png(px, w, h, color_type))["pixels"] == px
+
+
+def test_png_unsupported_variants_named():
+    # 16-bit depth IHDR → NotImplementedError naming the variant
+    blob = bytearray(encode_png(b"\x00" * 4, 2, 2, 0))
+    assert blob[24] == 8  # bit depth byte inside IHDR
+    blob[24] = 16
+    import struct
+    import zlib
+
+    crc = zlib.crc32(bytes(blob[12:29])) & 0xFFFFFFFF
+    blob[29:33] = struct.pack(">I", crc)
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        decode_png(bytes(blob))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF....")
+
+
+def test_wav_roundtrip():
+    samples = [((i * 37) % 512) - 256 for i in range(300)]
+    blob = encode_wav(samples, 8000, 1, 2)
+    d = decode_wav(blob)
+    assert d["sample_rate"] == 8000
+    assert d["n_channels"] == 1
+    assert d["n_samples"] == 300
+    assert d["samples"] == samples
+
+
+def test_wav_stereo_frames_vs_samples():
+    samples = list(range(-100, 100))  # 200 interleaved → 100 frames
+    d = decode_wav(encode_wav(samples, 16000, 2, 2))
+    assert d["n_channels"] == 2
+    assert d["n_samples"] == 100
+    assert d["samples"] == samples
+
+
+def test_real_decode_matches_frozen_fixtures():
+    """Live decoder output == frozen literals for every fixture — the
+    drift tripwire backing the q_multimodal_real_* oracles."""
+    for fx in MEDIA_FIXTURES:
+        blob = base64.b64decode(fx["b64"])
+        d = real_decode(blob, fx["mime"])
+        assert d["width"] == fx["decoded"]["width"], fx["name"]
+        assert d["height"] == fx["decoded"]["height"], fx["name"]
+        assert d["n_frames"] == fx["decoded"]["n_frames"], fx["name"]
+        assert d["features"] == fx["decoded"]["features"], fx["name"]
+        if "resized" in fx:
+            r = real_resize(blob, fx["mime"], 16, 16)
+            assert r["out_w"] == fx["resized"]["out_w"], fx["name"]
+            assert r["out_h"] == fx["resized"]["out_h"], fx["name"]
+            assert r["resized_sha"] == fx["resized"]["resized_sha"], fx["name"]
+
+
+def test_real_resize_fit_is_identity_on_pixels():
+    """An image already inside the box must pass through unresampled:
+    sha == sha256(original pixels || tag)."""
+    import hashlib
+
+    fx = next(f for f in MEDIA_FIXTURES if f["name"] == "png_gray_9x7")
+    blob = base64.b64decode(fx["b64"])
+    px = decode_png(blob)["pixels"]
+    r = real_resize(blob, "image/png", 16, 16)
+    assert (r["out_w"], r["out_h"]) == (9, 7)
+    assert r["resized_sha"] == hashlib.sha256(px + b"|9x7").hexdigest()
+
+
+def test_real_resize_nearest_neighbor_downsample():
+    """2x2 → 1x1 nearest-neighbor keeps the top-left pixel (floor
+    index map oy*h//oh = 0, ox*w//ow = 0)."""
+    import hashlib
+
+    px = bytes([10, 20, 30, 40])
+    blob = encode_png(px, 2, 2, 0)
+    r = real_resize(blob, "image/png", 1, 1)
+    assert (r["out_w"], r["out_h"]) == (1, 1)
+    assert r["resized_sha"] == hashlib.sha256(bytes([10]) + b"|1x1").hexdigest()
+
+
+def test_real_decode_unsupported_mime():
+    with pytest.raises(NotImplementedError, match="video/mp4"):
+        real_decode(b"x", "video/mp4")
+    with pytest.raises(NotImplementedError, match="real resize"):
+        real_resize(b"x", "audio/wav", 16, 16)

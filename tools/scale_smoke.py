@@ -222,6 +222,39 @@ def ann_profile_smoke(spark, sf_dir: str, factor: int, run) -> None:
         ),
         n_nlp,
     )
+
+    # Multimodal REAL decode: per-blob pure-Python codec inside
+    # mapInPandas — cost is strictly rows × per-blob decode (no
+    # shuffle, no state), so wall must grow ~linearly and the Arrow
+    # batch plumbing must hold at factor× the blob count.
+    import base64
+
+    from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
+    from typebus_spark.operators.multimodal import decode_media
+
+    fx_df = spark.createDataFrame(
+        [
+            (i, bytearray(base64.b64decode(fx["b64"])), fx["mime"])
+            for i, fx in enumerate(MEDIA_FIXTURES)
+        ],
+        "k long, blob binary, mime string",
+    )
+    blobs = (
+        big_nlp.select("doc_id", (F.col("doc_id") % 5).alias("k"))
+        .join(F.broadcast(fx_df), "k")
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("blob"), F.col("mime"),
+                F.create_map(F.lit("s"), F.lit("smoke")).alias("meta"),
+            ).alias("media"),
+        )
+    )
+    run(
+        "multimodal_real_decode",
+        decode_media(blobs, "doc_id", decoder="real"),
+        n_nlp,
+    )
     big_nlp.unpersist()
 
     # PQ: codebook from the BASE corpus prefix (constant in corpus

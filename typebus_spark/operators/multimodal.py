@@ -9,10 +9,13 @@ feature-extract, frame-sample) runs as Arrow-batched ``mapInPandas``
 stages so batches stream through executors without materializing a
 partition in memory; partitioning/caller contracts are real and tested.
 
-The actual pixel/sample decode is STUBBED: codec libraries (PIL,
-ffmpeg, librosa) are not in this container. ``decoder=None`` selects a
-deterministic fake (byte-statistics features) so plumbing tests are
-reproducible; pass a real decoder callable in production.
+Decoder selection: ``decoder=None`` → a deterministic fake
+(byte-statistics features) so plumbing tests are reproducible;
+``decoder="real"`` → the pure-stdlib PNG/WAV codecs in
+``operators.codecs`` (zlib inflate + unfilter, RIFF/wave) — real
+pixels/samples, no external libraries; unsupported MIME types degrade
+to per-row ``decode_error`` strings. Any callable ``(blob, mime) ->
+dict`` plugs a production codec (PIL/ffmpeg) into the same seam.
 """
 
 from __future__ import annotations
@@ -89,15 +92,20 @@ def decode_media(
     decode_error string). Per-item decoder exceptions are captured per
     row (C2 never-stop supervision parity), not task-fatal.
 
-    A REAL decoder (PIL/ffmpeg) is not available in this container —
-    raise ``NotImplementedError`` explicitly if the caller requests
-    ``decoder="real"``; the default uses the deterministic fake.
+    ``decoder="real"`` selects the pure-stdlib PNG/WAV codecs
+    (``operators.codecs.real_decode``); unsupported MIME types land in
+    ``decode_error``. The default is the deterministic fake.
+
+    Batch shape: only the codec call itself is per-row (irreducibly —
+    each blob is one opaque byte string); blob/mime extraction and the
+    output frame assembly are pandas column ops over the Arrow batch.
     """
     if decoder == "real":  # type: ignore[comparison-overlap]
-        raise NotImplementedError(
-            "no codec libraries in this environment; pass a decoder callable"
-        )
-    fn = decoder or _fake_decode
+        from typebus_spark.operators.codecs import real_decode
+
+        fn = real_decode
+    else:
+        fn = decoder or _fake_decode
     out_ddl = (
         f"{id_col} long, width int, height int, n_frames int, "
         "features array<double>, decode_error string"
@@ -105,31 +113,32 @@ def decode_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for rec in pdf.to_dict("records"):
-                m = rec["media"]
-                blob = m["blob"] if isinstance(m, dict) else m.blob
-                mime = m["mime"] if isinstance(m, dict) else m.mime
-                row = {id_col: rec[id_col]}
+            media = pdf[media_col]
+            blobs = media.map(
+                lambda m: m["blob"] if isinstance(m, dict) else m.blob
+            )
+            mimes = media.map(
+                lambda m: m["mime"] if isinstance(m, dict) else m.mime
+            )
+            cols: dict[str, list] = {
+                k: [] for k in
+                ("width", "height", "n_frames", "features", "decode_error")
+            }
+            for blob, mime in zip(blobs, mimes):
                 try:
                     d = fn(bytes(blob) if blob is not None else None, mime)
-                    row.update(
-                        width=d["width"],
-                        height=d["height"],
-                        n_frames=d["n_frames"],
-                        features=d["features"],
-                        decode_error=None,
-                    )
+                    cols["width"].append(d["width"])
+                    cols["height"].append(d["height"])
+                    cols["n_frames"].append(d["n_frames"])
+                    cols["features"].append(d["features"])
+                    cols["decode_error"].append(None)
                 except Exception as e:
-                    row.update(
-                        width=None,
-                        height=None,
-                        n_frames=None,
-                        features=None,
-                        decode_error=f"{type(e).__name__}: {e}",
-                    )
-                out.append(row)
-            yield pd.DataFrame(out)
+                    cols["width"].append(None)
+                    cols["height"].append(None)
+                    cols["n_frames"].append(None)
+                    cols["features"].append(None)
+                    cols["decode_error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), **cols})
 
     return df.select(id_col, media_col).mapInPandas(run, schema=out_ddl)
 
@@ -148,58 +157,114 @@ def resize_media(
     would move raw frames through an exchange).
 
     Target dims fit (w, h) into a ``max_w`` × ``max_h`` box preserving
-    aspect ratio with integer floor division (exact, engine-portable);
-    the resampler itself is the stubbed decode path, so the emitted
-    ``resized_sha`` is sha256(blob || '|WxH') — a deterministic stand-in
-    with the real data flow.
+    aspect ratio with integer floor division (exact, engine-portable).
+    With the default stub decoder the emitted ``resized_sha`` is
+    sha256(blob || '|WxH') — a deterministic stand-in with the real
+    data flow; with ``decoder="real"`` the PNG is actually decoded and
+    nearest-neighbor resampled and the sha covers the RESIZED pixel
+    bytes (``operators.codecs.real_resize``).
+
+    Batch shape: the codec call is per-row; the aspect-fit arithmetic
+    runs vectorized (numpy) over the whole Arrow batch and the output
+    frame assembles from column arrays, not per-record dicts.
     """
-    if decoder == "real":  # type: ignore[comparison-overlap]
-        raise NotImplementedError(
-            "no codec libraries in this environment; pass a decoder callable"
-        )
-    fn = decoder or _fake_decode
     out_ddl = (
         f"{id_col} long, width int, height int, out_w int, out_h int, "
         "resized_sha string, resize_error string"
     )
+    real = decoder == "real"  # type: ignore[comparison-overlap]
+    fn = _fake_decode if (real or decoder is None) else decoder
+    cols_out = ("width", "height", "out_w", "out_h", "resized_sha",
+                "resize_error")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if real:
+            from typebus_spark.operators.codecs import real_resize
+
         for pdf in batches:
-            out = []
-            for rec in pdf.to_dict("records"):
-                m = rec["media"]
-                blob = m["blob"] if isinstance(m, dict) else m.blob
-                mime = m["mime"] if isinstance(m, dict) else m.mime
-                row = {id_col: rec[id_col]}
+            media = pdf[media_col]
+            blobs = media.map(
+                lambda m: m["blob"] if isinstance(m, dict) else m.blob
+            )
+            mimes = media.map(
+                lambda m: m["mime"] if isinstance(m, dict) else m.mime
+            )
+            n = len(pdf)
+            if real:
+                # fused decode + true nearest-neighbor resample per row
+                cols: dict[str, list] = {k: [] for k in cols_out}
+                for blob, mime in zip(blobs, mimes):
+                    try:
+                        d = real_resize(
+                            bytes(blob) if blob is not None else None,
+                            mime, max_w, max_h,
+                        )
+                        for k in cols_out[:5]:
+                            cols[k].append(d[k])
+                        cols["resize_error"].append(None)
+                    except Exception as e:
+                        for k in cols_out[:5]:
+                            cols[k].append(None)
+                        cols["resize_error"].append(
+                            f"{type(e).__name__}: {e}"
+                        )
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(), **cols}
+                )
+                continue
+            # stub/custom decoder path: per-row decode, then VECTORIZED
+            # aspect-fit over the batch
+            ws = np.zeros(n, dtype=np.int64)
+            hs = np.zeros(n, dtype=np.int64)
+            errs: list = [None] * n
+            for i, (blob, mime) in enumerate(zip(blobs, mimes)):
                 try:
                     d = fn(bytes(blob) if blob is not None else None, mime)
-                    w, h = d["width"], d["height"]
-                    # aspect-preserving fit: keep only when BOTH axes
-                    # already fit; otherwise scale both by the limiting
-                    # axis's ratio (integer floor, exact cross-engine)
-                    if w <= max_w and h <= max_h:
-                        ow, oh = w, h
-                    elif w * max_h >= h * max_w:  # width-limited
-                        ow = max_w
-                        oh = max(1, h * max_w // w)
-                    else:  # height-limited
-                        oh = max_h
-                        ow = max(1, w * max_h // h)
-                    sha = hashlib.sha256(
-                        bytes(blob) + f"|{ow}x{oh}".encode()
-                    ).hexdigest()
-                    row.update(
-                        width=w, height=h, out_w=ow, out_h=oh,
-                        resized_sha=sha, resize_error=None,
-                    )
+                    ws[i], hs[i] = d["width"], d["height"]
                 except Exception as e:
-                    row.update(
-                        width=None, height=None, out_w=None, out_h=None,
-                        resized_sha=None,
-                        resize_error=f"{type(e).__name__}: {e}",
-                    )
-                out.append(row)
-            yield pd.DataFrame(out)
+                    ws[i], hs[i] = -1, -1
+                    errs[i] = f"{type(e).__name__}: {e}"
+            ok = ws >= 0
+            safe_w = np.where(ok, ws, 1)
+            safe_h = np.where(ok, hs, 1)
+            fits = (safe_w <= max_w) & (safe_h <= max_h)
+            wlim = safe_w * max_h >= safe_h * max_w
+            ow = np.where(
+                fits,
+                safe_w,
+                np.where(
+                    wlim, max_w, np.maximum(1, safe_w * max_h // safe_h)
+                ),
+            )
+            oh = np.where(
+                fits,
+                safe_h,
+                np.where(
+                    wlim, np.maximum(1, safe_h * max_w // safe_w), max_h
+                ),
+            )
+            shas = [
+                hashlib.sha256(
+                    bytes(blob) + f"|{ow[i]}x{oh[i]}".encode()
+                ).hexdigest()
+                if ok[i]
+                else None
+                for i, blob in enumerate(blobs)
+            ]
+            bad = ~ok
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "width": pd.Series(ws, dtype="Int64").mask(bad),
+                    "height": pd.Series(hs, dtype="Int64").mask(bad),
+                    "out_w": pd.Series(ow, dtype="Int64").mask(bad),
+                    "out_h": pd.Series(oh, dtype="Int64").mask(bad),
+                    "resized_sha": shas,
+                    "resize_error": errs,
+                }
+            )
 
     return df.select(id_col, media_col).mapInPandas(run, schema=out_ddl)
 

@@ -370,6 +370,163 @@ def q_multimodal_framesample(spark, sf_dir):
     )
 
 
+def _fixture_media_frame(spark, sf_dir, fxs, mod: int):
+    """(doc_id, media) frame assigning real fixture blobs to documents
+    by ``doc_id % mod`` — the blobs enter the plan as a broadcast
+    literal frame (5 tiny rows), the documents scan stays column-pruned
+    to doc_id."""
+    import base64
+
+    fx_df = spark.createDataFrame(
+        [
+            (i, fx["name"], bytearray(base64.b64decode(fx["b64"])), fx["mime"])
+            for i, fx in enumerate(fxs)
+        ],
+        "k long, name string, blob binary, mime string",
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % mod).alias("k")
+    )
+    return docs.join(F.broadcast(fx_df), "k").select(
+        "doc_id",
+        F.struct(
+            F.col("blob"),
+            F.col("mime"),
+            F.create_map(F.lit("fixture"), F.col("name")).alias("meta"),
+        ).alias("media"),
+    )
+
+
+def _fixture_name_expr(fxs, mod: int) -> F.Column:
+    names = [fx["name"] for fx in fxs]
+    return F.element_at(
+        F.lit(names), (F.col("doc_id") % mod).cast("int") + 1
+    ).alias("name")
+
+
+def _real_decode_oracle() -> str:
+    """VALUES-join oracle from the FROZEN fixture literals
+    (_media_fixtures.py): DuckDB cannot inflate zlib, but because the
+    blobs are fixed fixtures the expected decode IS a literal table —
+    the Spark side still runs the real stdlib decoders on executors,
+    and any codec drift breaks the hash against this frozen record."""
+    from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
+
+    rows = []
+    for i, fx in enumerate(MEDIA_FIXTURES):
+        d = fx["decoded"]
+        feats = ",".join(f"{v:.6f}" for v in d["features"])
+        rows.append(
+            f"({i}, '{fx['name']}', {d['width']}, {d['height']}, "
+            f"{d['n_frames']}, '{feats}')"
+        )
+    values = ",\n    ".join(rows)
+    return f"""
+WITH fx(k, name, width, height, n_frames, feats) AS (VALUES
+    {values})
+SELECT d.doc_id, fx.name,
+       CAST(fx.width AS BIGINT) AS width,
+       CAST(fx.height AS BIGINT) AS height,
+       CAST(fx.n_frames AS BIGINT) AS n_frames,
+       fx.feats AS feats,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM documents d JOIN fx ON d.doc_id % 5 = fx.k
+"""
+
+
+@query(
+    "q_multimodal_real_decode",
+    oracle=_real_decode_oracle(),
+    doc=(
+        "REAL media decode — pure-stdlib PNG (zlib inflate + RFC 2083 "
+        "unfilter, gray/RGB/RGBA) and WAV (RIFF) codecs running inside "
+        "the Arrow-batched mapInPandas stage on executors "
+        "(operators/codecs.py, decoder='real'): five real fixture "
+        "blobs fan out over documents by doc_id %% 5, and actual "
+        "pixel/sample-derived dims + 8-segment feature means are "
+        "hash-checked against the FROZEN fixture record. decode_error "
+        "must be NULL on every row — a codec regression shows up as a "
+        "value, not a crash."
+    ),
+)
+def q_multimodal_real_decode(spark, sf_dir):
+    from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
+    from typebus_spark.operators.multimodal import decode_media
+
+    media = _fixture_media_frame(spark, sf_dir, MEDIA_FIXTURES, 5)
+    decoded = decode_media(media, "doc_id", decoder="real")
+    return decoded.select(
+        "doc_id",
+        _fixture_name_expr(MEDIA_FIXTURES, 5),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("feats"),
+        "decode_error",
+    )
+
+
+def _real_resize_oracle() -> str:
+    from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
+
+    rows = []
+    pngs = [fx for fx in MEDIA_FIXTURES if "resized" in fx]
+    for i, fx in enumerate(pngs):
+        d, r = fx["decoded"], fx["resized"]
+        rows.append(
+            f"({i}, '{fx['name']}', {d['width']}, {d['height']}, "
+            f"{r['out_w']}, {r['out_h']}, '{r['resized_sha']}')"
+        )
+    values = ",\n    ".join(rows)
+    return f"""
+WITH fx(k, name, width, height, out_w, out_h, resized_sha) AS (VALUES
+    {values})
+SELECT d.doc_id, fx.name,
+       CAST(fx.width AS BIGINT) AS width,
+       CAST(fx.height AS BIGINT) AS height,
+       CAST(fx.out_w AS BIGINT) AS out_w,
+       CAST(fx.out_h AS BIGINT) AS out_h,
+       fx.resized_sha,
+       CAST(NULL AS VARCHAR) AS resize_error
+FROM documents d JOIN fx ON d.doc_id % 3 = fx.k
+"""
+
+
+@query(
+    "q_multimodal_real_resize",
+    oracle=_real_resize_oracle(),
+    doc=(
+        "REAL fused decode+resize — the PNG fixtures are actually "
+        "decoded AND nearest-neighbor downsampled into a 16x16 box in "
+        "ONE mapInPandas pass (operators/codecs.real_resize; pixels "
+        "never cross an executor boundary twice), and the sha256 of "
+        "the RESIZED pixel bytes is hash-checked against the frozen "
+        "record — the hash witnesses actual resampling, not just "
+        "target dims. Covers fit-passthrough, width-limited, and "
+        "height-limited aspect cases."
+    ),
+)
+def q_multimodal_real_resize(spark, sf_dir):
+    from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
+    from typebus_spark.operators.multimodal import resize_media
+
+    pngs = [fx for fx in MEDIA_FIXTURES if "resized" in fx]
+    media = _fixture_media_frame(spark, sf_dir, pngs, 3)
+    resized = resize_media(media, "doc_id", max_w=16, max_h=16, decoder="real")
+    return resized.select(
+        "doc_id",
+        _fixture_name_expr(pngs, 3),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("out_w").cast("long").alias("out_w"),
+        F.col("out_h").cast("long").alias("out_h"),
+        "resized_sha",
+        "resize_error",
+    )
+
+
 @query(
     "q_text_redact",
     oracle=r"""
