@@ -53,3 +53,67 @@ def test_stateful_queries_are_detected(spark, sf_dir, name):
         "out of fn() this pin can be updated, but a detection bug here "
         "means the bench plan-cache would skip its real work"
     )
+
+
+def test_rotation_order_synthetic_histories():
+    """_reorder_by_driver_history is load-bearing (it is why round 7's
+    stale-window rotation came back 50/50): pin the pure ordering over
+    synthetic CORRECTNESS histories — never-seen first, regressed
+    second, oldest-green third, newest-green last; ties keep
+    registration order."""
+    from typebus_spark.suite import _rotation_order
+
+    has_oracle = {
+        "q_new": True,        # never driver-checked
+        "q_regressed": True,  # green r2, failed r3 (latest record wins)
+        "q_old_green": True,  # green r1, untouched since
+        "q_fresh": True,      # green r3
+        "q_new2": True,       # never checked — ties broken by position
+    }
+    history = {
+        1: {"q_old_green": {"hash_match": True}},
+        2: {"q_regressed": {"hash_match": True}},
+        3: {
+            "q_regressed": {"hash_match": False, "err": "hash"},
+            "q_fresh": {"hash_match": True},
+        },
+    }
+    order = _rotation_order(has_oracle, history)
+    assert order == ["q_new", "q_regressed", "q_new2", "q_old_green", "q_fresh"]
+
+
+def test_rotation_rows_only_green_requires_still_oracle_less():
+    """A historical rows-only record only counts as green while the
+    query is STILL oracle-less; gaining an oracle re-enters the window
+    (the q_knn_ivf_kmeans round-5 upgrade case)."""
+    from typebus_spark.suite import _rotation_order
+
+    history = {
+        2: {
+            "q_gained_oracle": {"err": "no_oracle", "spark_rows": 10},
+            "q_still_no_oracle": {"err": "no_oracle", "spark_rows": 10},
+        },
+        3: {"q_other": {"hash_match": True}},
+    }
+    order = _rotation_order(
+        {"q_other": True, "q_gained_oracle": True, "q_still_no_oracle": False},
+        history,
+    )
+    # gained-oracle query is unproven again -> front; rows-only green
+    # still counts for the oracle-less one (round 2 < round 3)
+    assert order == ["q_gained_oracle", "q_still_no_oracle", "q_other"]
+
+
+def test_rotation_failure_on_same_round_as_green_resets():
+    """latest_fail >= latest_green zeroes the green (a fix must be
+    RE-proven by a newer green row, not shadowed by an old one)."""
+    from typebus_spark.suite import _rotation_order
+
+    history = {
+        2: {"q_flaky": {"hash_match": True}},
+        3: {"q_flaky": {"hash_match": False}},
+        4: {"q_flaky": {"hash_match": True}},
+    }
+    # newest record is green again -> sorts after a never-green query
+    order = _rotation_order({"q_flaky": True, "q_virgin": True}, history)
+    assert order == ["q_virgin", "q_flaky"]

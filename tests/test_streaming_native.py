@@ -356,3 +356,145 @@ def test_no_data_microbatch_skip_inner_join(spark, tmp_path):
         spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
         == "true"
     )
+
+
+def test_append_window_agg_state_eviction(spark, tmp_path):
+    """State-eviction pin for the append-mode window aggregations
+    (q_stream_*_append): after the availableNow replay + trailing
+    no-data batch, (a) exactly the watermark-closed windows have
+    emitted, each ONCE; (b) the state store holds ONLY the still-open
+    windows (numRowsTotal == open count) — the property that bounds
+    state at 100 TB where the complete-mode variants accumulate
+    history."""
+    import uuid
+
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", 1.0),
+            ("2024-01-01 00:40:00", 2.0),
+            ("2024-01-01 01:15:00", 3.0),
+            ("2024-01-01 02:30:00", 4.0),
+            # advances the final watermark to 04:05 (delay 1 h):
+            # windows [0,1) [1,2) [2,3) end < 04:05 -> closed+evicted;
+            # [5,6) holds this row -> still open, never emits
+            ("2024-01-01 05:05:00", 9.0),
+        ],
+        "ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _stage_stream(
+        spark, tmp_path, f"apev_{uuid.uuid4().hex[:6]}", events
+    ).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    name = f"apev_{uuid.uuid4().hex[:6]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    emitted = {r["ws"]: r["n"] for r in rows}
+    assert emitted == {
+        "2024-01-01 00:00:00": 2,
+        "2024-01-01 01:00:00": 1,
+        "2024-01-01 02:00:00": 1,
+    }
+    assert len(rows) == len(emitted)  # emit-once: no duplicate windows
+    # evicted windows left the store: only the open [05:00,06:00) row
+    state = q.lastProgress["stateOperators"][0]
+    assert state["numRowsTotal"] == 1, state
+
+
+import pytest
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_state_store_provider_parity(spark, tmp_path, provider):
+    """The streaming state machinery EXECUTES (same results) under both
+    state-store providers — HDFSBackedStateStoreProvider (default) and
+    RocksDBStateStoreProvider (the production cluster choice: off-heap/
+    on-disk state, changelog checkpoints). Covers the three stateful
+    shapes: windowed agg (append+eviction), dropDuplicates, and the
+    applyInPandasWithState entity fold."""
+    import uuid
+
+    from typebus_spark.session import state_store_provider
+
+    events = spark.createDataFrame(
+        [
+            ("e1", "2024-01-01 00:10:00", "created", 1.0),
+            ("e1", "2024-01-01 00:40:00", "paid", 2.0),
+            ("e2", "2024-01-01 01:15:00", "created", 3.0),
+            ("e1", "2024-01-01 02:30:00", "shipped", 4.0),
+            ("e3", "2024-01-01 05:05:00", "created", 9.0),
+        ],
+        "id string, ts string, status string, amount double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    stream_dir = f"ssp_{provider}_{uuid.uuid4().hex[:6]}"
+    with state_store_provider(spark, provider):
+        # 1) append-mode windowed agg with eviction
+        s1 = _stage_stream(spark, tmp_path, stream_dir, events)
+        agg = (
+            s1.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("ws"), "n")
+        )
+        n1 = f"sspa_{uuid.uuid4().hex[:6]}"
+        q1 = (
+            agg.writeStream.format("memory").queryName(n1)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q1.awaitTermination(120)
+        got = {r["ws"]: r["n"] for r in spark.table(n1).collect()}
+        assert got == {
+            "2024-01-01 00:00:00": 2,
+            "2024-01-01 01:00:00": 1,
+            "2024-01-01 02:00:00": 1,
+        }
+        if provider == "rocksdb":
+            # the provider actually ran: rocksdb custom metrics present
+            metrics = q1.lastProgress["stateOperators"][0]["customMetrics"]
+            assert any(k.startswith("rocksdb") for k in metrics), metrics
+
+        # 2) streaming dedup
+        s2 = spark.readStream.schema(events.schema).parquet(
+            str(tmp_path / stream_dir)
+        )
+        dd = s2.select("id").dropDuplicates(["id"])
+        n2 = f"sspd_{uuid.uuid4().hex[:6]}"
+        q2 = (
+            dd.writeStream.format("memory").queryName(n2)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q2.awaitTermination(120)
+        assert {r["id"] for r in spark.table(n2).collect()} == {
+            "e1", "e2", "e3",
+        }
+
+        # 3) applyInPandasWithState entity fold
+        s3 = spark.readStream.schema(events.schema).parquet(
+            str(tmp_path / stream_dir)
+        )
+        folded = streaming_fold_last(
+            s3,
+            key_col="id",
+            ts_col="ts",
+            state_ddl="id string, ts timestamp, status string, amount double",
+        )
+        n3 = f"sspf_{uuid.uuid4().hex[:6]}"
+        q3 = (
+            folded.writeStream.format("memory").queryName(n3)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q3.awaitTermination(120)
+        rows = {r["id"]: r for r in spark.table(n3).collect()}
+        assert rows["e1"]["status"] == "shipped"
+        assert rows["e2"]["status"] == "created"
+        assert rows["e3"]["status"] == "created"

@@ -617,6 +617,236 @@ def q_stream_hourly(spark, sf_dir):
     return spark.table(name)
 
 
+def _watermarked_events(spark, sf_dir, prefix, delay="1 hour"):
+    """Event stream with a watermark column + the plan-time cutoff
+    literal for provably-finalized output (the q_stream_outer_join
+    cutoff technique, generalized for append-mode window aggs).
+
+    ``wts`` reinterprets the NTZ event time as a UTC instant
+    (to_utc_timestamp(cast, current_timezone())) — window buckets then
+    align on the wall-clock grid in ANY session timezone, matching the
+    oracle's NTZ date_trunc arithmetic; ``withWatermark`` rejects NTZ
+    directly (CLAUDE.md). The cutoff is the final watermark max(ts) −
+    delay, resolved from the batch table in one tiny plan-time scan
+    (bench.py's job detection exempts such queries from its
+    prepared-plan cache).
+    """
+    import datetime
+
+    from typebus_spark.session import load_table, stage_events_stream
+
+    max_ts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    cutoff = max_ts - datetime.timedelta(hours=1)
+    stream = (
+        stage_events_stream(spark, sf_dir, prefix)
+        .withColumn(
+            "wts",
+            F.expr("to_utc_timestamp(cast(ts as timestamp), current_timezone())"),
+        )
+        .withWatermark("wts", delay)
+    )
+    return stream, cutoff
+
+
+def _ntz(col: str) -> F.Column:
+    """Window-bound instant back to the NTZ wall clock (exact inverse
+    of _watermarked_events' reinterpretation, identity on UTC hosts)."""
+    return F.expr(
+        f"cast(from_utc_timestamp({col}, current_timezone()) as timestamp_ntz)"
+    )
+
+
+_APPEND_DOC_TAIL = (
+    "Output-determinism: append mode only emits state the watermark "
+    "has closed, and the final watermark after an availableNow replay "
+    "is max(ts) − 1 h — so BOTH engines keep only windows whose end is "
+    "STRICTLY before that cutoff (strict < makes the result "
+    "independent of Spark's eviction boundary rule), and the trailing "
+    "no-data microbatch MUST stay enabled (it drives the final "
+    "eviction — CLAUDE.md). State is evicted as windows close "
+    "(tests/test_streaming_native.py pins numRowsTotal == open "
+    "windows), which is what makes this the 100 TB form: state holds "
+    "only the open horizon, never the history the complete-mode "
+    "variant accumulates."
+)
+
+
+@query(
+    "q_stream_hourly_append",
+    oracle="""
+WITH c AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT date_trunc('hour', ts) AS hour_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < (SELECT wm FROM c)
+GROUP BY 1
+""",
+    doc=(
+        "PRODUCTION (append+watermark) form of q_stream_hourly: 1-hour "
+        "tumbling windows with a 1-hour watermark, append-mode memory "
+        "sink — windows emit exactly once when the watermark closes "
+        "them, so the sink is write-once and state stays bounded by "
+        "the open-window horizon. " + _APPEND_DOC_TAIL
+    ),
+)
+def q_stream_hourly_append(spark, sf_dir):
+    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_hourly_ap_")
+    agg = (
+        stream.groupBy(F.window("wts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(cents("value")), 100).alias("total_value"),
+        )
+        .select(
+            _ntz("w.start").alias("hour_start"),
+            _ntz("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"hourly_ap_{uuid.uuid4().hex[:8]}"
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .filter(F.col("window_end") < F.lit(cutoff).cast("timestamp_ntz"))
+        .select("hour_start", "n_events", "total_value")
+    )
+
+
+@query(
+    "q_stream_session_append",
+    oracle="""
+WITH c AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM g GROUP BY user_id, sid
+HAVING max(ts) + INTERVAL 30 MINUTE < (SELECT wm FROM c)
+""",
+    doc=(
+        "PRODUCTION (append+watermark) form of q_stream_session: "
+        "session_window (30 min gap) with a 1-hour watermark in append "
+        "mode — a session emits exactly once, when the watermark passes "
+        "its end (last event + gap), and its state is dropped; the "
+        "oracle's gaps-and-islands replay keeps only sessions whose "
+        "end is strictly closed. " + _APPEND_DOC_TAIL
+    ),
+)
+def q_stream_session_append(spark, sf_dir):
+    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_sess_ap_")
+    agg = (
+        stream.groupBy(
+            F.session_window("wts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(cents("value")), 100).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            _ntz("w.start").alias("session_start"),
+            _ntz("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"sess_ap_{uuid.uuid4().hex[:8]}"
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(120)
+    return spark.table(name).filter(
+        F.col("session_end") < F.lit(cutoff).cast("timestamp_ntz")
+    )
+
+
+@query(
+    "q_stream_sliding_append",
+    oracle="""
+WITH c AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+x AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes']) AS window_start,
+         value
+  FROM events)
+SELECT window_start, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM x
+WHERE window_start + INTERVAL 1 HOUR < (SELECT wm FROM c)
+GROUP BY 1
+""",
+    doc=(
+        "PRODUCTION (append+watermark) form of q_stream_sliding: 1-hour "
+        "windows sliding every 30 minutes with a 1-hour watermark in "
+        "append mode — each overlapping window emits exactly once as "
+        "the watermark closes it. " + _APPEND_DOC_TAIL
+    ),
+)
+def q_stream_sliding_append(spark, sf_dir):
+    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_slide_ap_")
+    agg = (
+        stream.groupBy(F.window("wts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(cents("value")), 100).alias("total_value"),
+        )
+        .select(
+            _ntz("w.start").alias("window_start"),
+            _ntz("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"slide_ap_{uuid.uuid4().hex[:8]}"
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .filter(F.col("window_end") < F.lit(cutoff).cast("timestamp_ntz"))
+        .select("window_start", "n_events", "total_value")
+    )
+
+
 @query(
     "q_stream_dedup",
     oracle="""
@@ -723,7 +953,8 @@ FROM (
     doc=(
         "E1 CUSTOM STATEFUL STREAMING: per-key last-write-wins entity "
         "state via applyInPandasWithState (Arrow-batched, state-store "
-        "backed — RocksDB on clusters) over a replayed event stream. "
+        "backed — RocksDB on clusters, executed under both providers "
+        "in tests/test_streaming_native.py) over a replayed stream. "
         "The availableNow replay lands in one batch, so update-mode "
         "emits exactly the final state per key — hash-checked against "
         "the batch window oracle."

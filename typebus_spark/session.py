@@ -296,6 +296,43 @@ def no_data_microbatches_disabled(spark: SparkSession):
         spark.conf.set(key, old)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def state_store_provider(spark: SparkSession, provider: str):
+    """Pin the streaming state-store provider (around ``.start()``).
+
+    ``provider`` is a full class name or the shorthand ``"rocksdb"`` /
+    ``"hdfs"`` (the in-memory-map default). The provider is read at
+    query start and baked into the checkpoint for the query's lifetime.
+    RocksDB is the 100 TB choice: state lives off-heap/on-disk with
+    changelog checkpointing instead of an executor-heap HashMap, so
+    per-key state survives far beyond executor memory. Executed (not
+    just asserted) by tests/test_streaming_native.py's provider-
+    parameterized family; measured on this host at sf0.1 in BASELINE.md
+    (HDFS-map is faster at bench scale — tiny state, so store open/
+    commit dominates — which is exactly why the default stays HDFS here
+    and RocksDB is the documented cluster override).
+    """
+    full = {
+        "rocksdb": ROCKSDB_PROVIDER,
+        "hdfs": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        ),
+    }.get(provider, provider)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(key, full)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 _STREAM_STAGE_CACHE: dict[tuple[str, float], str] = {}
 
 _TABLE_CACHE: dict[tuple[int, str, str], object] = {}

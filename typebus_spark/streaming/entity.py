@@ -15,7 +15,9 @@ Spark re-expression:
   ``numberOfShards=50``).
 - **Streaming fold**: ``applyInPandasWithState`` keeps per-key state in
   the Spark state store (RocksDB-backed on clusters — bounded, spillable,
-  unlike the reference's in-memory actors).
+  unlike the reference's in-memory actors; EXECUTED under both providers
+  by tests/test_streaming_native.py::test_state_store_provider_parity,
+  perf delta recorded in BASELINE.md).
 - **Lookup (T4)**: request stream ⋈ state snapshot — a stream-static or
   batch equi-join on the entity id; broadcast when the snapshot is small.
 """

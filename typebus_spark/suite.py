@@ -61,6 +61,73 @@ from typebus_spark.queries import text  # noqa: E402,F401
 from typebus_spark.queries import corpus  # noqa: E402,F401
 
 
+def _rotation_order(
+    has_oracle: dict[str, bool], history: dict[int, dict]
+) -> list[str]:
+    """Pure rotation ordering (unit-tested over synthetic histories in
+    tests/test_bench_harness.py): sort query names by the latest round
+    in which each got a GREEN driver row (hash_match, or a clean
+    rows-only record for queries that are STILL oracle-less); a query
+    whose most recent driver record is a FAILURE — or that was never
+    seen — sorts to the front so the window re-proves it. Ties keep
+    registration order (``has_oracle`` insertion order), so the result
+    is fully deterministic given the history.
+
+    ``history`` maps round number → the CORRECTNESS_r{N}.json dict.
+    A historical rows-only green only counts while the query remains
+    oracle-less: once it gains an oracle (e.g. q_knn_ivf_kmeans's
+    frozen-codebook upgrade in round 5), the old record is weaker
+    evidence than the check it now supports, so it re-enters the
+    window.
+    """
+    latest_green: dict[str, int] = {}
+    latest_fail: dict[str, int] = {}
+    for rnd, rows in history.items():
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            green = rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+                and not has_oracle.get(name, False)
+            )
+            bucket = latest_green if green else latest_fail
+            bucket[name] = max(bucket.get(name, 0), rnd)
+
+    pos = {n: i for i, n in enumerate(has_oracle)}
+
+    def key(name: str) -> tuple[int, int]:
+        g = latest_green.get(name, 0)
+        if latest_fail.get(name, 0) >= g:
+            g = 0  # unproven or regressed: back to the front
+        return (g, pos[name])
+
+    return sorted(has_oracle, key=key)
+
+
+def _load_driver_history(root: str) -> dict[int, dict]:
+    """CORRECTNESS_r{N}.json files under ``root`` → {round: records}."""
+    import glob
+    import json
+    import re
+
+    history: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            history[int(m.group(1))] = rows
+    return history
+
+
 def _reorder_by_driver_history() -> None:
     """Rotate the inventory so the driver's correctness window lands on
     the queries with the weakest driver evidence.
@@ -69,58 +136,12 @@ def _reorder_by_driver_history() -> None:
     (observed each round: CORRECTNESS_r{N}.json's key set equals
     inventory positions 1-50 in insertion order). With 100+ queries, a
     static order re-spends the whole window on already-proven entries
-    and the tail never earns a driver row. Instead, sort by the latest
-    round in which each query got a GREEN driver row (hash_match, or a
-    clean rows-only record for oracle-less queries); a query whose most
-    recent driver record is a FAILURE re-enters the front so the fix is
-    re-proven. Ties keep registration order, so the ordering is fully
-    deterministic given the CORRECTNESS_r*.json files present.
+    and the tail never earns a driver row — so order by
+    :func:`_rotation_order` over the recorded driver history.
     """
-    import glob
-    import json
-    import re
-
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest_green: dict[str, int] = {}
-    latest_fail: dict[str, int] = {}
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(path) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        if not isinstance(rows, dict):
-            continue
-        for name, rec in rows.items():
-            if not isinstance(rec, dict):
-                continue
-            # A rows-only green only counts for queries that are STILL
-            # oracle-less: if a query has since gained an oracle (e.g.
-            # q_knn_ivf_kmeans's frozen-codebook upgrade in round 5),
-            # its historical rows-only record is weaker evidence than
-            # the check it now supports, so it re-enters the window.
-            q = QUERIES.get(name)
-            green = rec.get("hash_match") is True or (
-                rec.get("err") == "no_oracle"
-                and rec.get("spark_rows") is not None
-                and (q is None or q.oracle is None)
-            )
-            bucket = latest_green if green else latest_fail
-            bucket[name] = max(bucket.get(name, 0), rnd)
-
-    pos = {n: i for i, n in enumerate(QUERIES)}
-
-    def key(name: str) -> tuple[int, int]:
-        g = latest_green.get(name, 0)
-        if latest_fail.get(name, 0) >= g:
-            g = 0  # unproven or regressed: back to the front
-        return (g, pos[name])
-
-    order = sorted(QUERIES, key=key)
+    has_oracle = {n: q.oracle is not None for n, q in QUERIES.items()}
+    order = _rotation_order(has_oracle, _load_driver_history(root))
     reordered = {n: QUERIES[n] for n in order}
     QUERIES.clear()
     QUERIES.update(reordered)
