@@ -633,11 +633,9 @@ def _watermarked_events(spark, sf_dir, prefix, delay="1 hour"):
     """
     import datetime
 
-    from typebus_spark.session import load_table, stage_events_stream
+    from typebus_spark.session import event_time_bounds, stage_events_stream
 
-    max_ts = (
-        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
-    )
+    max_ts = event_time_bounds(spark, sf_dir)["max_ts"]
     cutoff = max_ts - datetime.timedelta(hours=1)
     stream = (
         stage_events_stream(spark, sf_dir, prefix)
@@ -1126,19 +1124,12 @@ GROUP BY 1, 2, 3
 def q_stream_outer_join(spark, sf_dir):
     import datetime
 
-    from typebus_spark.session import load_table, stage_events_stream
+    from typebus_spark.session import event_time_bounds, stage_events_stream
 
-    row = (
-        load_table(spark, sf_dir, "events")
-        .agg(
-            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
-            F.max(
-                F.when(F.col("event_type").isin("view", "click"), F.col("ts"))
-            ).alias("mv"),
-        )
-        .collect()[0]
-    )
-    cutoff = min(row["mp"], row["mv"]) - datetime.timedelta(hours=2)
+    bounds = event_time_bounds(spark, sf_dir)
+    cutoff = min(
+        bounds["max_purchase_ts"], bounds["max_view_ts"]
+    ) - datetime.timedelta(hours=2)
     left = stage_events_stream(spark, sf_dir, "soj_left_")
     right = stage_events_stream(spark, sf_dir, "soj_right_")
     p = (

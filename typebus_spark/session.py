@@ -333,6 +333,43 @@ def state_store_provider(spark: SparkSession, provider: str):
         spark.conf.set(key, old)
 
 
+_EVENT_BOUNDS_CACHE: dict[tuple, dict] = {}
+
+
+def event_time_bounds(spark: SparkSession, sf_dir: str) -> dict:
+    """Event-time maxima used as watermark-cutoff plan literals by the
+    streaming queries: ``max_ts`` (all events), ``max_purchase_ts``,
+    ``max_view_ts`` (view/click) — ONE tiny aggregate scan, cached per
+    (application, events file mtime). The parquet inputs are immutable,
+    so each streaming query re-collecting its own bound re-bought the
+    same literals; the cache drops that to one job per session/dir.
+    """
+    import pyspark.sql.functions as F
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (spark.sparkContext.applicationId, src, os.path.getmtime(src))
+    got = _EVENT_BOUNDS_CACHE.get(key)
+    if got is None:
+        row = (
+            load_table(spark, sf_dir, "events")
+            .agg(
+                F.max("ts").alias("max_ts"),
+                F.max(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                ).alias("max_purchase_ts"),
+                F.max(
+                    F.when(
+                        F.col("event_type").isin("view", "click"), F.col("ts")
+                    )
+                ).alias("max_view_ts"),
+            )
+            .collect()[0]
+        )
+        got = row.asDict()
+        _EVENT_BOUNDS_CACHE[key] = got
+    return got
+
+
 _STREAM_STAGE_CACHE: dict[tuple[str, float], str] = {}
 
 _TABLE_CACHE: dict[tuple[int, str, str], object] = {}
