@@ -375,3 +375,41 @@ def test_topic_balance_plan_discipline(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_multimodal_real_decode_plan_discipline(spark, sf_dir):
+    """The real-decode query's fixture frame (5 literal blobs) must
+    BROADCAST onto the documents scan — shuffling the corpus on the
+    doc_id%5 key to meet 5 rows would be backwards at 100 TB — and the
+    pixel work must stay in ONE mapInPandas stage (no exchange between
+    decode and projection)."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_multimodal_real_decode"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("MapInPandas (") == 1, plan
+
+
+def test_multimodal_real_resize_plan_discipline(spark, sf_dir):
+    """Fused decode+resize: exactly one mapInPandas stage (pixels never
+    cross an executor boundary twice), fixture join broadcast."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_multimodal_real_resize"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("MapInPandas (") == 1, plan
+
+
+def test_append_streaming_result_filters_are_literal(spark, sf_dir):
+    """The append-mode streaming queries' finalization filters must be
+    resolved PLAN LITERALS (the cutoff is collected once at build time
+    via session.event_time_bounds), not correlated subqueries — the
+    memory-sink result scan stays a trivial local filter."""
+    df = _df(spark, sf_dir, "q_stream_hourly_append")
+    plan = formatted_plan(df)
+    assert "Subquery" not in plan, plan
+    # and the bounds cache means a second build runs no extra agg scan
+    from typebus_spark.session import event_time_bounds
+
+    b1 = event_time_bounds(spark, sf_dir)
+    b2 = event_time_bounds(spark, sf_dir)
+    assert b1 is b2  # same cached dict, no re-collect

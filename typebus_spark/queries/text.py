@@ -384,8 +384,14 @@ def _fixture_media_frame(spark, sf_dir, fxs, mod: int):
         ],
         "k long, name string, blob binary, mime string",
     )
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("doc_id") % mod).alias("k")
+    from typebus_spark.session import ensure_parallelism
+
+    # the downstream pure-Python codec is CPU-bound per row and the
+    # small parquet arrives as 1-2 partitions — spread before decode
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", (F.col("doc_id") % mod).alias("k")
+        )
     )
     return docs.join(F.broadcast(fx_df), "k").select(
         "doc_id",
