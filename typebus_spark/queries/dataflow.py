@@ -27,11 +27,14 @@ from typebus_spark.suite import query, t
 # Stateful shuffles are NOT AQE-coalesced and the count is fixed into
 # the checkpoint at first start, so it must be chosen deliberately:
 # size to peak state, not to cores (CLAUDE.md). At the bench SF the
-# state is a few thousand rows — 4 partitions keeps multi-core merge
-# while halving per-trigger state-store open/commit I/O vs 8 (measured
-# 3.15 s -> 2.37 s on the stream-stream join); a production deployment
-# at 100 TB raises this when starting its own checkpoints.
-STREAM_STATE_PARTITIONS = 4
+# state is a few thousand rows: r6 measured 8 -> 4 halving per-trigger
+# state-store open/commit (ssj 3.15 -> 2.37 s); the r8 sweep over
+# {4, 2, 1} moved the pin to 2 (ssj 2.38 -> 1.82, hourly_append 1.33 ->
+# 1.03, outer join 3.15 -> 2.40, min-of-2 at sf0.1) — 1 loses the
+# multi-core merge on the session/outer shapes (2.24/2.72 s). A
+# production deployment at 100 TB raises this when starting its own
+# checkpoints.
+STREAM_STATE_PARTITIONS = 2
 
 # Python-stateful operators (applyInPandasWithState) have a different
 # optimum: per-GROUP pandas overhead in the Python worker dominates the
