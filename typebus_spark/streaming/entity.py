@@ -200,6 +200,87 @@ def streaming_fold_last(
     )
 
 
+def transform_with_state_available() -> bool:
+    """True when ``transformWithStateInPandas`` can actually run: its
+    Python↔JVM state-server protocol needs ``google.protobuf``, which is
+    not installed in this container (and pip installs are barred) — the
+    plan builds but the pre-init worker crashes at query start
+    (verified: 'No module named google.protobuf' in the
+    TransformWithStateInPySpark driver worker)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_fold_last_tws(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_ddl: str,
+) -> DataFrame:
+    """Next-gen form of :func:`streaming_fold_last` on Spark 4.x
+    ``transformWithStateInPandas`` (StatefulProcessor): typed value
+    state, explicit lifecycle, and native state-schema evolution — the
+    API Spark positions to replace applyInPandasWithState, and the one
+    a production deployment should start new pipelines on. Requires the
+    RocksDB state-store provider (executed by this repo's provider-
+    parameterized tests) and ``google.protobuf`` in the Python env —
+    absent here, so this raises a clear error locally and is covered by
+    the conditional test tests/test_streaming_native.py::
+    test_transform_with_state_fold (skips with reason, runs on any
+    protobuf-equipped deployment).
+
+    Semantics parity with ``streaming_fold_last``: last event-time
+    value wins per key; within-batch ties resolve by row order after a
+    stable sort on ``ts_col``.
+    """
+    if not transform_with_state_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf (its "
+            "state-server protocol); not installed in this environment "
+            "— use streaming_fold_last (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_schema = _parse_datatype_string(state_ddl)
+    out_fields = [f.name for f in out_schema.fields]
+
+    class _LastFold(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("last", out_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            best_ts, best = None, None
+            if self._state.exists():
+                t = self._state.get()
+                best_ts, best = t[out_fields.index(ts_col)], t
+            for pdf in rows:
+                pdf = pdf.sort_values(ts_col, kind="mergesort")
+                r = pdf.iloc[-1]
+                if best_ts is None or r[ts_col] >= best_ts:
+                    best_ts = r[ts_col]
+                    best = tuple(r[c] for c in out_fields)
+            self._state.update(best)
+            yield pd.DataFrame([dict(zip(out_fields, best))])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        _LastFold(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def entity_created_events(
     updates: DataFrame, key_col: str, entity_type: str
 ) -> DataFrame:
