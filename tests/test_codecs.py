@@ -143,3 +143,77 @@ def test_real_decode_unsupported_mime():
         real_decode(b"x", "video/mp4")
     with pytest.raises(NotImplementedError, match="real resize"):
         real_resize(b"x", "audio/wav", 16, 16)
+
+
+def test_average_hash_matches_frozen_fixtures():
+    from typebus_spark.operators.codecs import average_hash
+
+    for fx in MEDIA_FIXTURES:
+        if "phash" not in fx:
+            continue
+        blob = base64.b64decode(fx["b64"])
+        assert average_hash(blob, fx["mime"]) == fx["phash"], fx["name"]
+
+
+def test_average_hash_invariant_under_integer_nn_upscale():
+    """aHash is EXACTLY invariant under nearest-neighbor integer
+    upscaling: floor-index algebra gives ((a*f) div 8) div f = a div 8,
+    so the 8x8 sample grid lands on the same source pixels."""
+    from typebus_spark.operators.codecs import average_hash, decode_png
+
+    for fx in MEDIA_FIXTURES:
+        if "phash" not in fx:
+            continue
+        blob = base64.b64decode(fx["b64"])
+        d = decode_png(blob)
+        w, h, ch, px = d["width"], d["height"], d["channels"], d["pixels"]
+        for f in (2, 3):
+            up = bytearray(w * f * h * f * ch)
+            for y in range(h * f):
+                for x in range(w * f):
+                    s = ((y // f) * w + (x // f)) * ch
+                    t = (y * w * f + x) * ch
+                    up[t : t + ch] = px[s : s + ch]
+            ct = {1: 0, 3: 2, 4: 6}[ch]
+            up_blob = encode_png(bytes(up), w * f, h * f, ct)
+            assert average_hash(up_blob, "image/png") == fx["phash"], (
+                fx["name"], f,
+            )
+
+
+def test_average_hash_distinguishes_fixtures():
+    """The three fixture textures produce three distinct hashes (the
+    dedup key actually separates different images)."""
+    from typebus_spark.operators.codecs import average_hash
+
+    hs = {
+        average_hash(base64.b64decode(fx["b64"]), fx["mime"])
+        for fx in MEDIA_FIXTURES
+        if "phash" in fx
+    }
+    assert len(hs) == 3
+
+
+def test_shard_shuffle_deterministic_balanced(spark):
+    """shard_shuffle: positions are 0..n-1 contiguous per shard, the
+    assignment is a pure function of (seed, id) across reruns and
+    partitionings, and shards are roughly balanced."""
+    import pyspark.sql.functions as F
+
+    from typebus_spark.operators.sampling import shard_shuffle
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = shard_shuffle(df, "doc_id", 8, seed=11)
+    rows = a.collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+        assert len(poss) > 2000 / 8 * 0.7  # rough balance
+    b = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_shuffle(df.repartition(13), "doc_id", 8, 11).collect()
+    }
+    assert b == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}

@@ -273,6 +273,42 @@ def real_decode(blob: bytes, mime: str) -> dict:
     raise NotImplementedError(f"unsupported mime {mime!r} (real decoder)")
 
 
+def average_hash(blob: bytes, mime: str = "image/png", hash_size: int = 8) -> str:
+    """64-bit perceptual average-hash (aHash) of a real image, as a
+    16-char hex string: decode, integer-grayscale (mean of the first
+    ≤3 channels), nearest-neighbor sample to ``hash_size``², then one
+    bit per cell — 1 iff the cell is strictly brighter than the mean
+    (compared in exact integers, ``v·n > Σv``, so no float rounding).
+
+    Hex-string output on purpose: the natural value exceeds int64
+    (``1 << 63`` — the known BIGINT overflow trap), hex is portable
+    across engines, and band-splitting for LSH bucketing is a substring
+    (4 bands × 4 hex chars = 16-bit bands, the simhash pattern).
+
+    Scale-invariant by construction for integer nearest-neighbor
+    upscales: floor index algebra gives ((a·f) div 8) div f = a div 8,
+    pinned by test. Unsupported MIME raises (captured per-row by the
+    stage)."""
+    if mime != "image/png":
+        raise NotImplementedError(f"unsupported mime {mime!r} (ahash)")
+    d = decode_png(blob)
+    w, h, ch, px = d["width"], d["height"], d["channels"], d["pixels"]
+    use = min(ch, 3)  # ignore alpha
+    vals = []
+    for oy in range(hash_size):
+        sy = oy * h // hash_size
+        for ox in range(hash_size):
+            sx = ox * w // hash_size
+            base = (sy * w + sx) * ch
+            vals.append(sum(px[base : base + use]) // use)
+    total = sum(vals)
+    n = len(vals)
+    bits = 0
+    for v in vals:
+        bits = (bits << 1) | (1 if v * n > total else 0)
+    return format(bits, f"0{hash_size * hash_size // 4}x")
+
+
 def real_resize(blob: bytes, mime: str, max_w: int, max_h: int) -> dict:
     """The ``decoder="real"`` fused decode+resize for ``resize_media``:
     real pixels, real nearest-neighbor downsample, sha over the RESIZED

@@ -269,6 +269,56 @@ def resize_media(
     return df.select(id_col, media_col).mapInPandas(run, schema=out_ddl)
 
 
+def perceptual_hash_media(
+    df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """Perceptual image dedup key: 64-bit average-hash over REAL
+    decoded pixels (``operators.codecs.average_hash``) as a hex string
+    — the multimodal analog of the text content-hash: identical-looking
+    images (including exact nearest-neighbor rescales) collide, so
+    ``groupBy(phash)`` is the perceptual form of exact_dedup, and the
+    hex splits into 16-bit substring bands for LSH bucketing when a
+    hamming-tolerant near-dup pass is wanted (the simhash pattern).
+
+    One Arrow-batched mapInPandas stage, no shuffle — the groupBy the
+    caller adds is the only exchange, on a 16-char key."""
+    out_ddl = f"{id_col} long, phash string, phash_error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from typebus_spark.operators.codecs import average_hash
+
+        for pdf in batches:
+            media = pdf[media_col]
+            blobs = media.map(
+                lambda m: m["blob"] if isinstance(m, dict) else m.blob
+            )
+            mimes = media.map(
+                lambda m: m["mime"] if isinstance(m, dict) else m.mime
+            )
+            hashes: list = []
+            errs: list = []
+            for blob, mime in zip(blobs, mimes):
+                try:
+                    hashes.append(
+                        average_hash(
+                            bytes(blob) if blob is not None else None, mime
+                        )
+                    )
+                    errs.append(None)
+                except Exception as e:
+                    hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "phash": hashes,
+                    "phash_error": errs,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=out_ddl)
+
+
 def frame_sample(
     decoded: DataFrame, id_col: str, every_n: int = 2
 ) -> DataFrame:

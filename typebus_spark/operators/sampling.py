@@ -147,6 +147,52 @@ def rebalance_thresholds(df: DataFrame, group_col: str) -> DataFrame:
     )
 
 
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic training-order shuffle + shard assignment — the
+    last step before writing training shards: every row gets a
+    pseudo-random ``shard`` in [0, n_shards) and a reproducible
+    within-shard position ``pos`` (0-based), so readers stream shards
+    sequentially and still see a uniform global shuffle.
+
+    Mechanism: the row's 60-bit md5 bucket (the corpus-splitting hash)
+    doubles as both the shard key (mod) and the within-shard sort key
+    (div — the high bits, independent of the shard mod), with ``id`` as
+    the total-order tiebreak. Everything is a pure function of
+    (seed, id): reruns, engines, and auditors reproduce the exact
+    placement — no RNG state, no ``ORDER BY rand()``.
+
+    Scale shape: ONE hash shuffle on ``shard`` + a partition-local sort
+    (window row_number per shard ≡ repartition + sortWithinPartitions —
+    NO global sort; plan-pinned). At 100 TB this is the minimal
+    physical movement any shard writer must do anyway.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy(
+        F.expr(f"_h DIV {n_shards}"), id_col
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long") - F.lit(1))
+        .drop("_h")
+    )
+
+
 def rebalance_audit(
     df: DataFrame,
     id_col: str,

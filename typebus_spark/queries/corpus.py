@@ -179,6 +179,40 @@ def q_token_budget_mix(spark, sf_dir):
 
 
 @query(
+    "q_shard_shuffle",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS h
+  FROM documents)
+SELECT doc_id,
+       CAST(h % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8
+                               ORDER BY h // 8, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
+""",
+    doc=(
+        "Deterministic training-order shuffle + shard assignment (the "
+        "last step before writing training shards): every doc gets a "
+        "pseudo-random shard (md5 bucket mod 8) and a reproducible "
+        "within-shard position (the hash's high bits order the shard). "
+        "Pure function of (seed, id) — reruns/engines/auditors "
+        "reproduce the exact placement, unlike ORDER BY rand(). ONE "
+        "hash shuffle + partition-local sort (no global sort, "
+        "plan-pinned) — the minimal movement any shard writer pays "
+        "(operators/sampling.py shard_shuffle)."
+    ),
+)
+def q_shard_shuffle(spark, sf_dir):
+    from typebus_spark.operators.sampling import shard_shuffle
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return shard_shuffle(docs, "doc_id", n_shards=8, seed=11)
+
+
+@query(
     "q_pack_sequences",
     oracle=f"""
 WITH tt AS (

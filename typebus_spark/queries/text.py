@@ -533,6 +533,55 @@ def q_multimodal_real_resize(spark, sf_dir):
     )
 
 
+def _phash_oracle() -> str:
+    from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
+
+    pngs = [fx for fx in MEDIA_FIXTURES if "phash" in fx]
+    values = ",\n    ".join(
+        f"({i}, '{fx['phash']}')" for i, fx in enumerate(pngs)
+    )
+    return f"""
+WITH fx(k, phash) AS (VALUES
+    {values})
+SELECT fx.phash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(d.doc_id) AS BIGINT) AS min_doc_id,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+FROM documents d JOIN fx ON d.doc_id % 3 = fx.k
+GROUP BY fx.phash
+"""
+
+
+@query(
+    "q_multimodal_phash",
+    oracle=_phash_oracle(),
+    doc=(
+        "Perceptual image dedup over REAL pixels: 64-bit average-hash "
+        "(decode + integer-grayscale + 8x8 nearest-neighbor sample + "
+        "strict-integer mean threshold, operators/codecs.average_hash) "
+        "computed on executors in one mapInPandas stage, then "
+        "groupBy(phash) — the multimodal analog of exact content-hash "
+        "dedup: identical-looking images (incl. exact NN rescales, "
+        "invariance pinned by test) collide on a 16-char hex key; the "
+        "hex substring-splits into 16-bit bands for hamming-tolerant "
+        "LSH when near-dup is wanted. Hash values hash-checked against "
+        "the frozen fixture record."
+    ),
+)
+def q_multimodal_phash(spark, sf_dir):
+    from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
+    from typebus_spark.operators.multimodal import perceptual_hash_media
+
+    pngs = [fx for fx in MEDIA_FIXTURES if "phash" in fx]
+    media = _fixture_media_frame(spark, sf_dir, pngs, 3)
+    hashed = perceptual_hash_media(media, "doc_id")
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
 @query(
     "q_text_redact",
     oracle=r"""
