@@ -26,6 +26,10 @@ Stages (each one the operator a 100 TB pipeline would run, at toy SF):
      (functions.vector.int8_quantize, operators.dedup.semdedup,
       operators.sampling.rebalance_thresholds,
       operators.similarity.pq_topk_rerank)
+ 11. shard shuffle         (operators.sampling.shard_shuffle —
+                            deterministic training order + shards)
+ 12. multimodal sidebar    (real stdlib PNG decode + perceptual-hash
+                            dedup, operators.codecs / multimodal)
 """
 
 from __future__ import annotations
@@ -222,6 +226,47 @@ def main() -> None:
         k=3, books=books, shortlist=25,
     )
 
+    # 11: deterministic shard shuffle — the last step before writing
+    # training shards (round 8): pseudo-random shard + reproducible
+    # within-shard order, pure function of (seed, id)
+    from typebus_spark.operators.sampling import shard_shuffle
+
+    shards = shard_shuffle(docs.select("doc_id"), "doc_id", n_shards=4)
+    n_shards_used = shards.select("shard").distinct().count()
+
+    # 12: multimodal sidebar (round 8) — REAL stdlib PNG decode +
+    # perceptual-hash dedup over the frozen fixture blobs
+    import base64
+
+    from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
+    from typebus_spark.operators.multimodal import (
+        decode_media,
+        perceptual_hash_media,
+    )
+
+    pngs = [fx for fx in MEDIA_FIXTURES if fx["mime"] == "image/png"]
+    fx_df = spark.createDataFrame(
+        [(i, bytearray(base64.b64decode(fx["b64"])), fx["mime"])
+         for i, fx in enumerate(pngs)],
+        "k long, blob binary, mime string",
+    )
+    media = (
+        docs.select("doc_id", (F.col("doc_id") % 3).alias("k"))
+        .join(F.broadcast(fx_df), "k")
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("blob"), F.col("mime"),
+                F.create_map(F.lit("s"), F.lit("ex")).alias("meta"),
+            ).alias("media"),
+        )
+    )
+    decoded = decode_media(media, "doc_id", decoder="real")
+    n_decoded = decoded.filter(F.col("decode_error").isNull()).count()
+    n_pgroups = (
+        perceptual_hash_media(media, "doc_id").select("phash").distinct().count()
+    )
+
     n_clean = docs.count()
     n_seq = (
         packed.groupBy("shard")
@@ -240,6 +285,9 @@ def main() -> None:
     print(f"embeddings: {qstats} quantized to int8, {kept_vec} kept after SemDeDup")
     print(f"topic-balanced sample: {balanced.count()} of {emb.count()} vectors")
     print(f"PQ ANN (shortlist 25 -> exact top-3): {nn.count()} neighbor rows")
+    print(f"shard shuffle: {n_shards_used} shards, deterministic order")
+    print(f"multimodal: {n_decoded} real PNG decodes,"
+          f" {n_pgroups} perceptual-hash groups")
     spark.stop()
 
 
