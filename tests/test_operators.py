@@ -636,3 +636,44 @@ def test_reservoir_stable_under_repartition(spark, sf_dir):
     for src, _ in a:
         per_group[src] = per_group.get(src, 0) + 1
     assert all(v <= 5 for v in per_group.values()), per_group
+
+
+def test_minhash_incremental_matches_full_subset(spark, sf_dir):
+    """minhash_lsh_incremental must produce exactly the delta-involving
+    subset of the full-corpus pairs (per-doc signatures are
+    frame-independent), with delta-delta pairs once and delta-history
+    pairs oriented (delta, history)."""
+    import pyspark.sql.functions as F
+
+    from typebus_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+    from typebus_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(shingle_n=5, num_hashes=16, bands=4, threshold=0.4)
+    full = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    inc = minhash_lsh_incremental(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        **kw,
+    ).collect()
+    # normalize both to unordered pairs for comparison
+    want = {
+        frozenset((a, b)): j for a, b, j in full
+        if a % 10 == 0 or b % 10 == 0
+    }
+    got = {frozenset((r["a"], r["b"])): r["jaccard"] for r in inc}
+    assert got == want
+    for r in inc:
+        assert r["a"] % 10 == 0  # left side is always a delta doc
+        if r["dup_in"] == "delta":
+            assert r["b"] % 10 == 0 and r["a"] < r["b"]
+        else:
+            assert r["b"] % 10 != 0

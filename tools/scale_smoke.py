@@ -114,6 +114,21 @@ def main() -> None:
         ),
         n_docs,
     )
+    from typebus_spark.operators.dedup import minhash_lsh_incremental
+
+    # ingest shape: the UNREPLICATED base corpus is the delta, the
+    # replicated frame is the history — cost must track the delta +
+    # collisions, never history x history
+    run(
+        "minhash_lsh_incremental",
+        minhash_lsh_incremental(
+            big_docs, docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(900_000_000)
+            ),
+            "doc_id", "text", threshold=0.5,
+        ),
+        n_docs,
+    )
     run(
         "kmv_distinct",
         kmv_distinct(big_ev, "event_type", "user_id", k=64),

@@ -26,6 +26,7 @@ north-star extensions (BASELINE.json), designed partition-parallel for
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 from typebus_spark.functions.text import (
@@ -239,55 +240,8 @@ def minhash_lsh_pairs(
     Returns (a, b, jaccard) with jaccard ≥ threshold among candidates.
     Recall is probabilistic in the LSH stage (1-(1-J^r)^b).
     """
-    rows_per_band = num_hashes // bands
-    # Signature via explode + min-aggregates (ONE pass over shingles).
-    # Building it as a single array expression looks natural but Spark's
-    # CollapseProject inlines the whole shingle pipeline into every
-    # element_at of every band — O(num_hashes²) recomputation per row
-    # (measured 159s vs 2s on 500 docs). The explode form is also the
-    # shape that scales: shingles shuffle once, partial min() map-side.
-    # No distinct() here: min() over duplicate shingles is identical and
-    # dropping it saves a full shuffle.
-    from pyspark import StorageLevel
-
-    from typebus_spark.session import ensure_parallelism
-
-    # ONE exploded shingle frame feeds BOTH stages — raw (duplicates kept)
-    # for the signature min-aggregates, ``.distinct()`` of the SAME frame
-    # for the verify index below. Persisted (spills to disk at scale) so
-    # the verify stage never re-scans + re-explodes the corpus; that
-    # second full pass was most of the operator's cost.
-    ex = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(tokens(text_col), shingle_n)).alias("shingle"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # parsed-expression forms (identical SQL semantics, ~6x fewer py4j
-    # round trips than the per-node Column builders)
-    sig = ex.groupBy("_id").agg(
-        *[
-            F.expr(f"min(md5(concat('{k}:', shingle)))").alias(f"m{k}")
-            for k in range(num_hashes)
-        ]
-    )
-    bands_sql = ", ".join(
-        "named_struct('band', {b}, 'h', md5(concat_ws('|', {ms})))".format(
-            b=b,
-            ms=", ".join(
-                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
-    band_structs = F.expr(f"array({bands_sql})")
-    # One (doc, band, hash) row per band per document — tiny. Persisted
-    # because the candidate self-join reads it twice; without this the
-    # 16-min-aggregate signature pass (over the exploded shingles) runs
-    # once per pair side.
-    with_bands = sig.select(
-        "_id", F.explode(band_structs).alias("bh")
-    ).select(
-        "_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    with_bands = _minhash_band_rows(ex, num_hashes, bands)
 
     a = with_bands.select(F.col("_id").alias("a"), "band", "h")
     b = with_bands.select(F.col("_id").alias("b"), "band", "h")
@@ -309,17 +263,80 @@ def minhash_lsh_pairs(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = sh_df.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ash = sh_df.select(F.col("_id").alias("a"), F.col("shingle").alias("s"))
-    bsh = sh_df.select(F.col("_id").alias("b"), F.col("shingle").alias("s"))
+    return _jaccard_verify(candidates, sh_df, sh_df, threshold)
+
+
+def _exploded_shingles(df, id_col: str, text_col: str, shingle_n: int):
+    """ONE exploded shingle frame feeds BOTH minhash stages — raw
+    (duplicates kept) for the signature min-aggregates, ``.distinct()``
+    of the SAME frame for the verify index. Persisted (spills to disk
+    at scale) so the verify stage never re-scans + re-explodes the
+    corpus; that second full pass was most of the operator's cost.
+    No distinct() here: min() over duplicate shingles is identical and
+    dropping it saves a full shuffle."""
+    from typebus_spark.session import ensure_parallelism
+
+    return (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(tokens(text_col), shingle_n)).alias("shingle"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _minhash_band_rows(ex, num_hashes: int, bands: int):
+    """Exploded shingles → the (doc, band, hash) LSH index rows.
+
+    Signature via explode + min-aggregates (ONE pass over shingles).
+    Building it as a single array expression looks natural but Spark's
+    CollapseProject inlines the whole shingle pipeline into every
+    element_at of every band — O(num_hashes²) recomputation per row
+    (measured 159s vs 2s on 500 docs). The explode form is also the
+    shape that scales: shingles shuffle once, partial min() map-side.
+    Parsed-expression forms (identical SQL semantics, ~6x fewer py4j
+    round trips than per-node Column builders). Persisted: the
+    candidate join reads it per side."""
+    rows_per_band = num_hashes // bands
+    sig = ex.groupBy("_id").agg(
+        *[
+            F.expr(f"min(md5(concat('{k}:', shingle)))").alias(f"m{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    bands_sql = ", ".join(
+        "named_struct('band', {b}, 'h', md5(concat_ws('|', {ms})))".format(
+            b=b,
+            ms=", ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    band_structs = F.expr(f"array({bands_sql})")
+    return (
+        sig.select("_id", F.explode(band_structs).alias("bh"))
+        .select("_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _jaccard_verify(candidates, sh_a, sh_b, threshold: float):
+    """Exact set-Jaccard over candidate (a, b) pairs given the hashed
+    distinct-shingle frames for each side (may be the same frame)."""
+    sizes_a = sh_a.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes_b = sh_b.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ash = sh_a.select(F.col("_id").alias("a"), F.col("shingle").alias("s"))
+    bsh = sh_b.select(F.col("_id").alias("b"), F.col("shingle").alias("s"))
     shared = (
         candidates.join(ash, "a")
         .join(bsh, ["b", "s"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.select(F.col("_id").alias("a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("_id").alias("b"), F.col("n_sh").alias("nb"))
+    sa = sizes_a.select(F.col("_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes_b.select(F.col("_id").alias("b"), F.col("n_sh").alias("nb"))
     return (
         shared.join(sa, "a")
         .join(sb, "b")
@@ -332,6 +349,82 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_incremental(
+    history: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-dup detection for INGEST — the fuzzy twin of
+    ``incremental_dedup``: find each NEW document's near-duplicates in
+    the existing corpus (and among the new batch itself) without ever
+    generating history×history pairs.
+
+    Returns ``(a, b, jaccard, dup_in)`` where ``a`` is always a delta
+    doc, ``dup_in`` marks whether ``b`` came from 'history' or 'delta'
+    (delta-delta pairs appear once, a < b).
+
+    Scale shape — cost ∝ |delta| + collisions involving delta: the
+    delta band rows join the union index on (band, h), so history
+    contributes only colliding buckets; the exact-Jaccard verify
+    restricts the history shingle index to candidate partners with a
+    semi join BEFORE exploding sizes (never the whole history). In
+    production the history band index + hashed shingle index are
+    PRE-BUILT stored tables appended per ingest batch (they are exactly
+    the ``_minhash_band_rows`` / hashed-shingle frames computed here);
+    this function derives them in-plan so the semantics are
+    oracle-checkable end to end.
+    """
+    ex_d = _exploded_shingles(delta, id_col, text_col, shingle_n)
+    ex_h = _exploded_shingles(history, id_col, text_col, shingle_n)
+    bd = _minhash_band_rows(ex_d, num_hashes, bands)
+    bh = _minhash_band_rows(ex_h, num_hashes, bands)
+
+    left = bd.select(F.col("_id").alias("a"), "band", "h")
+    right = bd.select(
+        F.col("_id").alias("b"), "band", "h", F.lit(True).alias("_bd")
+    ).unionByName(
+        bh.select(
+            F.col("_id").alias("b"), "band", "h", F.lit(False).alias("_bd")
+        )
+    )
+    candidates = (
+        left.join(right, ["band", "h"])
+        # delta-delta pairs once (a < b); delta-history pairs in the
+        # (delta, history) orientation regardless of id order
+        .filter(F.when(F.col("_bd"), F.col("a") < F.col("b")).otherwise(True))
+        .select("a", "b", "_bd")
+        .distinct()
+    )
+    sh_d = (
+        ex_d.select("_id", shingle_key("shingle").alias("shingle"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # only history docs that actually collided enter the verify index
+    sh_h = ex_h.select("_id", shingle_key("shingle").alias("shingle")).distinct().join(
+        candidates.filter(~F.col("_bd")).select(F.col("b").alias("_id")).distinct(),
+        "_id",
+        "left_semi",
+    )
+    verified = _jaccard_verify(
+        candidates.select("a", "b"), sh_d, sh_d.unionByName(sh_h), threshold
+    )
+    membership = candidates.select("a", "b", "_bd").distinct()
+    return verified.join(membership, ["a", "b"]).select(
+        "a",
+        "b",
+        "jaccard",
+        F.when(F.col("_bd"), F.lit("delta")).otherwise(F.lit("history")).alias(
+            "dup_in"
+        ),
     )
 
 

@@ -146,6 +146,92 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _minhash_incremental_oracle(
+    shingle_n: int = NEAR_N,
+    num_hashes: int = 16,
+    bands: int = 4,
+    thr: float = NEAR_THRESHOLD,
+) -> str:
+    """Full-corpus banding replay restricted to pairs involving the
+    delta (doc_id % 10 = 0): per-doc signatures are identical whether
+    computed over one frame or two, so the incremental operator must
+    produce exactly the delta-involving subset of the batch pairs."""
+    r = num_hashes // bands
+    sig = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'h': md5(%s)}"
+        % (b, " || '|' || ".join(f"m{b * r + i}" for i in range(r)))
+        for b in range(bands)
+    )
+    return f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+shl AS (SELECT doc_id, list_distinct({_shingles_sql(shingle_n)}) AS sh FROM tt),
+sig AS (SELECT doc_id, {sig} FROM shl),
+bands AS (SELECT doc_id, unnest([{band_structs}], recursive := true) FROM sig),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.h = y.h
+          AND x.doc_id % 10 = 0
+          AND x.doc_id != y.doc_id
+          AND (y.doc_id % 10 != 0 OR x.doc_id < y.doc_id)),
+sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(unnest({_shingles_sql(shingle_n)})), 1, 15))::BIGINT AS shingle
+       FROM tt),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.a, c.b, count(*) AS shared
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY 1, 2)
+SELECT s.a, s.b,
+       round(s.shared / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard,
+       CASE WHEN s.b % 10 = 0 THEN 'delta' ELSE 'history' END AS dup_in
+FROM shared s
+JOIN sizes sa ON s.a = sa.doc_id
+JOIN sizes sb ON s.b = sb.doc_id
+WHERE s.shared / (sa.n_sh + sb.n_sh - s.shared) >= {thr}
+"""
+
+
+@query(
+    "q_dedup_minhash_incremental",
+    oracle=_minhash_incremental_oracle(),
+    doc=(
+        "INGEST-shaped near-dup (the fuzzy twin of q_dedup_incremental): "
+        "a new batch (doc_id %% 10 = 0) is checked against the existing "
+        "corpus AND itself via the MinHash band index — delta band rows "
+        "join the union index, so history contributes only colliding "
+        "buckets and the exact-Jaccard verify semi-join-restricts the "
+        "history shingle index to actual candidate partners; "
+        "history x history pairs are never generated (cost ∝ delta + "
+        "collisions, the property that lets a 100 TB corpus absorb a "
+        "daily batch without re-pairing itself). Oracle replays "
+        "full-corpus banding restricted to delta-involving pairs — "
+        "per-doc signatures are frame-independent, so the results must "
+        "be identical."
+    ),
+)
+def q_dedup_minhash_incremental(spark, sf_dir):
+    from typebus_spark.operators.dedup import minhash_lsh_incremental
+
+    docs = t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_incremental(
+        history,
+        delta,
+        "doc_id",
+        "text",
+        shingle_n=NEAR_N,
+        num_hashes=16,
+        bands=4,
+        threshold=NEAR_THRESHOLD,
+    )
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     from typebus_spark.operators.dedup import SIMHASH_BITS, SIMHASH_CHUNKS
 
