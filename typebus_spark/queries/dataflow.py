@@ -1229,6 +1229,67 @@ def q_stream_static_join(spark, sf_dir):
 
 
 @query(
+    "q_stream_static_join_append",
+    oracle="""
+WITH c AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT cu.c_mktsegment,
+       date_trunc('hour', e.ts) AS hour_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events e JOIN customer cu ON e.user_id = cu.c_custkey
+WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR < (SELECT wm FROM c)
+GROUP BY 1, 2
+""",
+    doc=(
+        "PRODUCTION (append+watermark) form of q_stream_static_join: "
+        "the stream enriches against the broadcast customer dimension "
+        "per micro-batch (still no stream-side state for the join), "
+        "then aggregates per (segment, 1-hour window) in append mode — "
+        "the global complete-mode per-segment totals become exactly-"
+        "once hourly emissions with evicted state. " + _APPEND_DOC_TAIL
+    ),
+)
+def q_stream_static_join_append(spark, sf_dir):
+    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_ssd_ap_")
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = (
+        enriched.groupBy(
+            F.window("wts", "1 hour").alias("w"), F.col("c_mktsegment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(cents("value")), 100).alias("total_value"),
+        )
+        .select(
+            "c_mktsegment",
+            _ntz("w.start").alias("hour_start"),
+            _ntz("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"ssd_ap_{uuid.uuid4().hex[:8]}"
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .filter(F.col("window_end") < F.lit(cutoff).cast("timestamp_ntz"))
+        .select("c_mktsegment", "hour_start", "n_events", "total_value")
+    )
+
+
+@query(
     "q_sketch_cardinality",
     oracle="""
 WITH d AS (
