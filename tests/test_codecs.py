@@ -217,3 +217,37 @@ def test_shard_shuffle_deterministic_balanced(spark):
         for r in shard_shuffle(df.repartition(13), "doc_id", 8, 11).collect()
     }
     assert b == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_decoders_never_hang_or_crash_on_garbage(blob):
+    """Arbitrary bytes must produce a clean exception (never a hang,
+    segfault-style error, or silent wrong answer) — the decode stage
+    turns these into per-row decode_error strings."""
+    import pytest
+
+    from typebus_spark.operators.codecs import average_hash
+
+    for fn in (
+        lambda b: decode_png(b),
+        lambda b: decode_wav(b),
+        lambda b: real_decode(b, "image/png"),
+        lambda b: real_decode(b, "audio/wav"),
+        lambda b: real_resize(b, "image/png", 8, 8),
+        lambda b: average_hash(b, "image/png"),
+    ):
+        with pytest.raises(Exception):
+            fn(blob)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=8, max_size=200))
+def test_png_decoder_rejects_corrupted_tails(tail):
+    """A valid signature followed by garbage must still raise cleanly
+    (chunk CRC / structure checks), not return bogus pixels."""
+    import pytest
+
+    blob = b"\x89PNG\r\n\x1a\n" + tail
+    with pytest.raises(Exception):
+        decode_png(blob)

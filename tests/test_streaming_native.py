@@ -553,3 +553,38 @@ def test_transform_with_state_fold(spark, tmp_path):
     rows = {r["id"]: r for r in spark.table(name).collect()}
     assert rows["e1"]["status"] == "paid"
     assert rows["e2"]["status"] == "created"
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (q_stream_dedup_bounded's
+    machinery): duplicate keys within the delay are dropped, and keys
+    older than the watermark are EVICTED from state — the property that
+    makes streaming dedup state bounded by the redelivery window
+    instead of the distinct-key set."""
+    import uuid
+
+    events = spark.createDataFrame(
+        [
+            ("k1", "2024-01-01 00:00:00"),
+            ("k1", "2024-01-01 00:10:00"),  # dup within delay -> dropped
+            ("k2", "2024-01-01 00:20:00"),
+            # far-future row: advances watermark to 04:00 (1 h delay),
+            # evicting k1/k2 state
+            ("k3", "2024-01-01 05:00:00"),
+        ],
+        "k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _stage_stream(
+        spark, tmp_path, f"ddw_{uuid.uuid4().hex[:6]}", events
+    ).withWatermark("ts", "1 hour")
+    dd = stream.dropDuplicatesWithinWatermark(["k"]).select("k")
+    name = f"ddw_{uuid.uuid4().hex[:6]}"
+    q = (
+        dd.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert {r["k"] for r in spark.table(name).collect()} == {"k1", "k2", "k3"}
+    state = q.lastProgress["stateOperators"][0]
+    # only k3 (inside the watermark horizon) remains in state
+    assert state["numRowsTotal"] == 1, state

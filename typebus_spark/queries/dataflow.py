@@ -880,6 +880,45 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @query(
+    "q_stream_dedup_bounded",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    doc=(
+        "PRODUCTION form of q_stream_dedup: dropDuplicatesWithinWatermark "
+        "— exact streaming dedup whose state is WATERMARK-BOUNDED (keys "
+        "older than the watermark are evicted) instead of growing with "
+        "the distinct-key set forever. Semantics: duplicates are "
+        "guaranteed dropped only when they arrive within the watermark "
+        "delay of the first sighting — exactly the at-least-once "
+        "redelivery window a bus transport produces (reference "
+        "KafkaBus.scala at-least-once commit), which is why bounded "
+        "state suffices at 100 TB. The availableNow replay lands in one "
+        "batch, so the emitted set equals batch DISTINCT and the oracle "
+        "is exact."
+    ),
+)
+def q_stream_dedup_bounded(spark, sf_dir):
+    stream, _ = _watermarked_events(spark, sf_dir, "stream_dedup_b_")
+    deduped = stream.select(
+        "user_id", "event_type", "wts"
+    ).dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    name = f"dedupb_{uuid.uuid4().hex[:8]}"
+    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@query(
     "q_stream_session",
     oracle="""
 WITH m AS (
