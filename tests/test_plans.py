@@ -413,3 +413,44 @@ def test_append_streaming_result_filters_are_literal(spark, sf_dir):
     b1 = event_time_bounds(spark, sf_dir)
     b2 = event_time_bounds(spark, sf_dir)
     assert b1 is b2  # same cached dict, no re-collect
+
+
+def test_collect_sites_are_whitelisted():
+    """Every `.collect()` in the library must be scalar-, k-, centroid-,
+    candidate-, or partition-count-sized — NEVER data-sized (the
+    100 TB no-driver-data invariant the round verdicts audit by hand).
+    This pin freezes the per-module collect-site counts: adding a
+    collect forces updating the whitelist with a justification here.
+
+    Justifications (re-audited r8): runtime.py — distinct TOPIC lists
+    (bounded by declared streams); session.py — event-time bounds (one
+    row, cached); codec/envelope.py — declared-schema sample for the
+    avro switch; operators/similarity.py — centroid/codebook rows
+    (k-sized trainers); operators/sketch.py — freqItems candidate
+    array; catalog/discovery.py — service descriptors (one per
+    service); operators/corpus_stats.py — per-partition offsets
+    (partition-count); operators/text_analysis.py — one merge row per
+    BPE round; operators/clustering.py — one convergence scalar per
+    iteration.
+    """
+    import re
+    from collections import Counter
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent / "typebus_spark"
+    got: Counter = Counter()
+    for p in root.rglob("*.py"):
+        n = len(re.findall(r"\.collect\(\)", p.read_text()))
+        if n:
+            got[str(p.relative_to(root))] = n
+    assert dict(got) == {
+        "runtime.py": 2,
+        "session.py": 1,
+        "codec/envelope.py": 1,
+        "operators/similarity.py": 4,
+        "operators/sketch.py": 1,
+        "catalog/discovery.py": 1,
+        "operators/corpus_stats.py": 1,
+        "operators/text_analysis.py": 1,
+        "operators/clustering.py": 1,
+    }, got
