@@ -154,6 +154,31 @@ def test_decode_media_real_decoder_runs_stdlib_codecs(spark):
     assert "video/mp4" in d[2]["decode_error"]
 
 
+def test_resize_media_unhashable_blob_lands_in_error(spark):
+    """Never-task-fatal contract: a custom decoder that TOLERATES a
+    None blob must not crash the task at the sha256 step — the row
+    lands in resize_error like any decode failure."""
+    from typebus_spark.operators.multimodal import attach_blob, resize_media
+
+    docs = spark.createDataFrame(
+        [(1, "ok row"), (2, None)], "doc_id long, text string"
+    )
+    media = attach_blob(docs, "text", "image/fake", "doc_id")
+
+    def tolerant(blob, mime):  # accepts None, returns dims anyway
+        return {"width": 4, "height": 4}
+
+    r = {
+        x["doc_id"]: x
+        for x in resize_media(
+            media, "doc_id", decoder=tolerant
+        ).collect()
+    }
+    assert r[1]["resize_error"] is None and r[1]["resized_sha"]
+    assert r[2]["resized_sha"] is None
+    assert r[2]["resize_error"] is not None
+
+
 def test_hash_split_deterministic_disjoint(spark, sf_dir):
     """hash_split: every row lands in exactly one split, assignment is
     stable across reruns/partitionings, and fractions are honored
@@ -677,3 +702,42 @@ def test_minhash_incremental_matches_full_subset(spark, sf_dir):
             assert r["b"] % 10 == 0 and r["a"] < r["b"]
         else:
             assert r["b"] % 10 != 0
+
+
+def test_minhash_incremental_reingest_same_id(spark, sf_dir):
+    """Re-ingesting an UPDATED doc (same id in history and delta) must
+    not self-pair against its own stale history copy, and the stale
+    copy must not pollute the verify shingle union (double-counted
+    sizes → wrong jaccard). The history row with a delta id is
+    anti-joined away, so jaccard values equal a run where history never
+    contained the id at all."""
+    import pyspark.sql.functions as F
+
+    from typebus_spark.operators.dedup import minhash_lsh_incremental
+    from typebus_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    kw = dict(shingle_n=5, num_hashes=16, bands=4, threshold=0.3)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    clean_hist = docs.filter(F.col("doc_id") % 10 != 0)
+    # history contains a STALE copy of every delta doc (same id,
+    # truncated text) on top of the clean rows
+    stale = delta.withColumn(
+        "text", F.substring("text", 1, 50)
+    )
+    dirty_hist = clean_hist.unionByName(stale.select(*clean_hist.columns))
+
+    want = {
+        (r["a"], r["b"], r["jaccard"], r["dup_in"])
+        for r in minhash_lsh_incremental(
+            clean_hist, delta, "doc_id", "text", **kw
+        ).collect()
+    }
+    got = {
+        (r["a"], r["b"], r["jaccard"], r["dup_in"])
+        for r in minhash_lsh_incremental(
+            dirty_hist, delta, "doc_id", "text", **kw
+        ).collect()
+    }
+    assert got == want
+    assert all(a != b for a, b, _, _ in got)

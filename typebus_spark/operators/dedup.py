@@ -381,7 +381,17 @@ def minhash_lsh_incremental(
     the ``_minhash_band_rows`` / hashed-shingle frames computed here);
     this function derives them in-plan so the semantics are
     oracle-checkable end to end.
+
+    Precondition: ids are unique per frame and disjoint ACROSS frames
+    (a re-ingested doc must be removed from history first). Enforced
+    here — history rows whose id appears in delta are anti-joined away
+    before shingling, so an updated doc compares against the REST of
+    history, never its own stale copy (which would double-count its
+    shingles in the verify union and emit a same-id self-pair).
     """
+    history = history.join(
+        delta.select(F.col(id_col)).distinct(), id_col, "left_anti"
+    )
     ex_d = _exploded_shingles(delta, id_col, text_col, shingle_n)
     ex_h = _exploded_shingles(history, id_col, text_col, shingle_n)
     bd = _minhash_band_rows(ex_d, num_hashes, bands)
@@ -398,8 +408,14 @@ def minhash_lsh_incremental(
     candidates = (
         left.join(right, ["band", "h"])
         # delta-delta pairs once (a < b); delta-history pairs in the
-        # (delta, history) orientation regardless of id order
-        .filter(F.when(F.col("_bd"), F.col("a") < F.col("b")).otherwise(True))
+        # (delta, history) orientation regardless of id order (a != b
+        # there is guaranteed by the disjointness anti-join, guarded
+        # anyway so a caller bypassing the precondition can't self-pair)
+        .filter(
+            F.when(F.col("_bd"), F.col("a") < F.col("b")).otherwise(
+                F.col("a") != F.col("b")
+            )
+        )
         .select("a", "b", "_bd")
         .distinct()
     )

@@ -245,14 +245,22 @@ def resize_media(
                     wlim, np.maximum(1, safe_h * max_w // safe_w), max_h
                 ),
             )
-            shas = [
-                hashlib.sha256(
-                    bytes(blob) + f"|{ow[i]}x{oh[i]}".encode()
-                ).hexdigest()
-                if ok[i]
-                else None
-                for i, blob in enumerate(blobs)
-            ]
+            # per-row guarded: a custom decoder may accept a None /
+            # non-bytes blob, and the module contract is row-level
+            # error capture, never task-fatal — an unhashable blob
+            # lands in resize_error like any decode failure
+            shas: list = [None] * n
+            for i, blob in enumerate(blobs):
+                if not ok[i]:
+                    continue
+                try:
+                    shas[i] = hashlib.sha256(
+                        bytes(blob) + f"|{ow[i]}x{oh[i]}".encode()
+                    ).hexdigest()
+                except Exception as e:
+                    ok[i] = False
+                    ws[i], hs[i] = -1, -1
+                    errs[i] = f"{type(e).__name__}: {e}"
             bad = ~ok
             yield pd.DataFrame(
                 {

@@ -620,6 +620,20 @@ def q_stream_hourly(spark, sf_dir):
     return spark.table(name)
 
 
+def _parse_delay(delay: str):
+    """CalendarInterval-style '<n> <unit>' → timedelta, so the cutoff
+    literal is DERIVED from the watermark delay (a caller passing a
+    non-default delay must not silently keep a 1-hour cutoff — the
+    strict-< finalized filter would no longer match the eviction
+    horizon)."""
+    import datetime
+
+    n, unit = delay.strip().split()
+    unit = unit.rstrip("s")
+    seconds = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+    return datetime.timedelta(seconds=int(n) * seconds)
+
+
 def _watermarked_events(spark, sf_dir, prefix, delay="1 hour"):
     """Event stream with a watermark column + the plan-time cutoff
     literal for provably-finalized output (the q_stream_outer_join
@@ -634,12 +648,10 @@ def _watermarked_events(spark, sf_dir, prefix, delay="1 hour"):
     (bench.py's job detection exempts such queries from its
     prepared-plan cache).
     """
-    import datetime
-
     from typebus_spark.session import event_time_bounds, stage_events_stream
 
     max_ts = event_time_bounds(spark, sf_dir)["max_ts"]
-    cutoff = max_ts - datetime.timedelta(hours=1)
+    cutoff = max_ts - _parse_delay(delay)
     stream = (
         stage_events_stream(spark, sf_dir, prefix)
         .withColumn(
@@ -906,7 +918,12 @@ def q_stream_dedup_bounded(spark, sf_dir):
         "user_id", "event_type"
     )
     name = f"dedupb_{uuid.uuid4().hex[:8]}"
-    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+    # eager-emit dedup: every surviving row is emitted the batch it is
+    # first seen; the trailing no-data batch would only evict state
+    # (CLAUDE.md r6 lever) — skip it.
+    with pinned_shuffle_partitions(
+        spark, STREAM_STATE_PARTITIONS
+    ), no_data_microbatches_disabled(spark):
         q = (
             deduped.writeStream.format("memory")
             .queryName(name)
