@@ -704,6 +704,71 @@ def test_minhash_incremental_matches_full_subset(spark, sf_dir):
             assert r["b"] % 10 != 0
 
 
+def test_dedup_substring_catches_offset_shifted_span(spark):
+    """The ExactSubstr case: a 40-token span duplicated at DIFFERENT
+    offsets in two docs. dedup_spans' fixed 20-token grid misaligns and
+    removes nothing; content-defined chunking aligns the interior
+    chunks and cuts the span from BOTH docs."""
+    from typebus_spark.operators.dedup import dedup_spans, dedup_substrings
+
+    span = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + span + " gamma"),
+            (2, "x1 x2 x3 x4 x5 x6 x7 " + span + " tail tail2"),
+            (3, "unrelated words entirely different content here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: r["n_removed"]
+        for r in dedup_spans(
+            docs, "doc_id", "text", chunk_tokens=20, min_docs=2
+        ).collect()
+    }
+    assert spans == {1: 0, 2: 0, 3: 0}  # the miss this operator fixes
+    subs = {
+        r["doc_id"]: r
+        for r in dedup_substrings(
+            docs, "doc_id", "text",
+            target_chunk_tokens=8, min_docs=2, min_chunk_tokens=4,
+        ).collect()
+    }
+    assert subs[1]["n_removed"] > 0 and subs[2]["n_removed"] > 0
+    assert subs[3]["n_removed"] == 0
+    assert subs[3]["cleaned_text"] == (
+        "unrelated words entirely different content here"
+    )
+    # the removed chunks are the SAME interior span chunks in both docs
+    # → surviving text keeps each doc's unique surroundings
+    assert subs[1]["cleaned_text"].startswith("alpha beta")
+    assert subs[1]["cleaned_text"].endswith("gamma")
+    assert subs[2]["cleaned_text"].startswith("x1 x2")
+    assert "w20" not in subs[1]["cleaned_text"]
+    assert "w20" not in subs[2]["cleaned_text"]
+
+
+def test_cdc_chunks_offset_invariant(spark):
+    """Interior chunk set of a span is identical whatever prefix
+    precedes it (boundaries depend only on a 3-token window)."""
+    from typebus_spark.operators.dedup import cdc_chunk_rows
+
+    span = " ".join(f"s{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, span), (2, "p1 p2 p3 p4 p5 " + span)],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunk_rows(
+        docs, "doc_id", "text", target_chunk_tokens=8
+    ).collect()
+    by_doc: dict = {1: set(), 2: set()}
+    for r in rows:
+        by_doc[r["_id"]].add(r["chunk"])
+    shared = by_doc[1] & by_doc[2]
+    # everything but the edge chunks aligns
+    assert len(shared) >= len(by_doc[1]) - 2
+
+
 def test_minhash_incremental_reingest_same_id(spark, sf_dir):
     """Re-ingesting an UPDATED doc (same id in history and delta) must
     not self-pair against its own stale history copy, and the stale

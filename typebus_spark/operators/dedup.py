@@ -762,6 +762,152 @@ def dedup_spans(
     )
 
 
+def cdc_chunk_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_chunk_tokens: int = 16,
+    gram: int = 3,
+) -> DataFrame:
+    """Content-defined chunking over tokens (Rabin-Karp-style): token
+    ``i`` CUTS (ends its chunk) iff the 60-bit md5-prefix key of the
+    ``gram``-token window ending at ``i`` is ≡ 0 mod
+    ``target_chunk_tokens`` — a boundary decided purely by local
+    content, so a span duplicated at ANY offset produces identical
+    interior chunks (only the spill-over chunks at the span edges mix
+    with surrounding text). Expected chunk length =
+    ``target_chunk_tokens``.
+
+    Returns ``(_id, chunk_id, chunk, n_toks)`` — chunk_id is the
+    0-based position-order index within the document.
+
+    Scale shape: the grams/cut flags are scan-side array expressions;
+    the only non-scan work is one per-DOCUMENT window (prefix sum of
+    cut flags → chunk ids, state bounded by doc length) and the
+    chunk regroup — both shuffle on `_id`, reusable across the two
+    stages.
+    """
+    from pyspark.sql import Window
+
+    from typebus_spark.session import ensure_parallelism
+
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.concat_ws(
+            " ",
+            F.slice(
+                toks,
+                F.greatest(i - F.lit(gram - 1), F.lit(1)),
+                F.least(i, F.lit(gram)),
+            ),
+        ),
+    )
+    ex = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.arrays_zip(toks.alias("tok"), grams.alias("gram")))
+        .alias("pos", "z"),
+    ).select(
+        "_id",
+        "pos",
+        F.col("z.tok").alias("tok"),
+        (
+            F.pmod(shingle_key("z.gram"), F.lit(target_chunk_tokens)) == 0
+        ).cast("int").alias("cut"),
+    )
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_chunk = ex.withColumn(
+        "chunk_id", F.coalesce(F.sum("cut").over(w), F.lit(0))
+    )
+    return (
+        with_chunk.groupBy("_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("chunk"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_chunk_tokens: int = 16,
+    min_docs: int = 2,
+    min_chunk_tokens: int = 4,
+) -> DataFrame:
+    """Exact-substring dedup at ARBITRARY offsets (the Lee et al.
+    'Deduplicating Training Data Makes Language Models Better'
+    ExactSubstr case, re-expressed for Spark): content-defined chunk
+    boundaries (``cdc_chunk_rows``) align duplicated spans regardless
+    of where they start, so repeated substrings that slip through
+    ``dedup_spans``' fixed-chunk grid are still caught; any chunk of ≥
+    ``min_chunk_tokens`` tokens appearing in ≥ ``min_docs`` distinct
+    documents is cut from every document and the survivors re-join in
+    position order.
+
+    ``min_chunk_tokens`` guards against cutting spuriously-common tiny
+    chunks (a 1-token chunk is just a common word); shorter chunks are
+    kept unconditionally — mirroring ExactSubstr's minimum match
+    length (50 tokens there; configurable here).
+
+    Returns ``(id, n_chunks, n_removed, cleaned_text)`` — same contract
+    as ``dedup_spans``.
+
+    Scale shape: one per-doc window + chunk-key shuffle (map-side
+    partial distinct-count) + per-doc regroup; the dup set is tiny
+    (duplicated spans only) and broadcast-joins back.
+    """
+    chunks = cdc_chunk_rows(
+        df, id_col, text_col, target_chunk_tokens
+    )
+    dup = (
+        chunks.filter(F.col("n_toks") >= min_chunk_tokens)
+        .groupBy("chunk")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("chunk", F.lit(1).alias("_dup"))
+    )
+    joined = chunks.join(dup, "chunk", "left_outer").select(
+        "_id", "chunk_id", "chunk", F.col("_dup").isNull().alias("kept")
+    )
+    cleaned = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk", "kept"))
+                ),
+                lambda x: x["kept"],
+            ),
+            lambda x: x["chunk"],
+        ),
+        " ",
+    )
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((~F.col("kept")).cast("int")).cast("long").alias(
+                "n_removed"
+            ),
+            cleaned.alias("cleaned_text"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def incremental_dedup(
     delta: DataFrame,
     corpus: DataFrame,

@@ -660,6 +660,77 @@ def q_dedup_spans(spark, sf_dir):
     )
 
 
+_CDC_P = 16  # target chunk tokens (boundary prob 1/16 per token)
+_CDC_MIN = 4  # chunks shorter than this are never cut
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+             generate_subscripts(toks, 1) AS i,
+             unnest(toks) AS tok,
+             toks AS arr
+      FROM tt),
+g2 AS (SELECT doc_id, i, tok,
+              CASE WHEN ('0x' || substr(md5(
+                     array_to_string(arr[greatest(i-2,1):i], ' ')
+                   ), 1, 15))::BIGINT % {_CDC_P} = 0 THEN 1 ELSE 0 END AS cut
+       FROM g),
+g3 AS (SELECT doc_id, i, tok, cut,
+              coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS chunk_id
+       FROM g2),
+ch AS (SELECT doc_id, chunk_id,
+              string_agg(tok, ' ' ORDER BY i) AS chunk,
+              count(*) AS n_toks
+       FROM g3 GROUP BY doc_id, chunk_id),
+dup AS (SELECT chunk FROM ch
+        WHERE n_toks >= {_CDC_MIN}
+        GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+j AS (SELECT ch.doc_id, ch.chunk_id, ch.chunk,
+             (d.chunk IS NULL) AS kept
+      FROM ch LEFT JOIN dup d ON ch.chunk = d.chunk)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+                               ORDER BY chunk_id), '')) AS cleaned_hash
+FROM j GROUP BY doc_id
+""",
+    doc=(
+        "Exact-SUBSTRING dedup at arbitrary offsets (Lee et al. "
+        "ExactSubstr, Spark-first): content-defined chunk boundaries "
+        "(3-token rolling md5 key mod 16) align duplicated spans "
+        "regardless of offset — repeated substrings that slip through "
+        "q_dedup_spans' fixed grid are caught; chunks of >=4 tokens "
+        "shared by >=2 docs are cut everywhere and the text rebuilt. "
+        "One per-doc window + one chunk-key shuffle + per-doc regroup; "
+        "reconstruction md5-verified against the oracle."
+    ),
+)
+def q_dedup_substring(spark, sf_dir):
+    from typebus_spark.operators.dedup import dedup_substrings
+
+    docs = t(spark, sf_dir, "documents")
+    out = dedup_substrings(
+        docs,
+        "doc_id",
+        "text",
+        target_chunk_tokens=_CDC_P,
+        min_docs=2,
+        min_chunk_tokens=_CDC_MIN,
+    )
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_removed",
+        F.md5("cleaned_text").alias("cleaned_hash"),
+    )
+
+
 @query(
     "q_dedup_containment",
     oracle=f"""
