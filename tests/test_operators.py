@@ -769,6 +769,40 @@ def test_cdc_chunks_offset_invariant(spark):
     assert len(shared) >= len(by_doc[1]) - 2
 
 
+def test_phash_near_pairs_banding_and_hamming(spark):
+    """Band LSH over a phash catalog: pairs agreeing on >=1 of the 4
+    hex bands AND within the hamming budget are emitted (with a < b and
+    carried catalog columns); hashes differing in every band never
+    pair. Pigeonhole: hamming <= 3 < 4 bands GUARANTEES a shared band,
+    so nothing near is missed at that distance."""
+    from typebus_spark.operators.multimodal import phash_near_pairs
+
+    cat = spark.createDataFrame(
+        [
+            ("0000000000000000", 10),
+            ("0000000000000001", 20),  # hamming 1 vs first, 3 shared bands
+            ("00000000000000ff", 5),   # hamming 8 vs first, 3 shared bands
+            ("ffffffffffffffff", 7),   # hamming 64, 0 shared bands
+        ],
+        "phash string, n_docs long",
+    )
+    got = {
+        (r["a"], r["b"]): (r["hamming"], r["n_docs_a"], r["n_docs_b"])
+        for r in phash_near_pairs(cat, max_hamming=8).collect()
+    }
+    assert got == {
+        ("0000000000000000", "0000000000000001"): (1, 10, 20),
+        ("0000000000000000", "00000000000000ff"): (8, 10, 5),
+        ("0000000000000001", "00000000000000ff"): (7, 20, 5),
+    }
+    # tighter budget prunes the verify, banding recall still complete
+    got2 = {
+        (r["a"], r["b"])
+        for r in phash_near_pairs(cat, max_hamming=1).collect()
+    }
+    assert got2 == {("0000000000000000", "0000000000000001")}
+
+
 def test_minhash_incremental_reingest_same_id(spark, sf_dir):
     """Re-ingesting an UPDATED doc (same id in history and delta) must
     not self-pair against its own stale history copy, and the stale

@@ -327,6 +327,78 @@ def perceptual_hash_media(
     return df.select(id_col, media_col).mapInPandas(run, schema=out_ddl)
 
 
+def phash_near_pairs(
+    catalog: DataFrame,
+    phash_col: str = "phash",
+    max_hamming: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Hamming-tolerant near-dup pairs over a perceptual-hash CATALOG
+    (one row per distinct 16-hex phash, extra columns carried through)
+    — the LSH step the ``average_hash`` docstring advertises: split the
+    hash into ``n_bands`` hex substrings; two hashes within hamming
+    ``64/n_bands - 1`` of each other must agree on ≥1 band (pigeonhole,
+    exact recall for ``max_hamming < 64/n_bands`` … bands here: 16 bits
+    each, so hamming ≤ 15 is recall-complete at n_bands=4), candidates
+    verify with ``bit_count(xor)`` over the two 32-bit halves (8 hex
+    chars parse into a non-negative BIGINT — the signed-int64 trap
+    never fires).
+
+    Scale shape: runs on the DISTINCT-hash catalog, not docs (distinct
+    perceptual hashes ≪ corpus at 100 TB); one equi-join on
+    (band_idx, band_value) — never a cartesian — then an O(candidates)
+    verify.
+
+    Returns ``(a, b, hamming)`` with a < b, plus ``<extra>_a`` /
+    ``<extra>_b`` for every other catalog column.
+    """
+    extra = [c for c in catalog.columns if c != phash_col]
+    width = 16 // n_bands
+    bands = catalog.select(
+        F.col(phash_col).alias("_h"),
+        *[F.col(c) for c in extra],
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias(
+            "_bi"
+        ),
+    ).withColumn(
+        "_bv", F.expr(f"substring(_h, _bi * {width} + 1, {width})")
+    )
+    left = bands.select(
+        F.col("_h").alias("a"),
+        *[F.col(c).alias(f"{c}_a") for c in extra],
+        "_bi",
+        "_bv",
+    )
+    right = bands.select(
+        F.col("_h").alias("b"),
+        *[F.col(c).alias(f"{c}_b") for c in extra],
+        "_bi",
+        "_bv",
+    )
+    cand = (
+        left.join(right, ["_bi", "_bv"])
+        .filter(F.col("a") < F.col("b"))
+        .drop("_bi", "_bv")
+        .distinct()
+    )
+
+    def _half(col: str, pos: int) -> F.Column:
+        return F.conv(F.expr(f"substring({col}, {pos}, 8)"), 16, 10).cast(
+            "long"
+        )
+
+    hamming = (
+        F.bit_count(_half("a", 1).bitwiseXOR(_half("b", 1)))
+        + F.bit_count(_half("a", 9).bitwiseXOR(_half("b", 9)))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming", *[f"{c}_a" for c in extra],
+                *[f"{c}_b" for c in extra])
+    )
+
+
 def frame_sample(
     decoded: DataFrame, id_col: str, every_n: int = 2
 ) -> DataFrame:

@@ -582,6 +582,72 @@ def q_multimodal_phash(spark, sf_dir):
     )
 
 
+def _phash_near_oracle() -> str:
+    from typebus_spark.operators._media_fixtures import PHASH_NEAR_FIXTURES
+
+    values = ",\n    ".join(
+        f"({i}, '{fx['phash']}')"
+        for i, fx in enumerate(PHASH_NEAR_FIXTURES)
+    )
+    return f"""
+WITH fx(k, phash) AS (VALUES
+    {values}),
+cat AS (SELECT fx.phash, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN fx ON d.doc_id % 4 = fx.k
+        GROUP BY fx.phash),
+bands AS (SELECT phash, n_docs, b,
+                 substr(phash, b * 4 + 1, 4) AS bv
+          FROM cat, (VALUES (0), (1), (2), (3)) AS t(b)),
+cand AS (SELECT DISTINCT l.phash AS a, r.phash AS b,
+                l.n_docs AS n_docs_a, r.n_docs AS n_docs_b
+         FROM bands l JOIN bands r
+           ON l.b = r.b AND l.bv = r.bv AND l.phash < r.phash)
+SELECT a, b,
+       CAST(bit_count(xor(('0x' || substr(a, 1, 8))::BIGINT,
+                          ('0x' || substr(b, 1, 8))::BIGINT))
+          + bit_count(xor(('0x' || substr(a, 9, 8))::BIGINT,
+                          ('0x' || substr(b, 9, 8))::BIGINT)) AS INT)
+         AS hamming,
+       n_docs_a, n_docs_b
+FROM cand
+WHERE bit_count(xor(('0x' || substr(a, 1, 8))::BIGINT,
+                    ('0x' || substr(b, 1, 8))::BIGINT))
+    + bit_count(xor(('0x' || substr(a, 9, 8))::BIGINT,
+                    ('0x' || substr(b, 9, 8))::BIGINT)) <= 8
+"""
+
+
+@query(
+    "q_multimodal_phash_near",
+    oracle=_phash_near_oracle(),
+    doc=(
+        "FUZZY perceptual near-dup (the hamming-LSH step "
+        "q_multimodal_phash only advertised): four real PNG fixtures — "
+        "incl. a perturbed variant at average-hash hamming 3 from its "
+        "base — fan over documents, hashes computed from REAL pixels "
+        "on executors, then the DISTINCT-hash catalog is banded into "
+        "4x16-bit hex substrings, self-joined on (band, value) — never "
+        "a cartesian — and candidates verify hamming <= 8 via "
+        "bit_count(xor) on the two 32-bit halves. Unrelated fixtures "
+        "(hamming >= 27, zero shared bands) must NOT pair; the banding "
+        "+ hamming arithmetic is replayed verbatim by the oracle."
+    ),
+)
+def q_multimodal_phash_near(spark, sf_dir):
+    from typebus_spark.operators._media_fixtures import PHASH_NEAR_FIXTURES
+    from typebus_spark.operators.multimodal import (
+        perceptual_hash_media,
+        phash_near_pairs,
+    )
+
+    media = _fixture_media_frame(spark, sf_dir, PHASH_NEAR_FIXTURES, 4)
+    hashed = perceptual_hash_media(media, "doc_id")
+    catalog = hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return phash_near_pairs(catalog, "phash", max_hamming=8, n_bands=4)
+
+
 @query(
     "q_text_redact",
     oracle=r"""
