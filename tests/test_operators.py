@@ -769,6 +769,33 @@ def test_cdc_chunks_offset_invariant(spark):
     assert len(shared) >= len(by_doc[1]) - 2
 
 
+def test_langid_ngram_heldout_accuracy(spark):
+    """Char-3-gram centroid classifier: 100% on the held-out labeled
+    fixture (18 sentences, 6 Latin-script languages — separable only
+    by n-gram statistics, not character inventory), and scores are
+    exact integers (micro-unit scheme) so the pin is deterministic."""
+    from typebus_spark.operators._langid_fixture import (
+        LANGID_TEST,
+        LANGID_TRAIN,
+    )
+    from typebus_spark.operators.text_analysis import lang_id_ngram
+
+    train = spark.createDataFrame(LANGID_TRAIN, "lang string, text string")
+    test = spark.createDataFrame(
+        [(i, l, t) for i, (l, t) in enumerate(LANGID_TEST)],
+        "rid long, lang string, text string",
+    )
+    out = lang_id_ngram(test, "rid", "text", train)
+    rows = out.join(test.select("rid", "lang"), "rid").collect()
+    assert len(rows) == len(LANGID_TEST)
+    wrong = [
+        (r["rid"], r["lang"], r["pred_lang"])
+        for r in rows
+        if r["pred_lang"] != r["lang"]
+    ]
+    assert not wrong, wrong
+
+
 def test_phash_near_pairs_banding_and_hamming(spark):
     """Band LSH over a phash catalog: pairs agreeing on >=1 of the 4
     hex bands AND within the hamming budget are emitted (with a < b and

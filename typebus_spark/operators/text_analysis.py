@@ -118,6 +118,135 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+LANGID_BUCKETS = 4096
+LANGID_GRAM = 3
+LANGID_SEED = 7
+
+
+def _char_grams(s: F.Column, gram: int = LANGID_GRAM) -> F.Column:
+    """Character n-grams of the normalized text (1-gram fallback for
+    strings shorter than ``gram``)."""
+    n = F.length(s)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (gram - 1), F.lit(1))),
+        lambda i: F.substr(s, i, F.lit(gram)),
+    )
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train: DataFrame,
+    n_buckets: int = LANGID_BUCKETS,
+    seed: int = LANGID_SEED,
+) -> DataFrame:
+    """Hash-embedded character-n-gram centroid language classifier —
+    the statistical upgrade of the marker-lexicon ``lang_id`` (the
+    langid.py / fastText-style approach, linear-model variant):
+    per language, TRAIN a hashed char-3-gram unigram LM from a labeled
+    frame ``train(lang, text)``; classify each document by the add-1
+    smoothed naive-Bayes log-likelihood ``Σ_g ln p_lang(bucket(g))``,
+    argmax over languages (deterministic tiebreak: lang code asc).
+
+    Engine-portable by the DSIR micro-unit scheme
+    (``corpus_stats.dsir_logweights``): every per-(lang, bucket) ln is
+    fixed to integer MICRO-units before any per-document sum, so
+    scores are exact integers and cross-engine ulp drift sits ~6
+    orders below the rounding grid. Decomposition keeps unseen buckets
+    free: score = Σ_matched (lp_u − def_u) + n_grams · def_u, so only
+    TRAINED buckets join (the delta table is bounded by the training
+    corpus and broadcast).
+
+    Scale shape: training aggregates are train-corpus-bounded and
+    broadcast; the corpus is scanned once into a gram explode + one
+    (id, bucket) reduce; the lang fan-out happens AFTER reduction
+    (|langs| rows per doc). No global sort — the argmax is a per-doc
+    window.
+
+    Returns ``(id, pred_lang, score_u)``.
+    """
+    from pyspark.sql import Window
+
+    from typebus_spark.session import ensure_parallelism
+
+    def bucket(g: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{seed}:"), g)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        )
+
+    tg = train.select(
+        F.col("lang"),
+        F.explode(_char_grams(norm_text("text"))).alias("g"),
+    ).select("lang", bucket(F.col("g")).alias("b"))
+    prof = tg.groupBy("lang", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = tg.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def u(x: F.Column) -> F.Column:
+        return F.round(F.log(x) * 1e6, 0).cast("long")
+
+    langs = tot.select(
+        "lang", u(F.lit(1.0) / (F.col("n") + n_buckets)).alias("def_u")
+    )
+    delta = (
+        prof.join(tot, "lang")
+        .join(langs, "lang")
+        .select(
+            "lang",
+            "b",
+            (
+                u((F.col("c") + F.lit(1.0)) / (F.col("n") + n_buckets))
+                - F.col("def_u")
+            ).alias("d_u"),
+        )
+    )
+
+    g = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("_id"),
+        F.explode(_char_grams(norm_text(text_col))).alias("g"),
+    ).select("_id", bucket(F.col("g")).alias("b"))
+    gdoc = g.groupBy("_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ng = gdoc.groupBy("_id").agg(F.sum("cnt").cast("long").alias("n_grams"))
+    matched = (
+        gdoc.join(F.broadcast(delta), "b")
+        .groupBy("_id", "lang")
+        .agg(F.sum(F.col("cnt") * F.col("d_u")).cast("long").alias("mu"))
+    )
+    scored = (
+        ng.crossJoin(F.broadcast(langs))
+        .join(matched, ["_id", "lang"], "left_outer")
+        .select(
+            "_id",
+            "lang",
+            (
+                F.coalesce(F.col("mu"), F.lit(0))
+                + F.col("n_grams") * F.col("def_u")
+            ).alias("score_u"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score_u").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("lang").alias("pred_lang"),
+            "score_u",
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame,
     id_col: str,

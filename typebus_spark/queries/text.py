@@ -582,6 +582,88 @@ def q_multimodal_phash(spark, sf_dir):
     )
 
 
+def _langid_ngram_oracle() -> str:
+    from typebus_spark.operators._langid_fixture import LANGID_TRAIN
+    from typebus_spark.operators.text_analysis import (
+        LANGID_BUCKETS,
+        LANGID_SEED,
+    )
+
+    B, S = LANGID_BUCKETS, LANGID_SEED
+    values = ",\n    ".join(f"('{l}', '{t}')" for l, t in LANGID_TRAIN)
+
+    def norm(c: str) -> str:
+        return f"trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+    grams = (
+        "unnest(list_transform(range(1, greatest(len(s) - 2, 1) + 1), "
+        "i -> substr(s, i, 3)))"
+    )
+    bkt = f"('0x' || substr(md5('{S}:' || g), 1, 15))::BIGINT % {B}"
+    return f"""
+WITH train(lang, txt) AS (VALUES
+    {values}),
+tn AS (SELECT lang, {norm('txt')} AS s FROM train),
+tg AS (SELECT lang, {grams} AS g FROM tn),
+tb AS (SELECT lang, {bkt} AS b FROM tg),
+prof AS (SELECT lang, b, count(*) AS c FROM tb GROUP BY 1, 2),
+tot AS (SELECT lang, count(*) AS n FROM tb GROUP BY 1),
+langs AS (SELECT lang, n,
+                 CAST(round(ln(1.0 / (n + {B})) * 1e6, 0) AS BIGINT)
+                   AS def_u
+          FROM tot),
+delta AS (SELECT p.lang, p.b,
+                 CAST(round(ln((p.c + 1.0) / (t.n + {B})) * 1e6, 0)
+                      AS BIGINT) - l.def_u AS d_u
+          FROM prof p JOIN tot t USING (lang) JOIN langs l USING (lang)),
+dn AS (SELECT doc_id, {norm('text')} AS s FROM documents),
+dg AS (SELECT doc_id, {grams} AS g FROM dn),
+db AS (SELECT doc_id, {bkt} AS b FROM dg),
+gdoc AS (SELECT doc_id, b, count(*) AS cnt FROM db GROUP BY 1, 2),
+ng AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams
+       FROM gdoc GROUP BY 1),
+matched AS (SELECT g.doc_id, d.lang,
+                   CAST(sum(g.cnt * d.d_u) AS BIGINT) AS mu
+            FROM gdoc g JOIN delta d USING (b) GROUP BY 1, 2),
+scored AS (SELECT ng.doc_id, l.lang,
+                  coalesce(m.mu, 0) + ng.n_grams * l.def_u AS score_u
+           FROM ng CROSS JOIN langs l
+           LEFT JOIN matched m
+             ON m.doc_id = ng.doc_id AND m.lang = l.lang)
+SELECT doc_id, lang AS pred_lang, CAST(score_u AS BIGINT) AS score_u
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_u DESC, lang ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+@query(
+    "q_text_langid_ngram",
+    oracle=_langid_ngram_oracle(),
+    doc=(
+        "Hash-embedded char-3-gram centroid language classifier (the "
+        "langid.py-style statistical upgrade of q_text_langid's marker "
+        "lexicon): six-language labeled fixture trains hashed-unigram "
+        "LMs (md5 buckets, add-1 smoothing); docs classified by exact "
+        "integer micro-unit NB log-likelihood argmax (the DSIR "
+        "portability scheme — no raw transcendental compare crosses "
+        "the engine boundary). Held-out accuracy pinned 18/18 by "
+        "tests/test_operators.py. Training tables are bounded + "
+        "broadcast; corpus scanned once, lang fan-out after the "
+        "(id, bucket) reduce; per-doc window argmax, no global sort."
+    ),
+)
+def q_text_langid_ngram(spark, sf_dir):
+    from typebus_spark.operators._langid_fixture import LANGID_TRAIN
+    from typebus_spark.operators.text_analysis import lang_id_ngram
+
+    train = spark.createDataFrame(LANGID_TRAIN, "lang string, text string")
+    return lang_id_ngram(
+        t(spark, sf_dir, "documents"), "doc_id", "text", train
+    )
+
+
 def _phash_near_oracle() -> str:
     from typebus_spark.operators._media_fixtures import PHASH_NEAR_FIXTURES
 
