@@ -189,7 +189,34 @@ def main() -> None:
         out["failures"] = failures
     if flaky:
         out["flaky"] = flaky
-    print(json.dumps(out))
+    # The external driver captures only the LAST ~2000 chars of stdout
+    # and parses the tail as JSON — a full 146-query map (~4.5 KB) gets
+    # its head truncated and records parsed:null (round-8 artifact).
+    # Ship the COMPLETE per-query map to BENCH_DETAIL.json (committed,
+    # machine-readable, round-over-round diffable) and keep the final
+    # stdout line under budget: headline + the slowest queries that
+    # fit + a pointer. Local callers (tools/interleave_bench.py,
+    # BASELINE.md protocol) read the detail file.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(out, f)
+    budget = 1900
+    slowest = sorted(
+        ((n, t) for n, t in timings.items()), key=lambda kv: -kv[1]
+    )
+    compact = dict(out)
+    compact["n_queries"] = len(timings)
+    compact["detail"] = "BENCH_DETAIL.json"
+    for keep in range(len(slowest), -1, -1):
+        compact["queries"] = dict(
+            sorted(slowest[:keep])  # name order for stable diffs
+        )
+        line = json.dumps(compact)
+        if len(line) <= budget:
+            break
+    print(line)
     spark.stop()
 
 

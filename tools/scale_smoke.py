@@ -149,9 +149,26 @@ def main() -> None:
     # vocabulary
     run("heavy_hitter_tokens", heavy_hitters(tok, "token", 1, 500), n_docs)
     n_ev = big_ev.count()
+    from typebus_spark.operators.dedup import dedup_substrings
+    from typebus_spark.operators.sampling import shard_shuffle
+
+    # r9 additions (VERDICT r8 #2): shard shuffle must stay ONE hash
+    # shuffle + partition-local sort (never a global sort) at any
+    # factor; substring dedup is the spans shape + one per-doc window.
+    run(
+        "shard_shuffle",
+        shard_shuffle(big_docs, "doc_id", n_shards=64, seed=11),
+        n_docs,
+    )
+    run(
+        "dedup_substrings",
+        dedup_substrings(big_docs, "doc_id", "text"),
+        n_docs,
+    )
     ann_profile_smoke(spark, sf_dir, factor, run)
     drain_smoke(spark, big_ev, factor, n_ev)
     stream_join_smoke(spark, big_ev, factor, n_ev)
+    stream_append_smoke(spark, big_ev, factor, n_ev)
     spark.stop()
 
 
@@ -465,6 +482,117 @@ def stream_join_smoke(spark, big_ev, factor: int, rows_in: int) -> None:
         ),
         flush=True,
     )
+
+
+def stream_append_smoke(spark, big_ev, factor: int, rows_in: int) -> None:
+    """Append+watermark streaming state at scale (VERDICT r8 #2): the
+    replicated events keep the SAME time range (ids shift, timestamps
+    do not), so windows-per-hour is constant and rows-per-window grows
+    with the factor. The 100 TB claims under test: (a) window-agg
+    state after the trailing no-data batch tracks the OPEN watermark
+    horizon (same numRowsTotal at 1x and Nx — eviction is event-time
+    driven, input-size independent); (b) dropDuplicatesWithinWatermark
+    state tracks the DISTINCT-KEY set inside the horizon, not the
+    input row count. Set SMOKE_STATE_PARTITIONS to sweep the
+    STREAM_STATE_PARTITIONS pin at scale (VERDICT r8 #6)."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from typebus_spark.queries.dataflow import STREAM_STATE_PARTITIONS
+    from typebus_spark.session import (
+        no_data_microbatches_disabled,
+        pinned_shuffle_partitions,
+    )
+
+    parts = int(
+        os.environ.get("SMOKE_STATE_PARTITIONS", STREAM_STATE_PARTITIONS)
+    )
+    stage = tempfile.mkdtemp(prefix="smoke_append_")
+    big_ev.select("event_id", "user_id", "event_type", "ts", "value").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    batch = spark.read.parquet(stage)
+
+    def wsrc():
+        return (
+            spark.readStream.schema(batch.schema)
+            .parquet(stage)
+            .withColumn(
+                "wts",
+                F.expr(
+                    "to_utc_timestamp(cast(ts as timestamp), "
+                    "current_timezone())"
+                ),
+            )
+            .withWatermark("wts", "1 hour")
+        )
+
+    def run_stream(op, out, needs_no_data: bool):
+        name = f"smoke_ap_{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        import contextlib
+
+        ctx = (
+            contextlib.nullcontext()
+            if needs_no_data
+            else no_data_microbatches_disabled(spark)
+        )
+        with pinned_shuffle_partitions(spark, parts), ctx:
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        q.awaitTermination(600)
+        rows_out = spark.table(name).count()
+        wall = round(time.perf_counter() - t0, 2)
+        state_rows = None
+        prog = q.lastProgress
+        if prog and prog.get("stateOperators"):
+            state_rows = prog["stateOperators"][0].get("numRowsTotal")
+        print(
+            json.dumps(
+                {
+                    "op": op,
+                    "factor": factor,
+                    "rows_in": rows_in,
+                    "rows_out": rows_out,
+                    "wall_sec": wall,
+                    "state_rows": state_rows,
+                    "state_partitions": parts,
+                    "plan_ok": state_rows is not None,
+                }
+            ),
+            flush=True,
+        )
+
+    agg = (
+        wsrc()
+        .groupBy(F.window("wts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour_start"), "n_events")
+    )
+    run_stream("stream_hourly_append", agg, needs_no_data=True)
+
+    sess = (
+        wsrc()
+        .groupBy("user_id", F.session_window("wts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    run_stream("stream_session_append", sess, needs_no_data=True)
+
+    dd = (
+        wsrc()
+        .select("user_id", "event_type", "wts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    run_stream("stream_dedup_bounded", dd, needs_no_data=False)
 
 
 if __name__ == "__main__":

@@ -31,10 +31,15 @@ from typebus_spark.suite import query, t
 # state-store open/commit (ssj 3.15 -> 2.37 s); the r8 sweep over
 # {4, 2, 1} moved the pin to 2 (ssj 2.38 -> 1.82, hourly_append 1.33 ->
 # 1.03, outer join 3.15 -> 2.40, min-of-2 at sf0.1) — 1 loses the
-# multi-core merge on the session/outer shapes (2.24/2.72 s). A
-# production deployment at 100 TB raises this when starting its own
-# checkpoints.
-STREAM_STATE_PARTITIONS = 2
+# multi-core merge on the session/outer shapes (2.24/2.72 s). The r9
+# re-sweep AFTER multi-file source staging (session.py: the staged
+# stream now scans in parallel, so reducers are fed fast enough to use)
+# moved it back to 4: min-of-3 at sf0.1 hourly_append 1.26 -> 0.91,
+# session_append 1.59 -> 1.27, ssj 1.74 -> 1.45, outer 2.10 -> 2.02,
+# dedup_bounded 0.65 -> 0.60; sliding tied. The pin is coupled to the
+# source's scan parallelism — re-sweep if staging changes. A production
+# deployment at 100 TB raises this when starting its own checkpoints.
+STREAM_STATE_PARTITIONS = 4
 
 # Python-stateful operators (applyInPandasWithState) have a different
 # optimum: per-GROUP pandas overhead in the Python worker dominates the
