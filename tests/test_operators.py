@@ -796,6 +796,34 @@ def test_langid_ngram_heldout_accuracy(spark):
     assert not wrong, wrong
 
 
+def test_langid_frozen_profile_matches_live_training(spark):
+    """The frozen profile literals (_langid_profile.py) must equal a
+    LIVE training run on the fixture — exact integer compare (micro-
+    unit scheme), the same live==frozen pin as the IVF codebook. Also
+    guards the fixture fingerprint so editing the fixture without
+    re-freezing trips here, not in the driver."""
+    import hashlib
+
+    from typebus_spark.operators import _langid_profile as fz
+    from typebus_spark.operators._langid_fixture import LANGID_TRAIN
+    from typebus_spark.operators.text_analysis import (
+        LANGID_BUCKETS,
+        LANGID_SEED,
+        langid_train_profile,
+    )
+
+    assert fz.FIXTURE_FINGERPRINT == hashlib.md5(
+        repr(LANGID_TRAIN).encode()
+    ).hexdigest()
+    assert (fz.BUCKETS, fz.SEED) == (LANGID_BUCKETS, LANGID_SEED)
+    train = spark.createDataFrame(LANGID_TRAIN, "lang string, text string")
+    delta, langs = langid_train_profile(train)
+    live_delta = sorted((r["lang"], r["b"], r["d_u"]) for r in delta.collect())
+    live_langs = sorted((r["lang"], r["def_u"]) for r in langs.collect())
+    assert live_delta == [tuple(x) for x in fz.PROFILE_DELTA]
+    assert live_langs == [tuple(x) for x in fz.PROFILE_LANGS]
+
+
 def test_phash_near_pairs_banding_and_hamming(spark):
     """Band LSH over a phash catalog: pairs agreeing on >=1 of the 4
     hex bands AND within the hamming budget are emitted (with a < b and

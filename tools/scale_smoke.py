@@ -155,10 +155,15 @@ def main() -> None:
     # r9 additions (VERDICT r8 #2): shard shuffle must stay ONE hash
     # shuffle + partition-local sort (never a global sort) at any
     # factor; substring dedup is the spans shape + one per-doc window.
+    # checksum aggregate over (shard, pos) so count() can't prune the
+    # rank window that IS the operator's work (the q_scale_smoke trap)
     run(
         "shard_shuffle",
-        shard_shuffle(big_docs, "doc_id", n_shards=64, seed=11),
+        shard_shuffle(big_docs, "doc_id", n_shards=64, seed=11)
+        .groupBy("shard")
+        .agg(F.sum("pos").alias("pos_sum")),
         n_docs,
+        collect_rows=True,
     )
     run(
         "dedup_substrings",

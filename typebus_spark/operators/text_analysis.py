@@ -133,13 +133,86 @@ def _char_grams(s: F.Column, gram: int = LANGID_GRAM) -> F.Column:
     )
 
 
+def _langid_bucket(g: F.Column, seed: int, n_buckets: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), g)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+
+
+def langid_train_profile(
+    train: DataFrame,
+    n_buckets: int = LANGID_BUCKETS,
+    seed: int = LANGID_SEED,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the per-language hashed char-3-gram profiles. Returns
+    ``(delta, langs)``: ``delta(lang, b, d_u)`` — the micro-unit log-
+    likelihood delta over the unseen-bucket default for every TRAINED
+    (lang, bucket) — and ``langs(lang, def_u)`` — the per-language
+    unseen-bucket default. Exact integers (see ``lang_id_ngram``), so
+    the profiles can be FROZEN as literals
+    (tools/freeze_langid_profile.py) exactly like the IVF codebook."""
+    tg = train.select(
+        F.col("lang"),
+        F.explode(_char_grams(norm_text("text"))).alias("g"),
+    ).select("lang", _langid_bucket(F.col("g"), seed, n_buckets).alias("b"))
+    prof = tg.groupBy("lang", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = tg.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def u(x: F.Column) -> F.Column:
+        return F.round(F.log(x) * 1e6, 0).cast("long")
+
+    langs = tot.select(
+        "lang", u(F.lit(1.0) / (F.col("n") + n_buckets)).alias("def_u")
+    )
+    delta = (
+        prof.join(tot, "lang")
+        .join(langs, "lang")
+        .select(
+            "lang",
+            "b",
+            (
+                u((F.col("c") + F.lit(1.0)) / (F.col("n") + n_buckets))
+                - F.col("def_u")
+            ).alias("d_u"),
+        )
+    )
+    return delta, langs
+
+
+def langid_frozen_profile(spark) -> tuple[DataFrame, DataFrame]:
+    """(delta, langs) frames from the FROZEN literals
+    (_langid_profile.py, generated by tools/freeze_langid_profile.py).
+    Train-once-classify-many: no training subtree in the plan; two
+    local relations (1.9k + 6 rows) that broadcast. The driver oracle
+    re-derives the same numbers from the fixture in SQL every round,
+    and tests pin live-training == frozen."""
+    from typebus_spark.operators._langid_profile import (
+        PROFILE_DELTA,
+        PROFILE_LANGS,
+    )
+
+    delta = spark.createDataFrame(
+        PROFILE_DELTA, "lang string, b long, d_u long"
+    )
+    langs = spark.createDataFrame(PROFILE_LANGS, "lang string, def_u long")
+    return delta, langs
+
+
 def lang_id_ngram(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    train: DataFrame,
+    train: DataFrame | None = None,
     n_buckets: int = LANGID_BUCKETS,
     seed: int = LANGID_SEED,
+    profile: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Hash-embedded character-n-gram centroid language classifier —
     the statistical upgrade of the marker-lexicon ``lang_id`` (the
@@ -164,54 +237,29 @@ def lang_id_ngram(
     (|langs| rows per doc). No global sort — the argmax is a per-doc
     window.
 
+    Pass either ``train`` (profiles derived in-plan — the training
+    subtree re-executes per run) or ``profile`` (pre-trained
+    ``(delta, langs)`` frames, e.g. the FROZEN literals from
+    tools/freeze_langid_profile.py — the production shape: train once,
+    classify many).
+
     Returns ``(id, pred_lang, score_u)``.
     """
     from pyspark.sql import Window
 
     from typebus_spark.session import ensure_parallelism
 
-    def bucket(g: F.Column) -> F.Column:
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{seed}:"), g)), 1, 15),
-                16,
-                10,
-            ).cast("long")
-            % n_buckets
-        )
-
-    tg = train.select(
-        F.col("lang"),
-        F.explode(_char_grams(norm_text("text"))).alias("g"),
-    ).select("lang", bucket(F.col("g")).alias("b"))
-    prof = tg.groupBy("lang", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    tot = tg.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
-
-    def u(x: F.Column) -> F.Column:
-        return F.round(F.log(x) * 1e6, 0).cast("long")
-
-    langs = tot.select(
-        "lang", u(F.lit(1.0) / (F.col("n") + n_buckets)).alias("def_u")
-    )
-    delta = (
-        prof.join(tot, "lang")
-        .join(langs, "lang")
-        .select(
-            "lang",
-            "b",
-            (
-                u((F.col("c") + F.lit(1.0)) / (F.col("n") + n_buckets))
-                - F.col("def_u")
-            ).alias("d_u"),
-        )
-    )
+    if profile is not None:
+        delta, langs = profile
+    else:
+        if train is None:
+            raise ValueError("lang_id_ngram needs train= or profile=")
+        delta, langs = langid_train_profile(train, n_buckets, seed)
 
     g = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.explode(_char_grams(norm_text(text_col))).alias("g"),
-    ).select("_id", bucket(F.col("g")).alias("b"))
+    ).select("_id", _langid_bucket(F.col("g"), seed, n_buckets).alias("b"))
     gdoc = g.groupBy("_id", "b").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )

@@ -655,12 +655,16 @@ WHERE rn = 1
     ),
 )
 def q_text_langid_ngram(spark, sf_dir):
-    from typebus_spark.operators._langid_fixture import LANGID_TRAIN
-    from typebus_spark.operators.text_analysis import lang_id_ngram
+    from typebus_spark.operators.text_analysis import (
+        lang_id_ngram,
+        langid_frozen_profile,
+    )
 
-    train = spark.createDataFrame(LANGID_TRAIN, "lang string, text string")
     return lang_id_ngram(
-        t(spark, sf_dir, "documents"), "doc_id", "text", train
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        profile=langid_frozen_profile(spark),
     )
 
 
