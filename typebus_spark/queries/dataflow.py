@@ -31,15 +31,20 @@ from typebus_spark.suite import query, t
 # state-store open/commit (ssj 3.15 -> 2.37 s); the r8 sweep over
 # {4, 2, 1} moved the pin to 2 (ssj 2.38 -> 1.82, hourly_append 1.33 ->
 # 1.03, outer join 3.15 -> 2.40, min-of-2 at sf0.1) — 1 loses the
-# multi-core merge on the session/outer shapes (2.24/2.72 s). The r9
-# re-sweep AFTER multi-file source staging (session.py: the staged
-# stream now scans in parallel, so reducers are fed fast enough to use)
-# moved it back to 4: min-of-3 at sf0.1 hourly_append 1.26 -> 0.91,
-# session_append 1.59 -> 1.27, ssj 1.74 -> 1.45, outer 2.10 -> 2.02,
-# dedup_bounded 0.65 -> 0.60; sliding tied. The pin is coupled to the
-# source's scan parallelism — re-sweep if staging changes. A production
-# deployment at 100 TB raises this when starting its own checkpoints.
-STREAM_STATE_PARTITIONS = 4
+# multi-core merge on the session/outer shapes (2.24/2.72 s). An r9
+# single-session sweep suggested 4 across the family, but the REQUIRED
+# interleaved r8-vs-r9 pair (BASELINE.md protocol) showed that was
+# order-bias: at 4, only the session shape actually improved (2.05 ->
+# 1.67 interleaved min) while the light-state window aggs regressed
+# ~5-8%. Hence TWO pins: 2 stays the family default;
+# SESSION_STATE_PARTITIONS=4 for session_window merges (heavier
+# per-key state work wants the extra cores). Sweeps MUST use the
+# interleaved/alternating form — this host's load swings 2x within
+# minutes and a sequential sweep reliably flatters whichever setting
+# runs later. A production deployment at 100 TB raises both pins when
+# starting its own checkpoints.
+STREAM_STATE_PARTITIONS = 2
+SESSION_STATE_PARTITIONS = 4
 
 # Python-stateful operators (applyInPandasWithState) have a different
 # optimum: per-GROUP pandas overhead in the Python worker dominates the
@@ -795,7 +800,7 @@ def q_stream_session_append(spark, sf_dir):
         )
     )
     name = f"sess_ap_{uuid.uuid4().hex[:8]}"
-    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+    with pinned_shuffle_partitions(spark, SESSION_STATE_PARTITIONS):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -989,7 +994,7 @@ def q_stream_session(spark, sf_dir):
         )
     )
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+    with pinned_shuffle_partitions(spark, SESSION_STATE_PARTITIONS):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
