@@ -478,10 +478,25 @@ def dsir_logweights(
         ).cast("long")
         % n_buckets,
     )
+    # Reduce the token stream ONCE to per-(doc, bucket) counts and
+    # persist: the LM build and the scoring join both consume this
+    # frame, and without the persist Catalyst re-executed the whole
+    # explode+md5 scan per consumer (no exchange reuse across the two
+    # aggregates — measured 2x scan cost at sf0.1, the same disease
+    # lang_id_ngram had). ~half the token count in rows, tiny in bytes.
+    from pyspark import StorageLevel
+
+    dbc = (
+        toks.groupBy(F.col(id_col), "_is_t", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # one pass builds BOTH models: raw = all rows, target = flagged rows
-    lm = toks.groupBy("b").agg(
-        F.count(F.lit(1)).cast("long").alias("c_r"),
-        F.sum(F.col("_is_t").cast("long")).cast("long").alias("c_t"),
+    lm = dbc.groupBy("b").agg(
+        F.sum("cnt").cast("long").alias("c_r"),
+        F.sum(F.when(F.col("_is_t"), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c_t"),
     )
     tot = lm.agg(
         F.sum("c_r").cast("long").alias("n_r"),
@@ -511,10 +526,12 @@ def dsir_logweights(
         .alias("lr_u"),
     )
     return (
-        toks.join(F.broadcast(ratio), "b")
+        dbc.join(F.broadcast(ratio), "b")
         .groupBy(F.col(id_col))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_toks"),
-            F.sum("lr_u").cast("long").alias("logweight"),
+            F.sum("cnt").cast("long").alias("n_toks"),
+            F.sum(F.col("cnt") * F.col("lr_u")).cast("long").alias(
+                "logweight"
+            ),
         )
     )

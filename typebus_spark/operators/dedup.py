@@ -724,12 +724,14 @@ def dedup_spans(
         starts,
         lambda i: F.array_join(F.slice(toks, i, chunk_tokens), " "),
     )
+    # chunk rows feed BOTH the dup aggregate and the reconstruction
+    # join — persist so the tokenize+slice explode runs once
     ex = ensure_parallelism(
         df.select(F.col(id_col), F.col(text_col))
     ).select(
         F.col(id_col).alias("_id"),
         F.posexplode(chunks).alias("pos", "chunk"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         ex.groupBy("chunk")
         .agg(F.countDistinct("_id").alias("_nd"))
@@ -870,9 +872,12 @@ def dedup_substrings(
     partial distinct-count) + per-doc regroup; the dup set is tiny
     (duplicated spans only) and broadcast-joins back.
     """
+    # the chunk frame (explode + per-doc window) feeds BOTH the dup
+    # aggregate and the reconstruction join — persist so it computes
+    # once, not per consumer (no exchange reuse across the consumers)
     chunks = cdc_chunk_rows(
         df, id_col, text_col, target_chunk_tokens
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         chunks.filter(F.col("n_toks") >= min_chunk_tokens)
         .groupBy("chunk")

@@ -256,18 +256,30 @@ def lang_id_ngram(
             raise ValueError("lang_id_ngram needs train= or profile=")
         delta, langs = langid_train_profile(train, n_buckets, seed)
 
-    g = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+    # The gram count is a CLOSED FORM of the text length (one gram per
+    # char position, 1-gram fallback), so n_grams never touches the
+    # explode pipeline — computing it from the gram stream made the
+    # plan execute the explode+md5 scan twice (no exchange reuse across
+    # the two aggregates; measured 2x the query's scan cost at sf0.1).
+    base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    ng = base.select(
+        F.col(id_col).alias("_id"),
+        F.greatest(
+            F.length(norm_text(text_col)) - (LANGID_GRAM - 1), F.lit(1)
+        ).cast("long").alias("n_grams"),
+    )
+    # Gram INSTANCES broadcast-join the trained delta directly — the
+    # (id, bucket) pre-reduce shuffled ~47% of the gram stream for
+    # nothing (map-side partial aggregation after the join already
+    # collapses to <= docs x |langs| rows before the only shuffle).
+    g = base.select(
         F.col(id_col).alias("_id"),
         F.explode(_char_grams(norm_text(text_col))).alias("g"),
     ).select("_id", _langid_bucket(F.col("g"), seed, n_buckets).alias("b"))
-    gdoc = g.groupBy("_id", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    ng = gdoc.groupBy("_id").agg(F.sum("cnt").cast("long").alias("n_grams"))
     matched = (
-        gdoc.join(F.broadcast(delta), "b")
+        g.join(F.broadcast(delta), "b")
         .groupBy("_id", "lang")
-        .agg(F.sum(F.col("cnt") * F.col("d_u")).cast("long").alias("mu"))
+        .agg(F.sum(F.col("d_u")).cast("long").alias("mu"))
     )
     scored = (
         ng.crossJoin(F.broadcast(langs))

@@ -619,12 +619,12 @@ delta AS (SELECT p.lang, p.b,
 dn AS (SELECT doc_id, {norm('text')} AS s FROM documents),
 dg AS (SELECT doc_id, {grams} AS g FROM dn),
 db AS (SELECT doc_id, {bkt} AS b FROM dg),
-gdoc AS (SELECT doc_id, b, count(*) AS cnt FROM db GROUP BY 1, 2),
-ng AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams
-       FROM gdoc GROUP BY 1),
+ng AS (SELECT doc_id,
+              CAST(greatest(len(s) - 2, 1) AS BIGINT) AS n_grams
+       FROM dn),
 matched AS (SELECT g.doc_id, d.lang,
-                   CAST(sum(g.cnt * d.d_u) AS BIGINT) AS mu
-            FROM gdoc g JOIN delta d USING (b) GROUP BY 1, 2),
+                   CAST(sum(d.d_u) AS BIGINT) AS mu
+            FROM db g JOIN delta d USING (b) GROUP BY 1, 2),
 scored AS (SELECT ng.doc_id, l.lang,
                   coalesce(m.mu, 0) + ng.n_grams * l.def_u AS score_u
            FROM ng CROSS JOIN langs l
