@@ -85,3 +85,18 @@ def test_watermark_drops_late_data(spark, tmp_path):
         counts[str(r["h"])] = counts.get(str(r["h"]), 0) + r["n"]
     # the late row was dropped: the 00:00 window still counts exactly 1
     assert counts["2024-01-01 00:00:00"] == 1
+
+
+def test_parse_delay_matches_watermark_units():
+    """The append-family cutoff literal is DERIVED from the watermark
+    delay string (ADVICE r8) — every unit Spark's CalendarInterval
+    accepts for our delays must parse to the same duration here."""
+    import datetime
+
+    from typebus_spark.queries.dataflow import _parse_delay
+
+    assert _parse_delay("1 hour") == datetime.timedelta(hours=1)
+    assert _parse_delay("2 hours") == datetime.timedelta(hours=2)
+    assert _parse_delay("30 minutes") == datetime.timedelta(minutes=30)
+    assert _parse_delay("45 seconds") == datetime.timedelta(seconds=45)
+    assert _parse_delay("1 day") == datetime.timedelta(days=1)

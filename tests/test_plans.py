@@ -252,15 +252,20 @@ def test_random_projection_is_scan_side(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
-def test_profile_single_pass_no_cartesian(spark, sf_dir):
-    """Multi-distinct profiling must plan as ONE Expand pass over the
-    table — never per-column scans or a join of sub-aggregates."""
-    plan = formatted_plan(_df(spark, sf_dir, "q_profile_table"))
-    assert "Expand" in plan, plan
-    assert "Join" not in plan, plan
-    # exactly one file scan (the formatted text repeats node NAMES in
-    # the detail section, so count scan LOCATIONS instead)
-    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+def test_profile_decomposed_no_expand_no_cartesian(spark, sf_dir):
+    """Profiling is DECOMPOSED (r9): the plain aggregates and the two
+    exact distincts each get their own column-pruned scan — the Expand
+    form tripled every row through one aggregate and measured 5.6x
+    slower fresh-plan at sf0.1 (BASELINE.md). Pins: no Expand, exactly
+    three scan locations, the recombine is broadcast-side (1-row
+    frames), never a CartesianProduct, and every distinct still
+    pre-reduces (partial_count after a group-by, not a raw shuffle)."""
+    df = _df(spark, sf_dir, "q_profile_table")
+    plan = formatted_plan(df)
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 3, plan
+    assert not has_global_sort(df), plan
 
 
 def test_new_pair_queries_no_cartesian_no_global_sort(spark, sf_dir):

@@ -474,25 +474,45 @@ FROM lineitem
 def q_profile_table(spark, sf_dir):
     from typebus_spark.session import ensure_parallelism
 
-    # The Expand (3 projections/row for the two exact distincts) is the
-    # CPU-dense part; a small parquet file scans as 1-3 partitions, so
-    # spread it first (no-op at scale — see ensure_parallelism).
+    # DECOMPOSED, not the single Expand aggregate (r9): Catalyst plans
+    # a 2-distinct profile as an Expand that pushes 3 projections of
+    # EVERY row through one aggregate — measured 2.25 s vs 0.40 s
+    # fresh-plan at sf0.1 for the three narrow scans below. The
+    # decomposition also wins at 100 TB on columnar storage: each scan
+    # is pruned to exactly the columns its aggregate needs (4 + 1 + 1
+    # columns) instead of one 4-column scan tripled in-flight, and the
+    # two distinct aggregates shuffle pre-reduced partials exactly as
+    # before. The three results are 1-row frames, so the recombine is
+    # two broadcast joins of scalars.
     li = ensure_parallelism(
         t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_returnflag", "l_shipdate", "l_quantity"
         )
     )
-    return li.agg(
+    plain = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_orderkey").isNull().cast("long")).alias("ok_nulls"),
-        F.countDistinct("l_orderkey").alias("ok_distinct"),
         F.min("l_orderkey").alias("ok_min"),
         F.max("l_orderkey").alias("ok_max"),
-        F.countDistinct("l_returnflag").alias("rf_distinct"),
         F.min("l_returnflag").alias("rf_min"),
         F.max("l_returnflag").alias("rf_max"),
         F.min("l_shipdate").alias("sd_min"),
         F.max("l_shipdate").alias("sd_max"),
         F.min("l_quantity").alias("q_min"),
         F.max("l_quantity").alias("q_max"),
+    )
+    okd = (
+        li.groupBy("l_orderkey")
+        .agg(F.lit(1).alias("_one"))
+        .agg(F.count(F.lit(1)).alias("ok_distinct"))
+    )
+    rfd = (
+        li.select("l_returnflag")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("rf_distinct"))
+    )
+    return plain.crossJoin(okd).crossJoin(rfd).select(
+        "n_rows", "ok_nulls", "ok_distinct", "ok_min", "ok_max",
+        "rf_distinct", "rf_min", "rf_max", "sd_min", "sd_max",
+        "q_min", "q_max",
     )
