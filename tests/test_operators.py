@@ -748,6 +748,38 @@ def test_dedup_substring_catches_offset_shifted_span(spark):
     assert "w20" not in subs[2]["cleaned_text"]
 
 
+def test_dedup_substring_keep_first_retains_canonical(spark):
+    """keep_first=True: the duplicated span survives in the min-id doc
+    and is cut from the other; default policy cuts both."""
+    from typebus_spark.operators.dedup import dedup_substrings
+
+    span = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + span + " gamma"),
+            (2, "x1 x2 x3 x4 x5 x6 x7 " + span + " tail tail2"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(target_chunk_tokens=8, min_docs=2, min_chunk_tokens=4)
+    first = {
+        r["doc_id"]: r
+        for r in dedup_substrings(
+            docs, "doc_id", "text", keep_first=True, **kw
+        ).collect()
+    }
+    assert first[1]["n_removed"] == 0  # canonical keeps everything
+    assert first[2]["n_removed"] > 0
+    assert "w20" in first[1]["cleaned_text"]
+    assert "w20" not in first[2]["cleaned_text"]
+    both = {
+        r["doc_id"]: r
+        for r in dedup_substrings(docs, "doc_id", "text", **kw).collect()
+    }
+    assert both[1]["n_removed"] == first[2]["n_removed"]  # same chunks cut
+    assert "w20" not in both[1]["cleaned_text"]
+
+
 def test_cdc_chunks_offset_invariant(spark):
     """Interior chunk set of a span is identical whatever prefix
     precedes it (boundaries depend only on a 3-token window)."""

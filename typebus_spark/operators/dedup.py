@@ -849,6 +849,7 @@ def dedup_substrings(
     target_chunk_tokens: int = 16,
     min_docs: int = 2,
     min_chunk_tokens: int = 4,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact-substring dedup at ARBITRARY offsets (the Lee et al.
     'Deduplicating Training Data Makes Language Models Better'
@@ -864,6 +865,11 @@ def dedup_substrings(
     chunks (a 1-token chunk is just a common word); shorter chunks are
     kept unconditionally — mirroring ExactSubstr's minimum match
     length (50 tokens there; configurable here).
+
+    ``keep_first=True`` keeps each duplicated chunk in its CANONICAL
+    document (min id) and cuts it everywhere else — the
+    remove-all-but-one policy; the default cuts every copy (the
+    C4-style boilerplate-removal policy).
 
     Returns ``(id, n_chunks, n_removed, cleaned_text)`` — same contract
     as ``dedup_spans``.
@@ -881,12 +887,18 @@ def dedup_substrings(
     dup = (
         chunks.filter(F.col("n_toks") >= min_chunk_tokens)
         .groupBy("chunk")
-        .agg(F.countDistinct("_id").alias("_nd"))
+        .agg(
+            F.countDistinct("_id").alias("_nd"),
+            F.min("_id").alias("_keeper"),
+        )
         .filter(F.col("_nd") >= min_docs)
-        .select("chunk", F.lit(1).alias("_dup"))
+        .select("chunk", "_keeper")
     )
+    kept = F.col("_keeper").isNull()
+    if keep_first:
+        kept = kept | (F.col("_id") == F.col("_keeper"))
     joined = chunks.join(dup, "chunk", "left_outer").select(
-        "_id", "chunk_id", "chunk", F.col("_dup").isNull().alias("kept")
+        "_id", "chunk_id", "chunk", kept.alias("kept")
     )
     cleaned = F.array_join(
         F.transform(

@@ -732,6 +732,70 @@ def q_dedup_substring(spark, sf_dir):
 
 
 @query(
+    "q_dedup_substring_keep_first",
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+             generate_subscripts(toks, 1) AS i,
+             unnest(toks) AS tok,
+             toks AS arr
+      FROM tt),
+g2 AS (SELECT doc_id, i, tok,
+              CASE WHEN ('0x' || substr(md5(
+                     array_to_string(arr[greatest(i-2,1):i], ' ')
+                   ), 1, 15))::BIGINT % {_CDC_P} = 0 THEN 1 ELSE 0 END AS cut
+       FROM g),
+g3 AS (SELECT doc_id, i, tok, cut,
+              coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS chunk_id
+       FROM g2),
+ch AS (SELECT doc_id, chunk_id,
+              string_agg(tok, ' ' ORDER BY i) AS chunk,
+              count(*) AS n_toks
+       FROM g3 GROUP BY doc_id, chunk_id),
+dup AS (SELECT chunk, min(doc_id) AS keeper FROM ch
+        WHERE n_toks >= {_CDC_MIN}
+        GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+j AS (SELECT ch.doc_id, ch.chunk_id, ch.chunk,
+             (d.chunk IS NULL OR ch.doc_id = d.keeper) AS kept
+      FROM ch LEFT JOIN dup d ON ch.chunk = d.chunk)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+                               ORDER BY chunk_id), '')) AS cleaned_hash
+FROM j GROUP BY doc_id
+""",
+    doc=(
+        "ExactSubstr with the remove-all-but-one policy (Lee et al. "
+        "keep a canonical copy; q_dedup_substring's default cuts every "
+        "copy, the C4 boilerplate policy): duplicated content-defined "
+        "chunks survive only in their min-id document. Same plan as "
+        "q_dedup_substring plus a min(id) in the dup aggregate."
+    ),
+)
+def q_dedup_substring_keep_first(spark, sf_dir):
+    from typebus_spark.operators.dedup import dedup_substrings
+
+    out = dedup_substrings(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        target_chunk_tokens=_CDC_P,
+        min_docs=2,
+        min_chunk_tokens=_CDC_MIN,
+        keep_first=True,
+    )
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_removed",
+        F.md5("cleaned_text").alias("cleaned_hash"),
+    )
+
+
+@query(
     "q_dedup_containment",
     oracle=f"""
 WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
