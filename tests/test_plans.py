@@ -461,3 +461,21 @@ def test_collect_sites_are_whitelisted():
         "operators/clustering.py": 1,
         "queries/similarity.py": 1,
     }, got
+
+
+def test_r9_single_scan_pins(spark, sf_dir):
+    """Pins the round-9 double-scan fixes: a reduced frame consumed by
+    two aggregates/joins must not re-execute its upstream scan per
+    consumer. langid's gram pipeline appears ONCE (its second parquet
+    scan is the closed-form n_grams projection, no explode); DSIR and
+    substring dedup persist their shared frames (InMemoryRelation in
+    the plan, one parquet scan under it)."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_text_langid_ngram"))
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan
+    # one Generate (explode) node; the formatted dump names each node
+    # twice (tree + detail section)
+    assert plan.count("Generate") == 2, plan
+    for name in ("q_dsir_weights", "q_dedup_substring"):
+        plan = formatted_plan(_df(spark, sf_dir, name))
+        assert "InMemoryRelation" in plan, name
+        assert plan.count("Location: InMemoryFileIndex") == 1, name
