@@ -927,3 +927,35 @@ def test_minhash_incremental_reingest_same_id(spark, sf_dir):
     }
     assert got == want
     assert all(a != b for a, b, _, _ in got)
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    """Encode must replay merges leftmost-first in TRAINING order: a
+    word where merge 2 builds on merge 1's output tokenizes correctly,
+    and token counts shrink monotonically as merges apply."""
+    from typebus_spark.operators.text_analysis import (
+        bpe_encode_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello hello help"), (2, "xy")], "doc_id long, text string"
+    )
+    none = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_token_counts(
+            docs, "doc_id", "text", []
+        ).collect()
+    }
+    assert none == {1: 14, 2: 2}  # chars, no merges
+    # 'h e' -> 'he', then 'he l' -> 'hel' (stacked merge)
+    two = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_token_counts(
+            docs, "doc_id", "text", ["h e", "he l"]
+        ).collect()
+    }
+    assert two == {1: 14 - 3 - 3, 2: 2}
+    r1 = bpe_encode_token_counts(
+        docs, "doc_id", "text", ["h e"]
+    ).collect()
+    assert {r["doc_id"]: r["n_tokens"] for r in r1} == {1: 11, 2: 2}

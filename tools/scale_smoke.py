@@ -170,6 +170,54 @@ def main() -> None:
         dedup_substrings(big_docs, "doc_id", "text"),
         n_docs,
     )
+    # r9: langid is one explode scan + a bounded broadcast join — wall
+    # must grow ~linearly in total chars, profiles constant
+    from typebus_spark.operators.text_analysis import (
+        lang_id_ngram,
+        langid_frozen_profile,
+    )
+
+    run(
+        "lang_id_ngram",
+        lang_id_ngram(
+            big_docs, "doc_id", "text",
+            profile=langid_frozen_profile(spark),
+        ),
+        n_docs,
+    )
+    # r9: phash near-dup runs on the DISTINCT-hash catalog — the
+    # banding join is catalog-sized (constant here: replicas reuse the
+    # same blobs → same hashes), only the decode is linear
+    import base64
+
+    from typebus_spark.operators._media_fixtures import PHASH_NEAR_FIXTURES
+    from typebus_spark.operators.multimodal import (
+        perceptual_hash_media,
+        phash_near_pairs,
+    )
+
+    fx_near = spark.createDataFrame(
+        [
+            (i, bytearray(base64.b64decode(fx["b64"])), fx["mime"])
+            for i, fx in enumerate(PHASH_NEAR_FIXTURES)
+        ],
+        "k long, blob binary, mime string",
+    )
+    near_media = (
+        big_docs.select("doc_id", (F.col("doc_id") % 4).alias("k"))
+        .join(F.broadcast(fx_near), "k")
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("blob"), F.col("mime"),
+                F.create_map(F.lit("s"), F.lit("smoke")).alias("meta"),
+            ).alias("media"),
+        )
+    )
+    cat = perceptual_hash_media(near_media, "doc_id").groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    run("phash_near_pairs", phash_near_pairs(cat), n_docs)
     ann_profile_smoke(spark, sf_dir, factor, run)
     drain_smoke(spark, big_ev, factor, n_ev)
     stream_join_smoke(spark, big_ev, factor, n_ev)

@@ -513,6 +513,67 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bpe_encode_token_counts(
+    df: DataFrame, id_col: str, text_col: str, merges: list[str]
+) -> DataFrame:
+    """Tokenizer APPLY — the encode step completing ``bpe_train_merges``
+    (train once, encode the corpus forever): every lowercased word is
+    double-space symbol-encoded and the trained merges replay in
+    training order (chained literal ``replace``, leftmost-first BPE
+    semantics — see the trainer docstring); the post-merge symbol count
+    is the document's BPE token count, the number a token-budget /
+    batch planner actually needs.
+
+    ``merges`` is the ordered list of ``"left right"`` pair strings
+    from the trainer. Returns ``(id, n_words, n_chars, n_tokens,
+    chars_per_token)``.
+
+    Scale shape: ONE explode scan; the merge chain is a scan-side
+    expression (k literal replaces, no shuffle); one groupBy(id)
+    reduce with map-side partials. Merge strings splice as F.lit
+    VALUES (py4j-safe — CLAUDE.md r6 BPE lesson).
+    """
+    from typebus_spark.session import ensure_parallelism
+
+    w = F.lower(F.col("w"))
+    s: F.Column = F.concat(
+        F.lit("  "), F.array_join(F.split(w, ""), "  "), F.lit("  ")
+    )
+    for pair in merges:
+        left, right = pair.split(" ")
+        s = F.replace(
+            s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+        )
+    n_sym = F.size(F.split(F.trim(s), " +"))
+    return (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(text_col)).alias("w"),
+        )
+        .select(
+            "_id",
+            F.length(w).alias("n_ch"),
+            n_sym.alias("n_sym"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_ch").cast("long").alias("n_chars"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 def bpe_train_merges(
     df: DataFrame, text_col: str, n_merges: int = 4
 ) -> list[tuple[int, str, int]]:

@@ -941,6 +941,92 @@ def q_bpe_train_merges(spark, sf_dir):
     )
 
 
+def _bpe_encode_oracle(n_merges: int = N_BPE_MERGES) -> str:
+    """Derive the merges with the trainer's CTE chain, then ENCODE the
+    corpus: per word, the same double-space replace chain (merge r
+    spliced from m{r} via scalar subqueries), post-merge symbol count
+    summed per document."""
+    train = _bpe_train_oracle(n_merges)
+    # _bpe_train_oracle ends with a UNION of per-round SELECTs; keep
+    # only its CTE block (everything before the first top-level SELECT)
+    idx = train.index("\nSELECT CAST(1 AS BIGINT)")
+    ctes = train[len("WITH ") : idx]
+    enc = [
+        f"""e0 AS (
+  SELECT doc_id, lower(x) AS w,
+         '  ' || array_to_string(string_split(lower(x), ''), '  ')
+            || '  ' AS s
+  FROM (SELECT doc_id, unnest({TOKS}) AS x FROM documents))"""
+    ]
+    for r in range(n_merges):
+        lft = f"string_split((SELECT pair FROM m{r}), ' ')[1]"
+        rgt = f"string_split((SELECT pair FROM m{r}), ' ')[2]"
+        enc.append(
+            f"""e{r + 1} AS (
+  SELECT doc_id, w,
+         replace(s, ' ' || {lft} || '  ' || {rgt} || ' ',
+                 ' ' || {lft} || {rgt} || ' ') AS s
+  FROM e{r})"""
+        )
+    return (
+        "WITH "
+        + ctes
+        + ",\n"
+        + ",\n".join(enc)
+        + f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       CAST(sum(len(string_split_regex(trim(s), ' +'))) AS BIGINT)
+         AS n_tokens,
+       round(CAST(sum(length(w)) AS DOUBLE)
+             / sum(len(string_split_regex(trim(s), ' +'))), 6)
+         AS chars_per_token
+FROM e{n_merges} GROUP BY doc_id
+"""
+    )
+
+
+_BPE_MERGE_MEMO: dict[tuple, list] = {}
+
+
+@query(
+    "q_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc=(
+        "Tokenizer APPLY (train once, encode forever — the step that "
+        "turns q_bpe_train_merges into a usable tokenizer): the "
+        f"{N_BPE_MERGES} trained merges replay over every word as a "
+        "scan-side literal replace chain (leftmost-first BPE semantics "
+        "on both engines), and the post-merge symbol count per "
+        "document is the BPE token count a token-budget planner "
+        "consumes. One explode scan + one per-doc reduce; the oracle "
+        "re-derives the merges AND re-encodes, so training and "
+        "application are hash-checked together."
+    ),
+)
+def q_bpe_encode(spark, sf_dir):
+    from typebus_spark.operators.text_analysis import (
+        bpe_encode_token_counts,
+        bpe_train_merges,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    merges = _BPE_MERGE_MEMO.get(key)
+    if merges is None:
+        merges = [
+            pair
+            for _, pair, _ in bpe_train_merges(
+                t(spark, sf_dir, "documents"), "text",
+                n_merges=N_BPE_MERGES,
+            )
+        ]
+        _BPE_MERGE_MEMO[key] = merges
+    return bpe_encode_token_counts(
+        t(spark, sf_dir, "documents"), "doc_id", "text", merges
+    )
+
+
 _MIX_RATES = {"head": 10_000, "middle": 5_000, "tail": 1_000}
 _MIX_SEED = 13
 _MIX_RATE_CASE = (
