@@ -236,7 +236,11 @@ def stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
     if stage is None or not os.path.isdir(stage):
         stage = tempfile.mkdtemp(prefix=prefix, dir=_shm_scratch())
         atexit.register(shutil.rmtree, stage, ignore_errors=True)
-        n_files = max(4, min(16, DEFAULT_SHUFFLE_PARTITIONS // 2))
+        # 4 files, not cores/2: the alternating A/B at sf0.1 showed the
+        # window aggs gain ~5% going 1→4 and nothing more at 16, while
+        # the two-reader self-joins LOSE ~4% at 16 (double the per-file
+        # open cost); 4 captures the scan parallelism both want.
+        n_files = 4
         batch.repartition(n_files).write.mode("overwrite").parquet(stage)
         _STREAM_STAGE_CACHE[key] = stage
     staged_schema = spark.read.parquet(stage).schema
