@@ -959,3 +959,29 @@ def test_bpe_encode_applies_merges_in_order(spark):
         docs, "doc_id", "text", ["h e"]
     ).collect()
     assert {r["doc_id"]: r["n_tokens"] for r in r1} == {1: 11, 2: 2}
+
+
+def test_dedup_substring_reconstruction_lossless(spark, sf_dir):
+    """With min_docs above the corpus size nothing is cut, so the
+    chunk-split + regroup must reproduce every document's token stream
+    EXACTLY (whitespace-normalized) — pins the reconstruction path
+    independent of the dup logic."""
+    import pyspark.sql.functions as F
+
+    from typebus_spark.operators.dedup import dedup_substrings
+    from typebus_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = dedup_substrings(
+        docs, "doc_id", "text", min_docs=10_000
+    )
+    joined = out.join(docs, "doc_id").select(
+        "doc_id",
+        "n_removed",
+        (
+            F.col("cleaned_text")
+            == F.array_join(F.split(F.trim("text"), r"\s+"), " ")
+        ).alias("same"),
+    ).collect()
+    assert all(r["n_removed"] == 0 for r in joined)
+    assert all(r["same"] for r in joined)
