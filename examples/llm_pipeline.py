@@ -6,6 +6,8 @@ same operators the inventory queries exercise:
 Stages (each one the operator a 100 TB pipeline would run, at toy SF):
   1. quality filter        (operators.text_analysis.quality_score)
   1b. Gopher rule gate     (operators.text_analysis.gopher_rules)
+  1c. language gate        (operators.text_analysis.lang_id_ngram,
+                            frozen char-3-gram profiles)
   2. model-based filter    (operators.text_analysis.linear_classifier)
   2b. DSIR importance      (operators.corpus_stats.dsir_logweights)
   3. PII/term redaction    (functions.text.redact)
@@ -13,6 +15,8 @@ Stages (each one the operator a 100 TB pipeline would run, at toy SF):
   5. near-dup removal      (operators.dedup.minhash_lsh_pairs)
   6. duplicate clustering  (operators.clustering.connected_components)
   7. span-level cleanup    (operators.dedup.dedup_spans)
+  7c. exact-substring dedup (operators.dedup.dedup_substrings —
+                            content-defined chunks, offset-invariant)
   7b. perplexity tiering   (operators.corpus_stats.perplexity_buckets
                             + per-tier importance sampling)
   8. leakage-safe split    (clusters + operators.sampling.hash_split —
@@ -21,6 +25,9 @@ Stages (each one the operator a 100 TB pipeline would run, at toy SF):
   9b. overlapping chunking (operators.text_analysis.chunk_tokens)
   9c. tokenizer induction  (operators.text_analysis.bpe_train_merges
                             on the train split)
+  9d. tokenizer apply      (operators.text_analysis.
+                            bpe_encode_token_counts — per-doc BPE
+                            token counts for the budget planner)
  10. embedding side: int8 quantization + SemDeDup + topic-balanced
      resampling + two-stage PQ ANN
      (functions.vector.int8_quantize, operators.dedup.semdedup,
@@ -84,6 +91,21 @@ def main() -> None:
         flags.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
     )
 
+    # 1c: statistical language gate (round 9) — frozen char-3-gram
+    # profiles, keep docs the classifier calls English
+    from typebus_spark.operators.text_analysis import (
+        lang_id_ngram,
+        langid_frozen_profile,
+    )
+
+    lang = lang_id_ngram(
+        docs, "doc_id", "text", profile=langid_frozen_profile(spark)
+    )
+    n_lang_drops = lang.filter(F.col("pred_lang") != "en").count()
+    docs = docs.join(
+        lang.filter(F.col("pred_lang") == "en").select("doc_id"), "doc_id"
+    )
+
     # 2: model-based gate (distilled linear head, weights as literals)
     toks = F.split(F.trim("text"), r"\s+")
     logit = linear_classifier(
@@ -130,6 +152,19 @@ def main() -> None:
         "doc_id",
     )
 
+    # 7c: exact-substring cleanup (round 9) — content-defined chunking
+    # catches arbitrary-offset repeated spans the fixed grid missed
+    from typebus_spark.operators.dedup import dedup_substrings
+
+    sub = dedup_substrings(docs, "doc_id", "text")
+    n_substr_cut = int(
+        sub.agg(F.sum("n_removed")).collect()[0][0] or 0
+    )
+    docs = docs.drop("text").join(
+        sub.select("doc_id", F.col("cleaned_text").alias("text")),
+        "doc_id",
+    )
+
     # 7b: perplexity tiering + per-tier curated sampling (head kept,
     # middle halved, tail decimated — the CCNet-style recipe)
     from typebus_spark.operators.corpus_stats import perplexity_buckets
@@ -167,6 +202,21 @@ def main() -> None:
     from typebus_spark.operators.text_analysis import bpe_train_merges
 
     merges = bpe_train_merges(train, "text", n_merges=3)
+
+    # 9d: tokenizer APPLY (round 9) — encode the train split with the
+    # merges just learned; the per-doc BPE token counts are what the
+    # token-budget planner consumes
+    from typebus_spark.operators.text_analysis import (
+        bpe_encode_token_counts,
+    )
+
+    enc = bpe_encode_token_counts(
+        train, "doc_id", "text", [p for _, p, _ in merges]
+    )
+    bpe_row = enc.agg(
+        F.sum("n_tokens").alias("t"),
+        F.round(F.avg("chars_per_token"), 3).alias("cpt"),
+    ).collect()[0]
 
     # 9b: retrieval-side prep — overlapping token-window chunks of the
     # clean corpus (RAG indexing / eval slices)
@@ -279,7 +329,11 @@ def main() -> None:
     top_dsir = dsir.orderBy(F.col("logweight").desc()).limit(1).collect()[0]
     print(f"most src0-like doc by DSIR: {top_dsir['doc_id']}"
           f" (logweight {top_dsir['logweight']})")
+    print(f"language gate: {n_lang_drops} non-en dropped;"
+          f" substring dedup cut {n_substr_cut} chunks")
     print(f"BPE merges learned on train: {[p for _, p, _ in merges]}")
+    print(f"BPE-encoded train split: {bpe_row['t']} tokens"
+          f" ({bpe_row['cpt']} chars/token)")
     print(f"train sequences packed (512 tok): {n_seq}")
     print(f"retrieval chunks (128/96 overlap): {chunks.count()}")
     print(f"embeddings: {qstats} quantized to int8, {kept_vec} kept after SemDeDup")
