@@ -232,6 +232,41 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     )
 
 
+@query(
+    "q_dedup_minhash_reingest",
+    oracle=_minhash_incremental_oracle(),
+    doc=(
+        "RE-INGEST form of q_dedup_minhash_incremental (driver-checks "
+        "the r9 same-id fix): the history frame contains a STALE copy "
+        "of every delta document (same id, truncated text) on top of "
+        "the clean rows — the operator must anti-join those away "
+        "before shingling, so the result is IDENTICAL to a run where "
+        "history never held the ids at all (the oracle is exactly "
+        "q_dedup_minhash_incremental's). A leak shows up as same-id "
+        "self-pairs or double-counted verify sizes and flips the hash."
+    ),
+)
+def q_dedup_minhash_reingest(spark, sf_dir):
+    from typebus_spark.operators.dedup import minhash_lsh_incremental
+
+    docs = t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    stale = delta.withColumn("text", F.substring("text", 1, 120))
+    dirty_history = docs.filter(F.col("doc_id") % 10 != 0).unionByName(
+        stale.select(*docs.columns)
+    )
+    return minhash_lsh_incremental(
+        dirty_history,
+        delta,
+        "doc_id",
+        "text",
+        shingle_n=NEAR_N,
+        num_hashes=16,
+        bands=4,
+        threshold=NEAR_THRESHOLD,
+    )
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     from typebus_spark.operators.dedup import SIMHASH_BITS, SIMHASH_CHUNKS
 
