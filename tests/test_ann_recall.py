@@ -254,3 +254,22 @@ def test_pq_rerank_is_exact_on_survivors(spark, sf_dir):
     assert shared, "no overlap between exact and PQ results"
     for key in shared:
         assert exact[key] == approx[key], (key, exact[key], approx[key])
+
+
+def test_frozen_codebook_loader_hits_frozen_dict(spark, sf_dir):
+    """The fingerprint the loader computes in Spark must equal the
+    DuckDB-computed key the freeze tool recorded — a mismatch silently
+    falls back to live training (correct but retrains per session; the
+    r9 1-based/0-based indexing slip hid exactly that way)."""
+    from typebus_spark.queries._ivf_codebook import FROZEN_KMEANS_CODEBOOKS
+    from typebus_spark.queries.similarity import (
+        _CODEBOOK_FP_CACHE,
+        _frozen_codebook,
+    )
+
+    _CODEBOOK_FP_CACHE.clear()
+    book = _frozen_codebook(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _CODEBOOK_FP_CACHE[key]
+    assert fp in FROZEN_KMEANS_CODEBOOKS, fp
+    assert book == FROZEN_KMEANS_CODEBOOKS[fp]

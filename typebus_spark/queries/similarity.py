@@ -191,9 +191,12 @@ def _frozen_codebook(spark, sf_dir: str) -> list[list[float]]:
     fp = _CODEBOOK_FP_CACHE.get(key)
     if fp is None:
         e = t(spark, sf_dir, "embeddings")
+        # KEY_SQL's embedding[1] is DuckDB 1-BASED = the FIRST element;
+        # Spark getItem is 0-based (a silent live-training fallback on
+        # every corpus until r9 caught it — pinned by test now)
         fp = e.select(
             F.sum(
-                F.round(F.col("embedding")[1].cast("double") * 1e6, 0).cast(
+                F.round(F.col("embedding")[0].cast("double") * 1e6, 0).cast(
                     "long"
                 )
             ).cast("long").alias("fp")
