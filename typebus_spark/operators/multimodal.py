@@ -352,6 +352,10 @@ def phash_near_pairs(
     Returns ``(a, b, hamming)`` with a < b, plus ``<extra>_a`` /
     ``<extra>_b`` for every other catalog column.
     """
+    if 16 % n_bands != 0:
+        # a non-divisor silently leaves hex chars out of every band —
+        # candidates missed with no error signal (recall hole)
+        raise ValueError(f"n_bands must divide 16, got {n_bands}")
     extra = [c for c in catalog.columns if c != phash_col]
     width = 16 // n_bands
     bands = catalog.select(
