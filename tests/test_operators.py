@@ -857,18 +857,23 @@ def test_langid_frozen_profile_matches_live_training(spark):
 
 
 def test_phash_near_pairs_banding_and_hamming(spark):
-    """Band LSH over a phash catalog: pairs agreeing on >=1 of the 4
-    hex bands AND within the hamming budget are emitted (with a < b and
-    carried catalog columns); hashes differing in every band never
-    pair. Pigeonhole: hamming <= 3 < 4 bands GUARANTEES a shared band,
-    so nothing near is missed at that distance."""
+    """Band LSH over a phash catalog: pairs agreeing on >=1 of the 16
+    hex-char bands AND within the hamming budget are emitted (with
+    a < b and carried catalog columns); hashes differing in every band
+    never pair. Pigeonhole: hamming <= 15 < 16 bands GUARANTEES a
+    shared band. The hamming-8 pair spreading one bit into 8 DIFFERENT
+    bands is the exact case the r9 4x16-bit banding silently missed
+    (ADVICE r9 high) — it must pair now."""
     from typebus_spark.operators.multimodal import phash_near_pairs
 
     cat = spark.createDataFrame(
         [
             ("0000000000000000", 10),
-            ("0000000000000001", 20),  # hamming 1 vs first, 3 shared bands
-            ("00000000000000ff", 5),   # hamming 8 vs first, 3 shared bands
+            ("0000000000000001", 20),  # hamming 1 vs first
+            ("00000000000000ff", 5),   # hamming 8 vs first, 2 bands hit
+            # hamming 8 vs first, one bit in each of 8 bands — the r9
+            # 4-band recall hole: every 16-bit band differed, pair lost
+            ("1010101010101010", 3),
             ("ffffffffffffffff", 7),   # hamming 64, 0 shared bands
         ],
         "phash string, n_docs long",
@@ -881,6 +886,9 @@ def test_phash_near_pairs_banding_and_hamming(spark):
         ("0000000000000000", "0000000000000001"): (1, 10, 20),
         ("0000000000000000", "00000000000000ff"): (8, 10, 5),
         ("0000000000000001", "00000000000000ff"): (7, 20, 5),
+        ("0000000000000000", "1010101010101010"): (8, 10, 3),
+        # 0...01 vs 101010...10: 9 differing bits > budget 8
+        # 0...0ff vs 1010...10: 14 differing bits > budget 8
     }
     # tighter budget prunes the verify, banding recall still complete
     got2 = {
@@ -888,6 +896,12 @@ def test_phash_near_pairs_banding_and_hamming(spark):
         for r in phash_near_pairs(cat, max_hamming=1).collect()
     }
     assert got2 == {("0000000000000000", "0000000000000001")}
+    # budgets past the pigeonhole bound are a silent recall hole — the
+    # guard must refuse them instead
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_pairs(cat, max_hamming=8, n_bands=4)
 
 
 def test_minhash_incremental_reingest_same_id(spark, sf_dir):

@@ -331,23 +331,30 @@ def phash_near_pairs(
     catalog: DataFrame,
     phash_col: str = "phash",
     max_hamming: int = 8,
-    n_bands: int = 4,
+    n_bands: int = 16,
 ) -> DataFrame:
     """Hamming-tolerant near-dup pairs over a perceptual-hash CATALOG
     (one row per distinct 16-hex phash, extra columns carried through)
     — the LSH step the ``average_hash`` docstring advertises: split the
-    hash into ``n_bands`` hex substrings; two hashes within hamming
-    ``64/n_bands - 1`` of each other must agree on ≥1 band (pigeonhole,
-    exact recall for ``max_hamming < 64/n_bands`` … bands here: 16 bits
-    each, so hamming ≤ 15 is recall-complete at n_bands=4), candidates
-    verify with ``bit_count(xor)`` over the two 32-bit halves (8 hex
-    chars parse into a non-negative BIGINT — the signed-int64 trap
-    never fires).
+    hash into ``n_bands`` hex substrings; PIGEONHOLE: ``h`` differing
+    bits can touch at most ``h`` bands, so two hashes within hamming
+    ``n_bands - 1`` MUST agree on ≥1 untouched band — recall is exact
+    only for ``max_hamming <= n_bands - 1`` (enforced below; the r9
+    shipped 4×16-bit banding claimed ≤15 but guaranteed only ≤3 —
+    hamming-4 pairs like 0x0 vs 0x1000100010001000 spread one bit per
+    band and were silently missed). Default is now band-per-hex-char
+    (16 bands of 4 bits): hamming ≤ 15 genuinely recall-complete.
+    Candidates verify with ``bit_count(xor)`` over the two 32-bit
+    halves (8 hex chars parse into a non-negative BIGINT — the
+    signed-int64 trap never fires).
 
     Scale shape: runs on the DISTINCT-hash catalog, not docs (distinct
     perceptual hashes ≪ corpus at 100 TB); one equi-join on
     (band_idx, band_value) — never a cartesian — then an O(candidates)
-    verify.
+    verify. Narrower bands mean more candidates per band-match; at
+    catalog scale trade recall budget vs candidate volume by lowering
+    ``n_bands`` ONLY alongside ``max_hamming`` (the guard keeps the
+    pair honest).
 
     Returns ``(a, b, hamming)`` with a < b, plus ``<extra>_a`` /
     ``<extra>_b`` for every other catalog column.
@@ -356,6 +363,14 @@ def phash_near_pairs(
         # a non-divisor silently leaves hex chars out of every band —
         # candidates missed with no error signal (recall hole)
         raise ValueError(f"n_bands must divide 16, got {n_bands}")
+    if max_hamming > n_bands - 1:
+        # pigeonhole only guarantees a shared band for h <= n_bands-1;
+        # beyond that the banding silently drops true pairs
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall "
+            f"bound n_bands-1={n_bands - 1}; raise n_bands or lower "
+            "max_hamming"
+        )
     extra = [c for c in catalog.columns if c != phash_col]
     width = 16 // n_bands
     bands = catalog.select(

@@ -501,13 +501,20 @@ def q_profile_table(spark, sf_dir):
         F.min("l_quantity").alias("q_min"),
         F.max("l_quantity").alias("q_max"),
     )
+    # NULL rows are filtered BEFORE the distinct scans: countDistinct
+    # (and the oracle's count(DISTINCT)) exclude NULLs, while groupBy /
+    # .distinct() keep a NULL group — a latent off-by-one if either
+    # column ever holds NULLs (this query counts ok_nulls, so they are
+    # contemplated). ADVICE r9.
     okd = (
-        li.groupBy("l_orderkey")
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
         .agg(F.lit(1).alias("_one"))
         .agg(F.count(F.lit(1)).alias("ok_distinct"))
     )
     rfd = (
         li.select("l_returnflag")
+        .filter(F.col("l_returnflag").isNotNull())
         .distinct()
         .agg(F.count(F.lit(1)).alias("rf_distinct"))
     )

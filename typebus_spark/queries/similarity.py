@@ -207,11 +207,20 @@ def _frozen_codebook(spark, sf_dir: str) -> list[list[float]]:
         return book
     from typebus_spark.operators.similarity import train_centroids_kmeans
 
-    return train_centroids_kmeans(
-        t(spark, sf_dir, "embeddings"),
-        "embedding",
-        n_centroids=IVF_N_CEN,
-        seed=IVF_SEED,
+    # unknown-fingerprint fallback (replicated smoke corpora) is
+    # memoized per (app, dir) like every other trained artifact —
+    # otherwise each q_topic_balance invocation retrains KMeans, the
+    # exact per-run cost the freeze eliminated (ADVICE r9)
+    return _memo_setup(
+        spark,
+        sf_dir,
+        "kmeans_book",
+        lambda: train_centroids_kmeans(
+            t(spark, sf_dir, "embeddings"),
+            "embedding",
+            n_centroids=IVF_N_CEN,
+            seed=IVF_SEED,
+        ),
     )
 
 

@@ -682,8 +682,8 @@ cat AS (SELECT fx.phash, CAST(count(*) AS BIGINT) AS n_docs
         FROM documents d JOIN fx ON d.doc_id % 4 = fx.k
         GROUP BY fx.phash),
 bands AS (SELECT phash, n_docs, b,
-                 substr(phash, b * 4 + 1, 4) AS bv
-          FROM cat, (VALUES (0), (1), (2), (3)) AS t(b)),
+                 substr(phash, b + 1, 1) AS bv
+          FROM cat, range(16) AS t(b)),
 cand AS (SELECT DISTINCT l.phash AS a, r.phash AS b,
                 l.n_docs AS n_docs_a, r.n_docs AS n_docs_b
          FROM bands l JOIN bands r
@@ -711,11 +711,12 @@ WHERE bit_count(xor(('0x' || substr(a, 1, 8))::BIGINT,
         "q_multimodal_phash only advertised): four real PNG fixtures — "
         "incl. a perturbed variant at average-hash hamming 3 from its "
         "base — fan over documents, hashes computed from REAL pixels "
-        "on executors, then the DISTINCT-hash catalog is banded into "
-        "4x16-bit hex substrings, self-joined on (band, value) — never "
-        "a cartesian — and candidates verify hamming <= 8 via "
-        "bit_count(xor) on the two 32-bit halves. Unrelated fixtures "
-        "(hamming >= 27, zero shared bands) must NOT pair; the banding "
+        "on executors, then the DISTINCT-hash catalog is banded "
+        "per-hex-char (16x4-bit bands — pigeonhole recall-complete for "
+        "hamming <= 15, the r10 fix for the 4-band recall hole), "
+        "self-joined on (band, value) — never a cartesian — and "
+        "candidates verify hamming <= 8 via bit_count(xor) on the two "
+        "32-bit halves. Unrelated fixtures must NOT pair; the banding "
         "+ hamming arithmetic is replayed verbatim by the oracle."
     ),
 )
@@ -731,7 +732,7 @@ def q_multimodal_phash_near(spark, sf_dir):
     catalog = hashed.groupBy("phash").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    return phash_near_pairs(catalog, "phash", max_hamming=8, n_bands=4)
+    return phash_near_pairs(catalog, "phash", max_hamming=8, n_bands=16)
 
 
 @query(
