@@ -24,10 +24,14 @@ PURE = [
 ]
 STATEFUL = [
     "q_retry_drain",           # drain rounds execute during fn()
-    "q_stream_hourly",         # streaming query runs during fn()
+    "q_stream_session_append",  # kept-native streaming query runs in fn()
     "q_knn_ivf_kmeans",        # trainer collects centroids
     "q_dedup_clusters",        # iterative convergence loop
 ]
+# q_stream_hourly moved out of STATEFUL in r10: it reads the
+# multiplexed consumer graph's output (streaming/mux.py), whose
+# scaffold is a memoized one-time setup — pure in steady state like
+# the frozen-codebook fingerprint (bench warms before probing).
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -117,3 +121,31 @@ def test_rotation_failure_on_same_round_as_green_resets():
     # newest record is green again -> sorts after a never-green query
     order = _rotation_order({"q_flaky": True, "q_virgin": True}, history)
     assert order == ["q_virgin", "q_flaky"]
+
+
+def test_bench_and_duck_detail_share_key_set():
+    """DUCK_DETAIL.json (tools/duck_replay.py) and BENCH_DETAIL.json
+    (bench.py) must cover the same inventory: every oracled query in
+    the bench map appears in the duck map and vice versa, so per-query
+    Spark/DuckDB ratios are computable for the whole suite (r9 verdict
+    item 2 — the weak set becomes arithmetic, not estimation)."""
+    import json
+    import os
+
+    ORACLES = {n for n, q in QUERIES.items() if q.oracle is not None}
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_p = os.path.join(root, "BENCH_DETAIL.json")
+    duck_p = os.path.join(root, "DUCK_DETAIL.json")
+    if not (os.path.exists(bench_p) and os.path.exists(duck_p)):
+        pytest.skip("detail files not generated yet this round")
+    bench = set(json.load(open(bench_p))["queries"])
+    duck = set(json.load(open(duck_p))["queries"])
+    # duck replays oracles only; bench times everything (rows-only
+    # queries have no oracle by declaration)
+    assert duck == set(ORACLES) & bench, (
+        sorted(duck ^ (set(ORACLES) & bench))[:10]
+    )
+    # and the bench map must cover every registered oracle (a query
+    # silently dropped from bench would hide a regression)
+    assert set(ORACLES) <= bench, sorted(set(ORACLES) - bench)[:10]

@@ -143,7 +143,7 @@ def test_kmv_sketch_uses_window_group_limit(spark, sf_dir):
 def test_no_cartesian_anywhere_except_knn(spark, sf_dir):
     whitelist = {"q_knn_cosine_topk", "q_knn_ivf", "q_dedup_embedding"}
     for name, q in QUERIES.items():
-        if name in whitelist or name == "q_stream_hourly":
+        if name in whitelist:
             continue
         plan = formatted_plan(q.fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name

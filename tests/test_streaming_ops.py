@@ -525,3 +525,35 @@ def test_staged_stream_source_preserves_rows(spark, sf_dir):
 
     a, b = sig(staged.select(orig.columns)), sig(orig)
     assert (a["n"], a["h"]) == (b["n"], b["h"])
+
+
+@pytest.mark.parametrize(
+    "qname,native",
+    [
+        ("q_stream_hourly", "native_stream_hourly"),
+        ("q_stream_hourly_append", "native_stream_hourly_append"),
+        ("q_stream_dedup_bounded", "native_stream_dedup_bounded"),
+        ("q_stream_stream_join", "native_stream_stream_join"),
+        ("q_stream_session", "native_stream_session"),
+    ],
+)
+def test_mux_matches_native_streaming(spark, sf_dir, qname, native):
+    """The multiplexed consumer graph (streaming/mux.py) must emit
+    EXACTLY what the per-query real-streaming form emits — same rows,
+    same columns — for every shape it serves. This is the load-bearing
+    pin for the r10 amortization: the mux handlers are per-micro-batch
+    batch transforms (the reference's router architecture), and the
+    single-batch availableNow replay makes their output equal the
+    native query's finalized emission. Five representative shapes:
+    complete-mode window agg, append+watermark eviction, watermark-
+    bounded dedup, stateful two-sided join, session windows."""
+    from typebus_spark.queries import dataflow as dfq
+    from typebus_spark.suite import QUERIES
+
+    mux_df = QUERIES[qname].fn(spark, sf_dir)
+    nat_df = getattr(dfq, native)(spark, sf_dir)
+    assert mux_df.columns == nat_df.columns
+    cols = mux_df.columns
+    mux_rows = sorted(map(tuple, mux_df.select(cols).collect()))
+    nat_rows = sorted(map(tuple, nat_df.select(cols).collect()))
+    assert mux_rows == nat_rows, (qname, len(mux_rows), len(nat_rows))

@@ -50,18 +50,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"{name}: {timings[name]}", file=sys.stderr, flush=True)
-    print(
-        json.dumps(
-            {
-                "metric": "duckdb_oracle_total_wall_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-            }
-        )
-    )
+    out = {
+        "metric": "duckdb_oracle_total_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    # Committed next to BENCH_DETAIL.json (r9 verdict item 2): per-query
+    # DuckDB replay timings make the weak set COMPUTABLE — any single
+    # query drifting past the 2x letter is visible as a ratio instead
+    # of estimated from family aggregates. tests/test_bench_harness.py
+    # asserts the two detail files share the oracled query key set.
+    with open(os.path.join(REPO, "DUCK_DETAIL.json"), "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

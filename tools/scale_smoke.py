@@ -11,9 +11,14 @@ and per-key state GROW with the factor (each replica is a near-dup
 family member — the worst realistic case for the pair generators),
 not a degenerate all-identical corpus.
 
-Usage: python tools/scale_smoke.py [factor] (default 10, sf0.1 input)
+Usage: python tools/scale_smoke.py [factor] [--ops a,b,c]
+(default factor 10, sf0.1 input; --ops restricts to the named rows —
+the r10 100x core-dedup run uses
+``python tools/scale_smoke.py 100 --ops exact_dedup,minhash_lsh_pairs,dedup_substrings``).
 Prints one JSON line per operator: {op, factor, rows_in, rows_out,
-wall_sec, plan_ok}.
+wall_sec, shuffle_write_mb, plan_ok}. Shuffle bytes come from the
+status REST API (UI enabled for the smoke session only), summed over
+the op's own stages via its job group.
 """
 
 from __future__ import annotations
@@ -43,10 +48,53 @@ def replicate(df, id_col: str, factor: int, id_stride: int):
     ).drop("_r")
 
 
+def _shuffle_write_mb(spark, group: str) -> float | None:
+    """Sum shuffle WRITE bytes over the stages of the op's job group
+    (status REST API; write-side counts each exchange exactly once)."""
+    try:
+        import urllib.request
+
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        stage_ids = set()
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info:
+                stage_ids.update(info.stageIds)
+        port = sc.uiWebUrl.rsplit(":", 1)[1] if sc.uiWebUrl else "4040"
+        url = (
+            f"http://localhost:{port}/api/v1/applications/"
+            f"{sc.applicationId}/stages?status=complete"
+        )
+        stages = json.load(urllib.request.urlopen(url, timeout=10))
+        total = sum(
+            s.get("shuffleWriteBytes", 0)
+            for s in stages
+            if s.get("stageId") in stage_ids
+        )
+        return round(total / (1 << 20), 1)
+    except Exception:
+        return None  # metric is advisory; never sink the smoke on it
+
+
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only_ops = None
+    for a in sys.argv[1:]:
+        if a.startswith("--ops"):
+            val = a.split("=", 1)[1] if "=" in a else None
+            if val is None:
+                val = sys.argv[sys.argv.index(a) + 1]
+                if val in args:
+                    args.remove(val)
+            only_ops = {s.strip() for s in val.split(",") if s.strip()}
+    factor = int(args[0]) if args else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="scale-smoke")
+    spark = get_spark(
+        app_name="scale-smoke",
+        # UI on for the status REST API (shuffle byte totals)
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from typebus_spark.operators.dedup import (
@@ -66,15 +114,25 @@ def main() -> None:
     n_docs = big_docs.count()
 
     def run(op_name, df, rows_in, collect_rows=False):
+        if only_ops is not None and op_name not in only_ops:
+            return
+        # rows_in may be a thunk so skipped ops never pay its count
+        rows_in = rows_in() if callable(rows_in) else rows_in
         plan = formatted_plan(df)
         plan_ok = (
             "CartesianProduct" not in plan and not has_global_sort(df)
         )
+        sc = spark.sparkContext
+        grp = f"smoke_{op_name}"
+        sc.setJobGroup(grp, grp)
         t0 = time.perf_counter()
-        # count() on a global aggregate PRUNES the aggregate
-        # expressions (Catalyst rewrites to an empty agg) — ops whose
-        # work lives in the aggregates themselves must collect().
-        rows_out = len(df.collect()) if collect_rows else df.count()
+        try:
+            # count() on a global aggregate PRUNES the aggregate
+            # expressions (Catalyst rewrites to an empty agg) — ops whose
+            # work lives in the aggregates themselves must collect().
+            rows_out = len(df.collect()) if collect_rows else df.count()
+        finally:
+            sc.setJobGroup("", "")
         wall = round(time.perf_counter() - t0, 2)
         print(
             json.dumps(
@@ -84,6 +142,7 @@ def main() -> None:
                     "rows_in": rows_in,
                     "rows_out": rows_out,
                     "wall_sec": wall,
+                    "shuffle_write_mb": _shuffle_write_mb(spark, grp),
                     "plan_ok": plan_ok,
                 }
             ),
@@ -132,7 +191,7 @@ def main() -> None:
     run(
         "kmv_distinct",
         kmv_distinct(big_ev, "event_type", "user_id", k=64),
-        big_ev.count(),
+        lambda: big_ev.count(),
     )
     from typebus_spark.operators.sketch import heavy_hitters
 
@@ -148,7 +207,12 @@ def main() -> None:
     # wall must grow ~linearly with the token stream, never with the
     # vocabulary
     run("heavy_hitter_tokens", heavy_hitters(tok, "token", 1, 500), n_docs)
-    n_ev = big_ev.count()
+    # events count only when an events-family op actually runs
+    need_ev = only_ops is None or only_ops & {
+        "retry_drain", "stream_stream_join", "stream_hourly_append",
+        "stream_session_append", "stream_dedup_bounded",
+    }
+    n_ev = big_ev.count() if need_ev else 0
     from typebus_spark.operators.dedup import dedup_substrings
     from typebus_spark.operators.sampling import shard_shuffle
 
@@ -218,10 +282,20 @@ def main() -> None:
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     run("phash_near_pairs", phash_near_pairs(cat), n_docs)
-    ann_profile_smoke(spark, sf_dir, factor, run)
-    drain_smoke(spark, big_ev, factor, n_ev)
-    stream_join_smoke(spark, big_ev, factor, n_ev)
-    stream_append_smoke(spark, big_ev, factor, n_ev)
+    if only_ops is None or only_ops & {
+        "ann_ivf_kmeans_train", "bpe_train_merges", "knn_brute",
+        "knn_ivf", "knn_pq", "profile_table",
+    }:
+        ann_profile_smoke(spark, sf_dir, factor, run)
+    if only_ops is None or "retry_drain" in only_ops:
+        drain_smoke(spark, big_ev, factor, n_ev)
+    if only_ops is None or "stream_stream_join" in only_ops:
+        stream_join_smoke(spark, big_ev, factor, n_ev)
+    if only_ops is None or only_ops & {
+        "stream_hourly_append", "stream_session_append",
+        "stream_dedup_bounded",
+    }:
+        stream_append_smoke(spark, big_ev, factor, n_ev)
     spark.stop()
 
 

