@@ -80,6 +80,7 @@ def _shuffle_write_mb(spark, group: str) -> float | None:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only_ops = None
+    salted = "--salted" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--ops"):
             val = a.split("=", 1)[1] if "=" in a else None
@@ -109,7 +110,25 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     ev = load_table(spark, sf_dir, "events")
-    big_docs = replicate(docs, "doc_id", factor, 10_000_000).persist()
+    big_docs = replicate(docs, "doc_id", factor, 10_000_000)
+    if salted:
+        # CORPUS-GROWTH mode (--salted, the r10 100x row): every token
+        # gets a per-replica-slice suffix, so near-dup families exist
+        # only WITHIN a slice and the duplication RATE stays constant
+        # as the corpus grows — the realistic 100 TB shape. The default
+        # (identical replicas) is the worst-case FAMILY-growth shape:
+        # its pair OUTPUT is quadratic in the factor by construction
+        # (every replica pairs with every other), which measures output
+        # blowup, not corpus scaling, past ~10x.
+        big_docs = big_docs.withColumn(
+            "text",
+            F.expr(
+                "array_join(transform(split(text, ' '), "
+                "t -> concat(t, '_', cast(doc_id div 10000000 as string))"
+                "), ' ')"
+            ),
+        )
+    big_docs = big_docs.persist()
     big_ev = replicate(ev, "event_id", factor, 100_000_000)
     n_docs = big_docs.count()
 
