@@ -981,6 +981,39 @@ def dedup_substrings(
     )
 
 
+def build_exact_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    materialize_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The two STORED-TABLE frames ``incremental_dedup`` probes per
+    ingest batch: the distinct content-hash set ``(_h)`` and the
+    per-doc distinct-shingle index ``(_id, shingle)``. Build once per
+    corpus snapshot (append per admitted batch in production); with
+    ``materialize_dir`` they are written as parquet and the returned
+    frames read the store (explicit schema — job-free steady-state
+    plan construction), mirroring ``build_minhash_index``."""
+    c_hash = corpus.select(
+        F.md5(norm_text(text_col)).alias("_h")
+    ).distinct()
+    c_sh = distinct_shingles(corpus, id_col, text_col, shingle_n)
+    if materialize_dir is None:
+        return c_hash, c_sh
+    import os
+
+    spark = corpus.sparkSession
+    hp = os.path.join(materialize_dir, "hashes")
+    sp = os.path.join(materialize_dir, "shingles")
+    c_hash.write.mode("overwrite").parquet(hp)
+    c_sh.write.mode("overwrite").parquet(sp)
+    return (
+        spark.read.schema(c_hash.schema).parquet(hp),
+        spark.read.schema(c_sh.schema).parquet(sp),
+    )
+
+
 def incremental_dedup(
     delta: DataFrame,
     corpus: DataFrame,
@@ -988,6 +1021,7 @@ def incremental_dedup(
     text_col: str,
     shingle_n: int = 8,
     threshold: float = 0.5,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: admit only NEW-batch documents that
     are neither exact copies nor near-duplicates of the EXISTING corpus
@@ -997,9 +1031,14 @@ def incremental_dedup(
     cost is (a) one anti-join of the delta's content hashes against the
     corpus hash index and (b) one inverted-index join of the delta's
     shingles against the corpus shingle index — both proportional to
-    the DELTA (plus index probe), never corpus². In a real deployment
-    the two corpus indexes are materialized tables maintained
-    incrementally; here they derive from the corpus frame.
+    the DELTA (plus index probe), never corpus². Pass the stored
+    indexes as ``corpus_index=(content_hashes, distinct_shingles)``
+    (built by ``build_exact_index``) and the corpus is never re-hashed
+    or re-shingled here; with no index they derive from the corpus
+    frame (the live-derivation check). Precondition: delta and corpus
+    ids are disjoint (re-ingest same-id handling is the
+    ``minhash_lsh_incremental`` contract; this operator's indexes are
+    pruned by the caller before re-add).
 
     Returns the admitted delta rows with an ``admit_reason`` of
     ``'new'``, plus rejected rows tagged ``'exact_dup'`` /
@@ -1008,9 +1047,13 @@ def incremental_dedup(
     d_hash = delta.select(
         F.col(id_col), F.md5(norm_text(text_col)).alias("_h")
     )
-    c_hash = corpus.select(
-        F.md5(norm_text(text_col)).alias("_h")
-    ).distinct()
+    if corpus_index is None:
+        c_hash = corpus.select(
+            F.md5(norm_text(text_col)).alias("_h")
+        ).distinct()
+        c_sh_src = distinct_shingles(corpus, id_col, text_col, shingle_n)
+    else:
+        c_hash, c_sh_src = corpus_index
     exact_dups = d_hash.join(c_hash, "_h", "left_semi").select(id_col)
 
     from pyspark import StorageLevel
@@ -1021,16 +1064,24 @@ def incremental_dedup(
         StorageLevel.MEMORY_AND_DISK
     )
     d_sizes = d_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("nd"))
-    c_sh = distinct_shingles(corpus, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    c_sizes = c_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("nc"))
+    c_sh = c_sh_src.persist(StorageLevel.MEMORY_AND_DISK)
+    # collision-pair-sized; persisted because BOTH the size semi-join
+    # and the jaccard filter consume it (two consumers of one reduced
+    # frame re-execute the probe join otherwise — the r9 double-scan
+    # rule, CLAUDE.md)
     shared = (
         d_sh.select(F.col("_id").alias("d"), "shingle")
         .join(c_sh.select(F.col("_id").alias("c"), "shingle"), "shingle")
         .groupBy("d", "c")
         .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # size only the corpus docs that actually collided (semi join before
+    # the aggregate — the same restriction the minhash verify applies):
+    # the per-doc size reduce stays delta-collision-sized, never a
+    # corpus-wide aggregate over the stored index
+    c_sizes = c_sh.join(
+        shared.select(F.col("c").alias("_id")).distinct(), "_id", "left_semi"
+    ).groupBy("_id").agg(F.count(F.lit(1)).alias("nc"))
     near = (
         shared.join(d_sizes.select(F.col("_id").alias("d"), "nd"), "d")
         .join(c_sizes.select(F.col("_id").alias("c"), "nc"), "c")

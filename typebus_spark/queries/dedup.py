@@ -241,6 +241,36 @@ def q_dedup_minhash_incremental(spark, sf_dir):
 
 _MINHASH_INDEX_CACHE: dict[tuple, tuple] = {}
 
+_EXACT_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def _stored_exact_index(spark, sf_dir):
+    """Stored corpus content-hash + distinct-shingle index tables for
+    q_dedup_incremental (build_exact_index), materialized once per
+    (session, corpus) under shm scratch — the exact-dedup twin of
+    _stored_minhash_index."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _EXACT_INDEX_CACHE.get(key)
+    if got is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from typebus_spark.operators.dedup import build_exact_index
+        from typebus_spark.session import _shm_scratch
+
+        corpus = t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 != 4
+        )
+        root = tempfile.mkdtemp(prefix="ex_index_", dir=_shm_scratch())
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        got = build_exact_index(
+            corpus, "doc_id", "text", shingle_n=NEAR_N,
+            materialize_dir=root,
+        )
+        _EXACT_INDEX_CACHE[key] = got
+    return got
+
 
 def _stored_minhash_index(spark, sf_dir, dirty: bool):
     """The pre-built history MinHash index tables (band rows + hashed
@@ -960,7 +990,12 @@ FROM dh GROUP BY 1
         "neither an exact copy (anti-join on the corpus content-hash "
         "index) nor a near-dup (delta shingles probed against the "
         "corpus shingle index) — per-batch cost proportional to the "
-        "DELTA plus index probe, never corpus². The 20%% newest ids "
+        "DELTA plus index probe, never corpus². PRODUCTION PATH (r10, "
+        "same as q_dedup_minhash_incremental): both corpus indexes are "
+        "read from STORED tables (build_exact_index, materialized once "
+        "per session+corpus); the corpus is never re-hashed or "
+        "re-shingled per batch, and the per-doc size reduce is "
+        "semi-join-restricted to colliding docs. The 20%% newest ids "
         "play the delta; admit/reject tallies are hash-checked."
     ),
 )
@@ -977,6 +1012,7 @@ def q_dedup_incremental(spark, sf_dir):
         "text",
         shingle_n=NEAR_N,
         threshold=NEAR_THRESHOLD,
+        corpus_index=_stored_exact_index(spark, sf_dir),
     )
     return tagged.groupBy("admit_reason").agg(
         F.count(F.lit(1)).alias("n_docs")
