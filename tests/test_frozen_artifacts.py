@@ -136,6 +136,28 @@ def _check_media_fixtures(spark, sf_dir):
         )
 
 
+def _check_minhash_stored_index(spark, sf_dir):
+    from typebus_spark.queries.dedup import _MINHASH_INDEX_CACHE
+
+    assert not _warm_then_probe(spark, sf_dir, "q_dedup_minhash_incremental"), (
+        "q_dedup_minhash_incremental ran jobs on a warm build — stored "
+        "minhash index memo missed (re-deriving history per run)"
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, False)
+    assert key in _MINHASH_INDEX_CACHE
+
+
+def _check_exact_stored_index(spark, sf_dir):
+    from typebus_spark.queries.dedup import _EXACT_INDEX_CACHE
+
+    assert not _warm_then_probe(spark, sf_dir, "q_dedup_incremental"), (
+        "q_dedup_incremental ran jobs on a warm build — stored exact "
+        "index memo missed (re-hashing the corpus per run)"
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in _EXACT_INDEX_CACHE
+
+
 CASES = {
     "ivf_codebook": _check_ivf_codebook,
     "langid_profile": _check_langid_profile,
@@ -144,6 +166,8 @@ CASES = {
     "bpe_merges": _check_bpe_merges,
     "topic_balance_frozen": _check_topic_balance_frozen,
     "media_fixtures": _check_media_fixtures,
+    "minhash_stored_index": _check_minhash_stored_index,
+    "exact_stored_index": _check_exact_stored_index,
 }
 
 

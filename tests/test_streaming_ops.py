@@ -557,3 +557,25 @@ def test_mux_matches_native_streaming(spark, sf_dir, qname, native):
     mux_rows = sorted(map(tuple, mux_df.select(cols).collect()))
     nat_rows = sorted(map(tuple, nat_df.select(cols).collect()))
     assert mux_rows == nat_rows, (qname, len(mux_rows), len(nat_rows))
+
+
+def test_mux_single_batch_invariant(spark, sf_dir):
+    """The mux handlers aggregate per micro-batch, so the scaffold is
+    only correct when the availableNow replay lands in ONE batch. Pin
+    the two halves of the invariant: (a) the staged source is far
+    below the file source's default maxFilesPerTrigger (1000), so one
+    batch is guaranteed; (b) the scaffold actually produced every
+    registered handler's table for this (session, dir)."""
+    import os
+
+    from typebus_spark.session import _STREAM_STAGE_CACHE
+    from typebus_spark.streaming.mux import _HANDLERS, _run_mux
+
+    tables = _run_mux(spark, sf_dir)
+    assert set(tables) == set(_HANDLERS)
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = _STREAM_STAGE_CACHE[(src, os.path.getmtime(src))]
+    n_files = len(
+        [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    )
+    assert 0 < n_files < 1000, n_files
