@@ -1088,7 +1088,14 @@ def q_pipeline_curated_mix(spark, sf_dir):
     tiers = perplexity_buckets(docs, "doc_id", "text").select(
         "doc_id", "tier"
     )
-    cand = g.join(tiers, "doc_id")
+    from pyspark import StorageLevel
+
+    # (doc_id, n_words, tier) — doc-count-sized, but its upstream is
+    # the two CPU-dense scans (gopher features + bigram-LM perplexity);
+    # BOTH the candidate audit and the kept audit consume it, and Spark
+    # re-executes the whole upstream per consumer (the r9 double-scan
+    # rule, CLAUDE.md) — persist the reduced frame.
+    cand = g.join(tiers, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
     rate = (
         F.when(F.col("tier") == "head", _MIX_RATES["head"])
         .when(F.col("tier") == "middle", _MIX_RATES["middle"])
