@@ -479,3 +479,12 @@ def test_r9_single_scan_pins(spark, sf_dir):
         plan = formatted_plan(_df(spark, sf_dir, name))
         assert "InMemoryRelation" in plan, name
         assert plan.count("Location: InMemoryFileIndex") == 1, name
+
+
+def test_r10_curated_mix_persists_candidates(spark, sf_dir):
+    """r10 double-scan fix: the curated-mix candidate frame (gopher
+    gate ⋈ perplexity tiers — two CPU-dense scans upstream) feeds both
+    the candidate audit and the kept audit; it must be persisted so
+    the upstream executes once (0.67 → 0.27 s fresh-plan at sf0.1)."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_pipeline_curated_mix"))
+    assert "InMemoryRelation" in plan, plan
