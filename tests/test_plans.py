@@ -433,8 +433,7 @@ def test_collect_sites_are_whitelisted():
     avro switch; operators/similarity.py — centroid/codebook rows
     (k-sized trainers); operators/sketch.py — freqItems candidate
     array; catalog/discovery.py — service descriptors (one per
-    service); operators/corpus_stats.py — per-partition offsets
-    (partition-count); operators/text_analysis.py — one merge row per
+    service); operators/text_analysis.py — one merge row per
     BPE round; operators/clustering.py — one convergence scalar per
     iteration; queries/similarity.py — one codebook-fingerprint scalar
     per (app, dir), cached (r9 frozen-codebook loader).
@@ -456,7 +455,6 @@ def test_collect_sites_are_whitelisted():
         "operators/similarity.py": 4,
         "operators/sketch.py": 1,
         "catalog/discovery.py": 1,
-        "operators/corpus_stats.py": 1,
         "operators/text_analysis.py": 1,
         "operators/clustering.py": 1,
         "queries/similarity.py": 1,

@@ -363,11 +363,19 @@ def perplexity_buckets(
 
     Bucketing is EXACT equal-population (ntile semantics: bucket sizes
     differ by at most one, larger buckets first) but computed WITHOUT a
-    single-partition global window: the per-doc scores are range-
-    partitioned on (score DESC, id), ranked locally per partition, and
-    shifted by per-partition row-count offsets — the only driver
-    traffic is one count per range partition, and no node ever holds
-    more than one partition's rows. ``floor((rank-1)*n/N)+1`` is
+    single-partition global window over the DATA: the per-doc scores
+    are range-partitioned on (score DESC, id), ranked locally per
+    partition, and shifted by per-partition row-count offsets. The
+    offsets are computed IN-PLAN (r10): the per-partition counts are a
+    ``n_range_partitions``-row frame, their running sum is a window
+    over those few rows (partition-count-sized, never data-sized), and
+    the offsets broadcast-join back on the partition id — no driver
+    collect, so plan construction is job-free and the bench
+    prepared-plan cache applies (the old build-time collect made every
+    plan build pay the whole score pipeline). ``spark_partition_id``
+    is consistent across the two consumers because both read the SAME
+    persisted materialization of ``rb`` (the same invariant the
+    collect-based form relied on). ``floor((rank-1)*n/N)+1`` is
     algebraically identical to SQL ``ntile(n)`` for strict total
     orders, so a plain single-window ntile (the oracle form) matches
     bit-for-bit.
@@ -381,43 +389,39 @@ def perplexity_buckets(
     from pyspark.sql import Window
 
     scored = bigram_logprob(df, id_col, text_col)
-    rb = scored.repartitionByRange(
-        n_range_partitions, F.col("avg_logprob").desc(), F.col(id_col)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    counts = dict(
-        rb.select(F.spark_partition_id().alias("_pid"))
-        .groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    offs, total = [], 0
-    for p in range(n_range_partitions):
-        offs.append(total)
-        total += counts.get(p, 0)
-    if total == 0:
-        return rb.select(
-            F.col(id_col),
-            "n_bigrams",
-            "avg_logprob",
-            F.lit(None).cast("long").alias("bucket"),
-            F.lit(None).cast("string").alias("tier"),
+    rb = (
+        scored.repartitionByRange(
+            n_range_partitions, F.col("avg_logprob").desc(), F.col(id_col)
         )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = rb.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # windows over the counts frame touch n_range_partitions ROWS —
+    # the single-partition window is fine at that size
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
     w_local = Window.partitionBy("_pid").orderBy(
         F.col("avg_logprob").desc(), F.col(id_col)
     )
-    rank0 = (
-        F.row_number().over(w_local)
-        + F.element_at(F.lit(offs), F.col("_pid") + 1)
-        - 1
-    ).cast("long")
+    rank0 = (F.row_number().over(w_local) + F.col("_off") - 1).cast("long")
     out = (
-        rb.withColumn("_pid", F.spark_partition_id())
+        rb.join(F.broadcast(offsets), "_pid")
         .withColumn("_r0", rank0)
         # integer DIV keeps the boundary exact at any rank magnitude
         # (a double divide misrounds once rank*n exceeds 2^53)
         .withColumn(
             "bucket",
-            F.expr(f"CAST(_r0 * {n_buckets} DIV {total} AS BIGINT) + 1"),
+            F.expr(f"CAST(_r0 * {n_buckets} DIV _n AS BIGINT) + 1"),
         )
         .select(F.col(id_col), "n_bigrams", "avg_logprob", "bucket")
     )
