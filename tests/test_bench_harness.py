@@ -149,3 +149,22 @@ def test_bench_and_duck_detail_share_key_set():
     # and the bench map must cover every registered oracle (a query
     # silently dropped from bench would hide a regression)
     assert set(ORACLES) <= bench, sorted(set(ORACLES) - bench)[:10]
+
+
+def test_rotation_dirty_queries_reenter_window():
+    """A query whose implementation changed this round (DIRTY_QUERIES)
+    must sort to the front even with a fresh green history — green rows
+    prove the OLD code (r10: 17 changed queries would otherwise all
+    ride outside the 50-entry driver window on r9 evidence)."""
+    from typebus_spark.suite import _rotation_order
+
+    history = {3: {"q_changed": {"hash_match": True},
+                   "q_same": {"hash_match": True}}}
+    order = _rotation_order(
+        {"q_same": True, "q_changed": True}, history, {"q_changed"}
+    )
+    assert order == ["q_changed", "q_same"]
+    # and the real DIRTY set only names registered queries
+    from typebus_spark.suite import DIRTY_QUERIES, QUERIES
+
+    assert DIRTY_QUERIES <= set(QUERIES), DIRTY_QUERIES - set(QUERIES)

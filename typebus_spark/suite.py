@@ -61,15 +61,42 @@ from typebus_spark.queries import text  # noqa: E402,F401
 from typebus_spark.queries import corpus  # noqa: E402,F401
 
 
+# Queries whose IMPLEMENTATION changed this round: a green history row
+# proves the OLD code, so these must re-enter the driver window even
+# though they have never failed. Updated by hand alongside the change
+# (the price of forgetting is one round of stale driver evidence, the
+# same exposure every pre-r10 round had for every change); cleared at
+# the start of the next round once the driver re-proves them.
+DIRTY_QUERIES: set[str] = {
+    # r10: multiplexed consumer graph serves these
+    "q_stream_hourly", "q_stream_sliding", "q_stream_session",
+    "q_stream_dedup", "q_stream_dedup_bounded", "q_stream_static_join",
+    "q_stream_hourly_append", "q_stream_sliding_append",
+    "q_stream_static_join_append", "q_stream_stream_join",
+    # r10: stored-index ingest paths
+    "q_dedup_minhash_incremental", "q_dedup_minhash_reingest",
+    "q_dedup_incremental",
+    # r10: 16-band phash recall fix (oracle changed too)
+    "q_multimodal_phash_near",
+    # r10: NULL-safe decomposed distincts / in-plan tier offsets /
+    # persisted candidate frame
+    "q_profile_table", "q_perplexity_buckets", "q_pipeline_curated_mix",
+}
+
+
 def _rotation_order(
-    has_oracle: dict[str, bool], history: dict[int, dict]
+    has_oracle: dict[str, bool],
+    history: dict[int, dict],
+    dirty: set[str] | None = None,
 ) -> list[str]:
     """Pure rotation ordering (unit-tested over synthetic histories in
     tests/test_bench_harness.py): sort query names by the latest round
     in which each got a GREEN driver row (hash_match, or a clean
     rows-only record for queries that are STILL oracle-less); a query
     whose most recent driver record is a FAILURE — or that was never
-    seen — sorts to the front so the window re-proves it. Ties keep
+    seen — sorts to the front so the window re-proves it. Queries in
+    ``dirty`` (implementation changed since their last green row) are
+    treated as unproven and sort to the front too. Ties keep
     registration order (``has_oracle`` insertion order), so the result
     is fully deterministic given the history.
 
@@ -102,6 +129,8 @@ def _rotation_order(
         g = latest_green.get(name, 0)
         if latest_fail.get(name, 0) >= g:
             g = 0  # unproven or regressed: back to the front
+        if dirty and name in dirty:
+            g = 0  # changed code: old green rows prove the old code
         return (g, pos[name])
 
     return sorted(has_oracle, key=key)
@@ -141,7 +170,9 @@ def _reorder_by_driver_history() -> None:
     """
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     has_oracle = {n: q.oracle is not None for n, q in QUERIES.items()}
-    order = _rotation_order(has_oracle, _load_driver_history(root))
+    order = _rotation_order(
+        has_oracle, _load_driver_history(root), DIRTY_QUERIES
+    )
     reordered = {n: QUERIES[n] for n in order}
     QUERIES.clear()
     QUERIES.update(reordered)
