@@ -999,3 +999,33 @@ def test_dedup_substring_reconstruction_lossless(spark, sf_dir):
     ).collect()
     assert all(r["n_removed"] == 0 for r in joined)
     assert all(r["same"] for r in joined)
+
+
+def test_repetition_stats_flags_boilerplate_phrases(spark):
+    """Gopher n-gram repetition: a doc that is one repeated 2-word
+    phrase maxes top2_frac and accumulates duplicated-3-gram chars; a
+    diverse doc keeps; docs under 3 tokens are excluded (no 3-gram)."""
+    from typebus_spark.operators.text_analysis import repetition_stats
+
+    diverse = " ".join(f"w{i:02d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham"),
+            (2, diverse),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # doc 3 (<3 tokens) excluded
+    # doc 1: tc=28 non-space chars; "spam ham" x4 covers 4*7=28 chars;
+    # duplicated 3-grams: "spam ham spam" x3 (11 chars) + "ham spam ham"
+    # x3 (10 chars) = 63 chars.
+    assert out[1]["top2_frac"] == 1.0
+    assert out[1]["dup3_frac"] == round(63 / 28, 6)
+    assert out[1]["keep"] == 0 and out[1]["ok_top2"] == 0
+    # doc 2: 30 distinct 4-char tokens, every gram unique -> top 2-gram
+    # covers 8/120 chars, no duplicated 3-gram.
+    assert out[2]["top2_frac"] == round(8 / 120, 6)
+    assert out[2]["dup3_frac"] == 0.0
+    assert out[2]["keep"] == 1 and out[2]["ok_dup3"] == 1

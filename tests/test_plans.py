@@ -6,6 +6,8 @@ off whole-stage codegen fails HERE even while the oracle test passes.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from typebus_spark.plans.checks import (
@@ -301,6 +303,17 @@ def test_relational4_plan_discipline(spark, sf_dir):
     plan = formatted_plan(_df(spark, sf_dir, "q11_important_parts"))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_filter_single_explode_no_join(spark, sf_dir):
+    """The n-gram repetition gate must ride ONE generator (both gram
+    widths in a combined struct array — a second Generate would rescan
+    the tokens) and aggregate without any join; the scan must prune to
+    (doc_id, text)."""
+    plan = formatted_plan(_df(spark, sf_dir, "q_filter_repetition"))
+    assert plan.count("(") > 0 and "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert "lang" not in plan.split("ReadSchema")[1].splitlines()[0], plan
 
 
 def test_gopher_filter_is_scan_side(spark, sf_dir):

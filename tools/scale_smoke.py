@@ -268,6 +268,23 @@ def main() -> None:
         ),
         n_docs,
     )
+    # r10: n-gram repetition gate — one explode (~2x tokens gram rows),
+    # two hash aggregates with map-side combine; wall must grow
+    # ~linearly in tokens. Checksum groupBy(keep)+collect so count()
+    # can't prune the per-doc aggregates that ARE the work.
+    from typebus_spark.operators.text_analysis import repetition_stats
+
+    run(
+        "repetition_stats",
+        repetition_stats(big_docs, "doc_id", "text")
+        .groupBy("keep")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("dup3_frac"), 4).alias("dup3_sum"),
+        ),
+        n_docs,
+        collect_rows=True,
+    )
     # r9: phash near-dup runs on the DISTINCT-hash catalog — the
     # banding join is catalog-sized (constant here: replicas reuse the
     # same blobs → same hashes), only the decode is linear

@@ -513,6 +513,109 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+REPETITION_THRESHOLDS = {
+    # Chosen to discriminate on the synthetic corpus while keeping both
+    # rules exercised (sf0.01: ~393/500 keep, 27 docs with dup3 > 0).
+    "max_top2_frac": 0.12,
+    "max_dup3_frac": 0.10,
+}
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_top2_frac: float = REPETITION_THRESHOLDS["max_top2_frac"],
+    max_dup3_frac: float = REPETITION_THRESHOLDS["max_dup3_frac"],
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, table A1 "repetition
+    removal"): per document, the fraction of characters covered by the
+    most frequent word 2-gram (``top2_frac``) and by all duplicated word
+    3-grams (``dup3_frac``), plus one 0/1 flag per rule and the
+    conjunction ``keep``. ``gopher_rules`` carries the single-token
+    duplicate ratio; this is the n-gram half of the repetition section
+    (the "fraction of characters in the most common n-gram" /
+    "in duplicated n-grams" family), which catches boilerplate phrases
+    single-token ratios miss.
+
+    Characters are counted multiplicatively (occurrences x non-space
+    gram length) without overlap correction — the standard cheap
+    variant; the oracle replays the same definition so the driver gate
+    checks the arithmetic, not a prose spec.
+
+    Shape at scale: one scan -> one explode of ~2x tokens gram rows ->
+    hash aggregate on (doc, n, gram) with map-side partial combine ->
+    per-doc aggregate. Same shuffle profile as the shingle-dedup family
+    (sub-quadratic, no driver data). Docs under 3 tokens are excluded
+    (no 3-gram exists; Spark ``sequence`` would also flip descending).
+    Fractions are single divisions of integer-valued operands, so the
+    IEEE result is bit-identical across engines (gopher_rules
+    convention); flags compare the unrounded quotient on both sides.
+    """
+    from typebus_spark.session import ensure_parallelism
+
+    toks = tokens(text_col)
+    base = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+        .cast("long")
+        .alias("_tc"),
+    ).where(F.size(F.col("_t")) >= 3)
+    # ONE generator over a combined struct array: both gram widths ride
+    # a single explode (inline), so the gram-count shuffle runs once.
+    grams = base.select(
+        F.col(id_col),
+        F.col("_tc"),
+        F.expr(
+            "inline(concat("
+            "transform(sequence(1, size(_t)-1), i -> named_struct("
+            "'n', 2, 'g', concat_ws(' ', slice(_t, i, 2)))), "
+            "transform(sequence(1, size(_t)-2), i -> named_struct("
+            "'n', 3, 'g', concat_ws(' ', slice(_t, i, 3))))))"
+        ),
+    )
+    cnts = grams.groupBy(id_col, "n", "g").agg(
+        F.first("_tc").alias("_tc"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    per = cnts.select(
+        F.col(id_col),
+        F.col("_tc"),
+        F.col("n"),
+        F.col("_c"),
+        (
+            F.col("_c")
+            * F.length(F.replace(F.col("g"), F.lit(" "), F.lit("")))
+        ).alias("_cc"),
+    ).groupBy(id_col).agg(
+        F.first("_tc").alias("_tc"),
+        F.max(F.when(F.col("n") == 2, F.col("_cc"))).alias("_top2"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("n") == 3) & (F.col("_c") >= 2), F.col("_cc"))
+            ),
+            F.lit(0).cast("long"),
+        ).alias("_dup3"),
+    )
+    top2 = F.col("_top2").cast("double") / F.col("_tc")
+    dup3 = F.col("_dup3").cast("double") / F.col("_tc")
+    return per.select(
+        F.col(id_col),
+        F.round(top2, 6).alias("top2_frac"),
+        F.round(dup3, 6).alias("dup3_frac"),
+        (top2 <= F.lit(max_top2_frac)).cast("long").alias("ok_top2"),
+        (dup3 <= F.lit(max_dup3_frac)).cast("long").alias("ok_dup3"),
+        (
+            (top2 <= F.lit(max_top2_frac)) & (dup3 <= F.lit(max_dup3_frac))
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+
+
 def bpe_encode_token_counts(
     df: DataFrame, id_col: str, text_col: str, merges: list[str]
 ) -> DataFrame:

@@ -750,6 +750,74 @@ def q_filter_gopher(spark, sf_dir):
     return gopher_rules(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _repetition_oracle() -> str:
+    from typebus_spark.operators.text_analysis import (
+        REPETITION_THRESHOLDS as r,
+    )
+
+    t2, d3 = r["max_top2_frac"], r["max_dup3_frac"]
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+         length(replace(text, ' ', '')) AS tc
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+),
+grams AS (
+  SELECT doc_id, tc, 2 AS n,
+         unnest(list_transform(generate_series(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1])) AS g
+  FROM base
+  UNION ALL
+  SELECT doc_id, tc, 3,
+         unnest(list_transform(generate_series(1, len(t)-2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+  FROM base
+),
+cnts AS (
+  SELECT doc_id, n, g, any_value(tc) AS tc, count(*) AS c,
+         count(*) * length(replace(g, ' ', '')) AS cc
+  FROM grams GROUP BY doc_id, n, g
+),
+per AS (
+  SELECT doc_id, any_value(tc) AS tc,
+         max(CASE WHEN n = 2 THEN cc END) AS top2,
+         CAST(coalesce(sum(CASE WHEN n = 3 AND c >= 2 THEN cc END), 0)
+              AS BIGINT) AS dup3
+  FROM cnts GROUP BY doc_id
+)
+SELECT doc_id,
+       round(CAST(top2 AS DOUBLE) / tc, 6) AS top2_frac,
+       round(CAST(dup3 AS DOUBLE) / tc, 6) AS dup3_frac,
+       CAST(CAST(top2 AS DOUBLE) / tc <= {t2} AS BIGINT) AS ok_top2,
+       CAST(CAST(dup3 AS DOUBLE) / tc <= {d3} AS BIGINT) AS ok_dup3,
+       CAST(CAST(top2 AS DOUBLE) / tc <= {t2}
+            AND CAST(dup3 AS DOUBLE) / tc <= {d3} AS BIGINT) AS keep
+FROM per
+"""
+
+
+@query(
+    "q_filter_repetition",
+    oracle=_repetition_oracle(),
+    doc=(
+        "Gopher n-gram repetition filters (Rae et al. 2021 table A1 "
+        "repetition-removal section): per-doc fraction of characters in "
+        "the most frequent word 2-gram and in duplicated word 3-grams, "
+        "with 0/1 flags and the keep conjunction — the boilerplate-"
+        "phrase half q_filter_gopher's single-token duplicate ratio "
+        "misses. Both gram widths ride ONE explode (inline over a "
+        "combined struct array), one (doc,n,gram) hash aggregate with "
+        "map-side combine, one per-doc aggregate; fractions are single "
+        "integer/integer divisions so every flag bit matches DuckDB."
+    ),
+)
+def q_filter_repetition(spark, sf_dir):
+    from typebus_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @query(
     "q_reservoir_per_group",
     oracle="""
