@@ -6,6 +6,11 @@ same operators the inventory queries exercise:
 Stages (each one the operator a 100 TB pipeline would run, at toy SF):
   1. quality filter        (operators.text_analysis.quality_score)
   1b. Gopher rule gate     (operators.text_analysis.gopher_rules)
+  1d. repetition gate      (operators.text_analysis.
+                            repetition_fractions — Gopher n-gram
+                            char-fraction rules)
+  1e. temperature mix plan (operators.mixing.temperature_mix —
+                            alpha=1/2 per-language sampling rates)
   1c. language gate        (operators.text_analysis.lang_id_ngram,
                             frozen char-3-gram profiles)
   2. model-based filter    (operators.text_analysis.linear_classifier)
@@ -90,6 +95,27 @@ def main() -> None:
     docs = docs.join(
         flags.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
     )
+
+    # 1d: n-gram repetition gate (round 10) — drop boilerplate-phrase
+    # docs (chars in most-frequent 2-gram / duplicated 3-grams)
+    from typebus_spark.operators.text_analysis import repetition_fractions
+
+    rep = repetition_fractions(docs, "doc_id", "text")
+    n_rep_drops = rep.filter(F.col("keep") == 0).count()
+    docs = docs.join(
+        rep.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+
+    # 1e: multilingual mixture plan (round 10) — alpha=1/2 temperature
+    # sampling rates per language on the still-multilingual corpus (the
+    # alternative to the hard en gate below when training multilingual:
+    # upweights low-resource languages, caps tiny ones at keep-all)
+    from typebus_spark.operators.mixing import temperature_mix
+
+    tmix_rows = temperature_mix(
+        docs.select("doc_id", "lang"), "doc_id", "lang",
+        budget=max(1, docs.count() * 3 // 4),
+    ).orderBy("lang").collect()
 
     # 1c: statistical language gate (round 9) — frozen char-3-gram
     # profiles, keep docs the classifier calls English
@@ -358,6 +384,9 @@ def main() -> None:
     top_dsir = dsir.orderBy(F.col("logweight").desc()).limit(1).collect()[0]
     print(f"most src0-like doc by DSIR: {top_dsir['doc_id']}"
           f" (logweight {top_dsir['logweight']})")
+    print(f"repetition gate: {n_rep_drops} boilerplate docs dropped")
+    print("temperature mix (alpha=1/2): "
+          + ", ".join(f"{r['lang']}={r['rate']}" for r in tmix_rows))
     print(f"language gate: {n_lang_drops} non-en dropped;"
           f" substring dedup cut {n_substr_cut} chunks")
     print(f"BPE merges learned on train: {[p for _, p, _ in merges]}")

@@ -97,3 +97,32 @@ def test_token_budget_mix_bucket_width_invariant(spark, sf_dir):
     ]
     assert kept[0] == kept[1] == kept[2]
     assert kept[0]  # non-trivial: the budget admits something
+
+
+def test_temperature_mix_upweights_low_resource_groups(spark):
+    """alpha=1/2 temperature sampling: p is proportional to sqrt(n), so
+    the big group's share shrinks vs raw and the small group's grows;
+    the keep rate caps at 1.0 when budget*p exceeds the group size; the
+    md5-uniform sample is deterministic across reruns."""
+    from typebus_spark.operators.mixing import temperature_mix
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = {
+        r["grp"]: r
+        for r in temperature_mix(df, "doc_id", "grp", budget=450).collect()
+    }
+    # raw shares: big 0.8 / small 0.2; sqrt-tempered: 20/(20+10)=2/3, 1/3
+    assert abs(out["big"]["p"] - 2 / 3) < 1e-6
+    assert abs(out["small"]["p"] - 1 / 3) < 1e-6
+    # small: 450 * (1/3) / 100 = 1.5 -> capped at 1.0, all docs kept
+    assert out["small"]["rate"] == 1.0
+    assert out["small"]["n_sampled"] == 100
+    # big: 450 * (2/3) / 400 = 0.75 -> uncapped Bernoulli keep
+    assert out["big"]["rate"] == 0.75
+    assert 0 < out["big"]["n_sampled"] < 400
+    rerun = {
+        r["grp"]: r["n_sampled"]
+        for r in temperature_mix(df, "doc_id", "grp", budget=450).collect()
+    }
+    assert rerun == {g: r["n_sampled"] for g, r in out.items()}

@@ -1001,11 +1001,11 @@ def test_dedup_substring_reconstruction_lossless(spark, sf_dir):
     assert all(r["same"] for r in joined)
 
 
-def test_repetition_stats_flags_boilerplate_phrases(spark):
+def test_repetition_fractions_flags_boilerplate_phrases(spark):
     """Gopher n-gram repetition: a doc that is one repeated 2-word
     phrase maxes top2_frac and accumulates duplicated-3-gram chars; a
     diverse doc keeps; docs under 3 tokens are excluded (no 3-gram)."""
-    from typebus_spark.operators.text_analysis import repetition_stats
+    from typebus_spark.operators.text_analysis import repetition_fractions
 
     diverse = " ".join(f"w{i:02d}" for i in range(30))
     docs = spark.createDataFrame(
@@ -1016,7 +1016,7 @@ def test_repetition_stats_flags_boilerplate_phrases(spark):
         ],
         "doc_id long, text string",
     )
-    out = {r["doc_id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    out = {r["doc_id"]: r for r in repetition_fractions(docs, "doc_id", "text").collect()}
     assert set(out) == {1, 2}  # doc 3 (<3 tokens) excluded
     # doc 1: tc=28 non-space chars; "spam ham" x4 covers 4*7=28 chars;
     # duplicated 3-grams: "spam ham spam" x3 (11 chars) + "ham spam ham"

@@ -272,11 +272,11 @@ def main() -> None:
     # two hash aggregates with map-side combine; wall must grow
     # ~linearly in tokens. Checksum groupBy(keep)+collect so count()
     # can't prune the per-doc aggregates that ARE the work.
-    from typebus_spark.operators.text_analysis import repetition_stats
+    from typebus_spark.operators.text_analysis import repetition_fractions
 
     run(
-        "repetition_stats",
-        repetition_stats(big_docs, "doc_id", "text")
+        "repetition_fractions",
+        repetition_fractions(big_docs, "doc_id", "text")
         .groupBy("keep")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -167,3 +167,98 @@ def pack_sequences(
         ).alias("end_seq"),
         F.col("_tok").cast("long").alias("n_tokens"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    budget: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-based group sampling at alpha = 1/2: the multilingual
+    pretraining recipe (sample group i with probability proportional to
+    n_i^alpha, alpha < 1 upweighting low-resource groups — the
+    XLM-R/mBERT/T5 mixture scheme). ``rebalance_sources`` is the
+    alpha -> 0 limit (uniform); this is the smooth middle.
+
+    alpha is fixed at 1/2 because sqrt is IEEE correctly-rounded on
+    every engine while pow(x, alpha) = exp(alpha*ln x) is not
+    (CLAUDE.md transcendental rule): sqrt weights are fixed to integer
+    NANO-UNITS before normalizing, so the group-weight sum is an
+    integer (order-free, exact) and every downstream probability is a
+    single division of integer-valued operands — bit-identical across
+    engines, no window-order or partial-agg-order hazard.
+
+    Per group: raw count, temperature probability ``p``, per-doc keep
+    ``rate`` = min(1, budget*p/n) (budget in documents), and the
+    realized ``n_sampled`` under the md5-uniform keep rule
+    u(id) < rate (exactly reproducible; membership stable as the
+    corpus grows, unlike DataFrame.sample). Two column-pruned scans of
+    the input (count pass + sample pass; the group table is k rows and
+    broadcast back — the r9 decomposition lesson: narrow scans beat
+    carrying both aggregates through one pass at columnar-storage
+    scale).
+    """
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wi = F.floor(
+        F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000000.0)
+    ).cast("long")
+    tot = F.sum("_wi").over(Window.partitionBy())
+    rates = (
+        counts.withColumn("_wi", wi)
+        .withColumn("_p", F.col("_wi").cast("double") / tot.cast("double"))
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget))
+                * F.col("_p")
+                / F.col("n_docs").cast("double"),
+            ),
+        )
+        # consumed by BOTH the sample branch (broadcast) and the final
+        # report join — persist the k-row frame so the count scan runs
+        # once (the r9 double-scan rule; single-reuse persist, not an
+        # iterative loop)
+        .persist()
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"tm{seed}:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    sampled = (
+        df.select(F.col(id_col), F.col(group_col))
+        .join(
+            F.broadcast(rates.select(group_col, "_rate")), group_col
+        )
+        .filter(u < F.col("_rate"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, group_col, "left")
+        .select(
+            F.col(group_col),
+            F.col("n_docs"),
+            F.round("_p", 6).alias("p"),
+            F.round("_rate", 6).alias("rate"),
+            F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias(
+                "n_sampled"
+            ),
+        )
+    )

@@ -521,7 +521,7 @@ REPETITION_THRESHOLDS = {
 }
 
 
-def repetition_stats(
+def repetition_fractions(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -533,7 +533,9 @@ def repetition_stats(
     most frequent word 2-gram (``top2_frac``) and by all duplicated word
     3-grams (``dup3_frac``), plus one 0/1 flag per rule and the
     conjunction ``keep``. ``gopher_rules`` carries the single-token
-    duplicate ratio; this is the n-gram half of the repetition section
+    duplicate ratio and ``corpus_stats.repetition_stats`` the raw
+    repeated-3-gram COUNTS; this is the char-fraction n-gram half of
+    the repetition section
     (the "fraction of characters in the most common n-gram" /
     "in duplicated n-grams" family), which catches boilerplate phrases
     single-token ratios miss.

@@ -605,6 +605,66 @@ def q_mix_rebalance_sample(spark, sf_dir):
     return rebalance_audit(docs, "doc_id", "source", seed=7)
 
 
+TEMPERATURE_BUDGET = 400
+
+
+@query(
+    "q_mix_temperature",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000)
+              AS BIGINT) AS wi
+  FROM counts),
+r AS (
+  SELECT lang, n_docs,
+         CAST(wi AS DOUBLE) / CAST(sum(wi) OVER () AS DOUBLE) AS p,
+         least(1.0,
+               {TEMPERATURE_BUDGET}.0
+               * (CAST(wi AS DOUBLE) / CAST(sum(wi) OVER () AS DOUBLE))
+               / CAST(n_docs AS DOUBLE)) AS rate
+  FROM w),
+s AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN r ON d.lang = r.lang
+  WHERE CAST(('0x' || substr(md5('tm7:' || CAST(d.doc_id AS VARCHAR)),
+                             1, 8)) AS BIGINT)
+        / 4294967296.0 < r.rate
+  GROUP BY d.lang)
+SELECT r.lang, r.n_docs, round(r.p, 6) AS p, round(r.rate, 6) AS rate,
+       coalesce(s.n_sampled, CAST(0 AS BIGINT)) AS n_sampled
+FROM r LEFT JOIN s ON r.lang = s.lang
+""",
+    doc=(
+        "Temperature-based language sampling at alpha=1/2 (the "
+        "XLM-R/mBERT/T5 multilingual mixture: p_i proportional to "
+        "sqrt(n_i), upweighting low-resource languages; "
+        "q_mix_rebalance_sample is the alpha->0 uniform limit). sqrt "
+        "weights fixed to integer nano-units before normalizing so the "
+        "weight sum is order-free and every probability is a single "
+        "division of integer-valued operands (no pow — transcendentals "
+        "don't cross engines). Budget 400 docs: a low-resource lang hits "
+        "the least(1.0) rate cap (fr at sf0.01), en does not, so both branches are "
+        "driver-checked at the sf0.01 gate. Realized sample via the stable md5-uniform "
+        "keep rule; k-row rate table broadcast back over a pruned "
+        "scan."
+    ),
+)
+def q_mix_temperature(spark, sf_dir):
+    from typebus_spark.operators.mixing import temperature_mix
+
+    return temperature_mix(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        budget=TEMPERATURE_BUDGET,
+        seed=7,
+    )
+
+
 @query(
     "q_bpe_pair_counts",
     oracle=f"""
@@ -813,9 +873,9 @@ FROM per
     ),
 )
 def q_filter_repetition(spark, sf_dir):
-    from typebus_spark.operators.text_analysis import repetition_stats
+    from typebus_spark.operators.text_analysis import repetition_fractions
 
-    return repetition_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return repetition_fractions(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(
