@@ -305,14 +305,16 @@ def test_relational4_plan_discipline(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_repetition_filter_single_explode_no_join(spark, sf_dir):
-    """The n-gram repetition gate must ride ONE generator (both gram
-    widths in a combined struct array — a second Generate would rescan
-    the tokens) and aggregate without any join; the scan must prune to
+def test_repetition_filter_lambda_free_no_join(spark, sf_dir):
+    """The n-gram repetition gate must stay on the lambda-free gram
+    stream (position explode + stack unpivot = exactly TWO generators;
+    the interpreted transform-lambda form measured ~1.8x slower at the
+    100x smoke) and aggregate without any join; the scan must prune to
     (doc_id, text)."""
     plan = formatted_plan(_df(spark, sf_dir, "q_filter_repetition"))
     assert plan.count("(") > 0 and "Join" not in plan, plan
-    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 2, plan
+    assert "lambdafunction" not in plan, plan
     assert "lang" not in plan.split("ReadSchema")[1].splitlines()[0], plan
 
 

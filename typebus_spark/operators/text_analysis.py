@@ -566,18 +566,32 @@ def repetition_fractions(
         .cast("long")
         .alias("_tc"),
     ).where(F.size(F.col("_t")) >= 3)
-    # ONE generator over a combined struct array: both gram widths ride
-    # a single explode (inline), so the gram-count shuffle runs once.
-    grams = base.select(
-        F.col(id_col),
-        F.col("_tc"),
-        F.expr(
-            "inline(concat("
-            "transform(sequence(1, size(_t)-1), i -> named_struct("
-            "'n', 2, 'g', concat_ws(' ', slice(_t, i, 2)))), "
-            "transform(sequence(1, size(_t)-2), i -> named_struct("
-            "'n', 3, 'g', concat_ws(' ', slice(_t, i, 3))))))"
-        ),
+    # LAMBDA-FREE gram stream: explode the position index, build both
+    # gram widths as plain element_at/concat projections, unpivot with
+    # stack — every expression stays inside whole-stage codegen. The
+    # first formulation (inline over two transform(...) struct arrays)
+    # computed identical rows but ran the interpreted lambda path:
+    # 100x-salted A/B (interleaved, 500k docs) measured 62-88 s inline
+    # vs 34-56 s here. Still one linear gram stream -> one (doc,n,gram)
+    # hash aggregate with map-side combine.
+    grams = (
+        base.select(
+            F.col(id_col),
+            F.col("_tc"),
+            F.col("_t"),
+            F.expr("explode(sequence(1, size(_t)-1))").alias("_i"),
+        )
+        .selectExpr(
+            id_col,
+            "_tc",
+            "concat(element_at(_t, _i), ' ', element_at(_t, _i+1))"
+            " AS _g2",
+            "IF(_i <= size(_t)-2, concat(element_at(_t, _i), ' ',"
+            " element_at(_t, _i+1), ' ', element_at(_t, _i+2)), NULL)"
+            " AS _g3",
+        )
+        .selectExpr(id_col, "_tc", "stack(2, 2, _g2, 3, _g3) AS (n, g)")
+        .where("g IS NOT NULL")
     )
     cnts = grams.groupBy(id_col, "n", "g").agg(
         F.first("_tc").alias("_tc"),
