@@ -347,3 +347,37 @@ def test_avro_envelope_roundtrip_recursive_shape(depth, chain):
     if lvl >= depth:
         cur.pop("next", None)
     _envelope_roundtrip(schema, val)
+
+
+def test_exploded_shingle_rows_equals_lambda_shingles(spark):
+    """Equivalence pin for the r10 lambda-free shingle stream: on a
+    deterministic fuzz corpus (varying token counts incl. shorter-than-n
+    docs, repeated tokens, empty-ish strings), exploded_shingle_rows
+    must produce exactly the multiset explode(shingles(tokens, n))
+    produces — the lambda form IS the documented semantics the oracles
+    replay, so drift here would silently skew every shingle family."""
+    import pyspark.sql.functions as F
+
+    from typebus_spark.functions.text import (
+        exploded_shingle_rows,
+        shingles,
+        tokens,
+    )
+
+    rows = []
+    words = ["a", "bb", "ccc", "bb", "zz9", "#", "a"]
+    for i in range(40):
+        k = i % 11  # 0..10 tokens; k=0 -> empty string
+        rows.append((i, " ".join(words[(i + j) % len(words)] for j in range(k))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 5, 8):
+        lam = docs.select(
+            F.col("doc_id").alias("_id"),
+            F.explode(shingles(tokens("text"), n)).alias("_s"),
+        )
+        new = exploded_shingle_rows(docs, "doc_id", "text", n)
+        cs = lambda f: sorted(
+            ((r["_id"], r["_s"], r["c"]) for r in
+             f.groupBy("_id", "_s").agg(F.count(F.lit(1)).alias("c")).collect())
+        )
+        assert cs(lam) == cs(new), n

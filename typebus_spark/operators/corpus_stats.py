@@ -250,14 +250,18 @@ def bigram_logprob(
 
     from pyspark import StorageLevel
 
+    from typebus_spark.functions.text import exploded_shingle_rows
+
     toks = tokens(text_col)
     base = ensure_parallelism(df.select(F.col(group_col), F.col(text_col)))
     # the exploded bigram stream feeds BOTH the count aggregate and the
-    # final score join — persist so the (interpreted-lambda) shingle
-    # explode runs once, not twice
-    ex = base.select(
-        F.col(group_col), F.explode(shingles(toks, 2)).alias("bg")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # final score join — persist so the explode runs once, not twice;
+    # lambda-free stream (r10)
+    ex = (
+        exploded_shingle_rows(df, group_col, text_col, 2)
+        .select(F.col("_id").alias(group_col), F.col("_s").alias("bg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     uni = base.select(F.explode(toks).alias("w"))
     ugc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     # |vocab| == number of ugc groups: reuse the aggregate instead of a

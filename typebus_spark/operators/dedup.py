@@ -82,27 +82,20 @@ def distinct_shingles(
     compute-bound and a small file arrives as one partition)."""
     from typebus_spark.session import ensure_parallelism
 
-    explode_cols, key_col = _shingle_rows_cols(id_col, text_col, n)
+    from typebus_spark.functions.text import exploded_shingle_rows
+
     return (
-        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
-        .select(*explode_cols)
-        .select("_id", key_col)
+        exploded_shingle_rows(df, id_col, text_col, n)
+        .select("_id", _shingle_key_col())
         .distinct()
     )
 
 
-@lru_cache(maxsize=64)
-def _shingle_rows_cols(id_col: str, text_col: str, n: int) -> tuple:
-    """Cached shingle-explode projection — the ~40-round-trip shingle
-    tree is identical across queries (and across bench passes of the
-    stateful pipelines that embed it)."""
-    return (
-        (
-            F.col(id_col).alias("_id"),
-            F.explode(shingles(tokens(text_col), n)).alias("_s"),
-        ),
-        shingle_key("_s").alias("shingle"),
-    )
+@lru_cache(maxsize=4)
+def _shingle_key_col():
+    """Cached hashed-key projection (the md5/conv fragment is ~10 py4j
+    round trips and identical across every shingle consumer)."""
+    return shingle_key("_s").alias("shingle")
 
 
 def jaccard_pairs(
@@ -273,15 +266,13 @@ def _exploded_shingles(df, id_col: str, text_col: str, shingle_n: int):
     at scale) so the verify stage never re-scans + re-explodes the
     corpus; that second full pass was most of the operator's cost.
     No distinct() here: min() over duplicate shingles is identical and
-    dropping it saves a full shuffle."""
-    from typebus_spark.session import ensure_parallelism
+    dropping it saves a full shuffle. Lambda-free stream (r10):
+    functions.text.exploded_shingle_rows."""
+    from typebus_spark.functions.text import exploded_shingle_rows
 
     return (
-        ensure_parallelism(df.select(id_col, text_col))
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(shingles(tokens(text_col), shingle_n)).alias("shingle"),
-        )
+        exploded_shingle_rows(df, id_col, text_col, shingle_n)
+        .withColumnRenamed("_s", "shingle")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 

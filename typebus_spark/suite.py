@@ -81,6 +81,14 @@ DIRTY_QUERIES: set[str] = {
     # r10: NULL-safe decomposed distincts / in-plan tier offsets /
     # persisted candidate frame
     "q_profile_table", "q_perplexity_buckets", "q_pipeline_curated_mix",
+    # r10 continuation: lambda-free gram/shingle streams (interpreted
+    # higher-order-function lambdas rewritten to position explode +
+    # projections) — every consumer of distinct_shingles /
+    # _exploded_shingles / bigram_logprob / fingerprint / lang_id_ngram
+    "q_text_langid_ngram", "q_text_fingerprint", "q_bigram_logprob",
+    "q_source_overlap", "q_dedup_near_jaccard", "q_dedup_minhash_lsh",
+    "q_dedup_clusters", "q_pagerank_dups", "q_pipeline_clean_corpus",
+    "q_split_leakage_safe", "q_contamination_fuzzy",
 }
 
 
