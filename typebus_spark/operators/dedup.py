@@ -765,20 +765,32 @@ def dedup_spans(
     """
     from typebus_spark.session import ensure_parallelism
 
-    toks = tokens(text_col)
-    starts = F.sequence(F.lit(1), F.size(toks), F.lit(chunk_tokens))
-    chunks = F.transform(
-        starts,
-        lambda i: F.array_join(F.slice(toks, i, chunk_tokens), " "),
-    )
     # chunk rows feed BOTH the dup aggregate and the reconstruction
-    # join — persist so the tokenize+slice explode runs once
-    ex = ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(chunks).alias("pos", "chunk"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # join — persist so the tokenize+slice explode runs once.
+    # Lambda-free stream (r10): start-position explode + slice
+    # projection (whole-stage codegen; the transform-lambda array form
+    # runs interpreted); pos re-derives posexplode's 0-based index.
+    ex = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+        .select(
+            "_id",
+            "_t",
+            F.expr(
+                f"explode(sequence(1, size(_t), {chunk_tokens}))"
+            ).alias("_i"),
+        )
+        .select(
+            "_id",
+            F.expr(
+                f"CAST((_i - 1) DIV {chunk_tokens} AS INT)"
+            ).alias("pos"),
+            F.expr(
+                f"array_join(slice(_t, _i, {chunk_tokens}), ' ')"
+            ).alias("chunk"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dup = (
         ex.groupBy("chunk")
         .agg(F.countDistinct("_id").alias("_nd"))
@@ -840,31 +852,35 @@ def cdc_chunk_rows(
 
     from typebus_spark.session import ensure_parallelism
 
-    toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks)),
-        lambda i: F.concat_ws(
-            " ",
-            F.slice(
-                toks,
-                F.greatest(i - F.lit(gram - 1), F.lit(1)),
-                F.least(i, F.lit(gram)),
-            ),
-        ),
-    )
-    ex = ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.arrays_zip(toks.alias("tok"), grams.alias("gram")))
-        .alias("pos", "z"),
-    ).select(
-        "_id",
-        "pos",
-        F.col("z.tok").alias("tok"),
-        (
-            F.pmod(shingle_key("z.gram"), F.lit(target_chunk_tokens)) == 0
-        ).cast("int").alias("cut"),
+    # Lambda-free per-token stream (r10): position explode +
+    # element_at/slice projections (codegen) instead of posexplode over
+    # a transform-built arrays_zip (interpreted lambda per token).
+    ex = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+        .select(
+            "_id",
+            "_t",
+            F.expr("explode(sequence(1, size(_t)))").alias("_i"),
+        )
+        .select(
+            "_id",
+            (F.col("_i") - 1).alias("pos"),
+            F.expr("element_at(_t, _i)").alias("tok"),
+            (
+                F.pmod(
+                    shingle_key(
+                        F.expr(
+                            f"concat_ws(' ', slice(_t,"
+                            f" greatest(_i - {gram - 1}, 1),"
+                            f" least(_i, {gram})))"
+                        )
+                    ),
+                    F.lit(target_chunk_tokens),
+                )
+                == 0
+            ).cast("int").alias("cut"),
+        )
     )
     w = (
         Window.partitionBy("_id")

@@ -89,6 +89,7 @@ DIRTY_QUERIES: set[str] = {
     "q_source_overlap", "q_dedup_near_jaccard", "q_dedup_minhash_lsh",
     "q_dedup_clusters", "q_pagerank_dups", "q_pipeline_clean_corpus",
     "q_split_leakage_safe", "q_contamination_fuzzy",
+    "q_dedup_spans", "q_dedup_substring", "q_dedup_substring_keep_first",
 }
 
 
