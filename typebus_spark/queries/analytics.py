@@ -443,6 +443,53 @@ def q_rollup_incremental(spark, sf_dir):
 
 
 @query(
+    "q_profile_quantiles",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents GROUP BY source
+""",
+    doc=(
+        "Per-source EXACT document-length quantiles (the distribution "
+        "profile a curation run reports next to q_profile_table's "
+        "min/max/null scan): one grouped percentile aggregate computing "
+        "all four points from a single per-group buffer. Spark "
+        "percentile() and DuckDB quantile_cont share the "
+        "linear-interpolation definition h=(n-1)p and matched "
+        "bit-exactly on every group in the validation probe; exact "
+        "percentile state is O(distinct values) per group — fine for "
+        "bounded domains like lengths at any scale; the unbounded-"
+        "domain swap is approx_percentile (excluded from oracled "
+        "queries by the portability rule)."
+    ),
+)
+def q_profile_quantiles(spark, sf_dir):
+    qs = F.expr(
+        "percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))"
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            qs.alias("_q"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_q")[0], 6).alias("p25"),
+            F.round(F.col("_q")[1], 6).alias("p50"),
+            F.round(F.col("_q")[2], 6).alias("p75"),
+            F.round(F.col("_q")[3], 6).alias("p95"),
+        )
+    )
+
+
+@query(
     "q_profile_table",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
