@@ -10,6 +10,8 @@ classification.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from bench import builds_with_jobs
@@ -168,3 +170,79 @@ def test_rotation_dirty_queries_reenter_window():
     from typebus_spark.suite import DIRTY_QUERIES, QUERIES
 
     assert DIRTY_QUERIES <= set(QUERIES), DIRTY_QUERIES - set(QUERIES)
+
+
+def test_rotation_dirty_since_self_clears():
+    """Dict-form dirty ({name: round_changed}) self-clears once a green
+    row from that round or later exists — the r10 hand-cleared set
+    required remembering to empty it at round start; forgetting would
+    starve 31 of the 50 window slots forever (r10 verdict item 2)."""
+    from typebus_spark.suite import _rotation_order
+
+    history = {
+        9: {"q_a": {"hash_match": True}, "q_b": {"hash_match": True}},
+        10: {"q_a": {"hash_match": True}},
+    }
+    # q_a changed in r10 and has an r10 green row -> cleared (sorts by
+    # its real green age); q_b changed in r10 but its newest green is
+    # r9 -> still dirty, front of window.
+    order = _rotation_order(
+        {"q_a": True, "q_b": True}, history, {"q_a": 10, "q_b": 10}
+    )
+    assert order == ["q_b", "q_a"]
+
+
+def test_rotation_bounds_staleness():
+    """The driver checks only the first 50 entries per round; the
+    rotation must guarantee every query is re-proven within
+    ceil(N/50) all-green rounds (r10 verdict item 2: pin the
+    max-staleness bound, don't trust it). Simulated forward from the
+    REAL committed history + real inventory, so inventory growth that
+    breaks the bound fails here first."""
+    import math
+
+    from typebus_spark.suite import (
+        DIRTY_SINCE,
+        QUERIES,
+        _load_driver_history,
+        _rotation_order,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    history = {k: dict(v) for k, v in _load_driver_history(root).items()}
+    if not history:
+        pytest.skip("no CORRECTNESS history on disk")
+    has_oracle = {n: q.oracle is not None for n, q in QUERIES.items()}
+    window, n = 50, len(has_oracle)
+    rounds_needed = math.ceil(n / window)
+    start = max(history) + 1
+    for i in range(rounds_needed):
+        order = _rotation_order(has_oracle, history, DIRTY_SINCE)
+        history[start + i] = {
+            name: {"hash_match": True} for name in order[:window]
+        }
+    # every registered query earned a green row in the simulated span
+    latest = {}
+    for rnd in range(start, start + rounds_needed):
+        for name in history[rnd]:
+            latest[name] = rnd
+    missed = set(has_oracle) - set(latest)
+    assert not missed, sorted(missed)[:10]
+
+    # and the REAL history shows no query staler than the bound + 1
+    # round of slack (new queries land at the window front next round)
+    real_latest: dict[str, int] = {}
+    for rnd, rows in _load_driver_history(root).items():
+        for name, rec in rows.items():
+            if rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+            ):
+                real_latest[name] = max(real_latest.get(name, 0), rnd)
+    max_round = max(max(h) for h in [_load_driver_history(root)])
+    stale = {
+        n: r
+        for n, r in real_latest.items()
+        if n in has_oracle and r < max_round - rounds_needed
+    }
+    assert not stale, f"queries staler than {rounds_needed}+1 rounds: {stale}"

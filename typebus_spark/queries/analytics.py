@@ -460,7 +460,16 @@ FROM documents GROUP BY source
         "all four points from a single per-group buffer. Spark "
         "percentile() and DuckDB quantile_cont share the "
         "linear-interpolation definition h=(n-1)p and matched "
-        "bit-exactly on every group in the validation probe; exact "
+        "bit-exactly on every group in the validation probe. Residual "
+        "boundary risk (r10 ADVICE): the two engines' lerp "
+        "arithmetic could differ by 1 ulp, and round(...,6) only "
+        "absorbs that away from exact half-boundaries — p25/p50/p75 "
+        "have exact binary p so only p95's h=(n-1)*0.95 is exposed, "
+        "and only when a future fixture lands a group's interpolated "
+        "p95 within 1 ulp of a 5e-7 rounding boundary; if this query "
+        "ever hash-flips on a new fixture, that is the first suspect "
+        "(fix: anchor p95 to element_at(sorted, floor(h)+1) exact "
+        "positions on both sides). Exact "
         "percentile state is O(distinct values) per group — fine for "
         "bounded domains like lengths at any scale; the unbounded-"
         "domain swap is approx_percentile (excluded from oracled "

@@ -866,9 +866,13 @@ FROM per
         "the most frequent word 2-gram and in duplicated word 3-grams, "
         "with 0/1 flags and the keep conjunction — the boilerplate-"
         "phrase half q_filter_gopher's single-token duplicate ratio "
-        "misses. Both gram widths ride ONE explode (inline over a "
-        "combined struct array), one (doc,n,gram) hash aggregate with "
-        "map-side combine, one per-doc aggregate; fractions are single "
+        "misses. Both gram widths ride one POSITION explode "
+        "(explode(sequence) + plain element_at/concat projections) and "
+        "a stack(2,...) unpivot — exactly two Generates, plan-pinned; "
+        "the inline-over-struct-array form was 1.8x slower on the "
+        "interpreted higher-order-function path and was replaced "
+        "(r10). One (doc,n,gram) hash aggregate with map-side "
+        "combine, one per-doc aggregate; fractions are single "
         "integer/integer divisions so every flag bit matches DuckDB."
     ),
 )

@@ -61,42 +61,30 @@ from typebus_spark.queries import text  # noqa: E402,F401
 from typebus_spark.queries import corpus  # noqa: E402,F401
 
 
-# Queries whose IMPLEMENTATION changed this round: a green history row
-# proves the OLD code, so these must re-enter the driver window even
-# though they have never failed. Updated by hand alongside the change
-# (the price of forgetting is one round of stale driver evidence, the
-# same exposure every pre-r10 round had for every change); cleared at
-# the start of the next round once the driver re-proves them.
-DIRTY_QUERIES: set[str] = {
-    # r10: multiplexed consumer graph serves these
-    "q_stream_hourly", "q_stream_sliding", "q_stream_session",
-    "q_stream_dedup", "q_stream_dedup_bounded", "q_stream_static_join",
-    "q_stream_hourly_append", "q_stream_sliding_append",
-    "q_stream_static_join_append", "q_stream_stream_join",
-    # r10: stored-index ingest paths
-    "q_dedup_minhash_incremental", "q_dedup_minhash_reingest",
-    "q_dedup_incremental",
-    # r10: 16-band phash recall fix (oracle changed too)
-    "q_multimodal_phash_near",
-    # r10: NULL-safe decomposed distincts / in-plan tier offsets /
-    # persisted candidate frame
-    "q_profile_table", "q_perplexity_buckets", "q_pipeline_curated_mix",
-    # r10 continuation: lambda-free gram/shingle streams (interpreted
-    # higher-order-function lambdas rewritten to position explode +
-    # projections) — every consumer of distinct_shingles /
-    # _exploded_shingles / bigram_logprob / fingerprint / lang_id_ngram
-    "q_text_langid_ngram", "q_text_fingerprint", "q_bigram_logprob",
-    "q_source_overlap", "q_dedup_near_jaccard", "q_dedup_minhash_lsh",
-    "q_dedup_clusters", "q_pagerank_dups", "q_pipeline_clean_corpus",
-    "q_split_leakage_safe", "q_contamination_fuzzy",
-    "q_dedup_spans", "q_dedup_substring", "q_dedup_substring_keep_first",
+# Queries whose IMPLEMENTATION changed in a given round: a green history
+# row proves the OLD code, so each must re-enter the driver window even
+# though it has never failed. Maps query name → the round in which its
+# implementation changed; an entry stays dirty until a green driver row
+# from THAT round (or later) exists, then clears itself — no hand
+# maintenance at round start (the r10 hand-cleared set starved the
+# rotation risk onto whoever remembered to clear it). Entries whose
+# green row has landed are pruned opportunistically; stale-but-cleared
+# entries are harmless (they no longer sort to the front).
+DIRTY_SINCE: dict[str, int] = {
+    # r10: transitively consumes the lambda-free shingle streams via
+    # jaccard_pairs/containment_pairs but missed the r10 dirty set
+    # (ADVICE r10 medium) — its green rows prove the pre-rewrite code.
+    "q_dedup_containment": 10,
 }
+
+# Back-compat alias used by tests/tools that inspect the dirty set.
+DIRTY_QUERIES = set(DIRTY_SINCE)
 
 
 def _rotation_order(
     has_oracle: dict[str, bool],
     history: dict[int, dict],
-    dirty: set[str] | None = None,
+    dirty: set[str] | dict[str, int] | None = None,
 ) -> list[str]:
     """Pure rotation ordering (unit-tested over synthetic histories in
     tests/test_bench_harness.py): sort query names by the latest round
@@ -105,9 +93,11 @@ def _rotation_order(
     whose most recent driver record is a FAILURE — or that was never
     seen — sorts to the front so the window re-proves it. Queries in
     ``dirty`` (implementation changed since their last green row) are
-    treated as unproven and sort to the front too. Ties keep
-    registration order (``has_oracle`` insertion order), so the result
-    is fully deterministic given the history.
+    treated as unproven and sort to the front too; when ``dirty`` is a
+    {name: round_changed} dict, an entry self-clears once a green row
+    from that round or later exists (the green row proves the NEW
+    code). Ties keep registration order (``has_oracle`` insertion
+    order), so the result is fully deterministic given the history.
 
     ``history`` maps round number → the CORRECTNESS_r{N}.json dict.
     A historical rows-only green only counts while the query remains
@@ -139,7 +129,9 @@ def _rotation_order(
         if latest_fail.get(name, 0) >= g:
             g = 0  # unproven or regressed: back to the front
         if dirty and name in dirty:
-            g = 0  # changed code: old green rows prove the old code
+            since = dirty[name] if isinstance(dirty, dict) else None
+            if since is None or g < since:
+                g = 0  # changed code: old green rows prove old code
         return (g, pos[name])
 
     return sorted(has_oracle, key=key)
@@ -180,7 +172,7 @@ def _reorder_by_driver_history() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     has_oracle = {n: q.oracle is not None for n, q in QUERIES.items()}
     order = _rotation_order(
-        has_oracle, _load_driver_history(root), DIRTY_QUERIES
+        has_oracle, _load_driver_history(root), DIRTY_SINCE
     )
     reordered = {n: QUERIES[n] for n in order}
     QUERIES.clear()
