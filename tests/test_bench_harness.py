@@ -26,10 +26,14 @@ PURE = [
 ]
 STATEFUL = [
     "q_retry_drain",           # drain rounds execute during fn()
-    "q_stream_session_append",  # kept-native streaming query runs in fn()
+    "q_stream_hourly_append",  # r11 keep-one-live streaming query runs
+                               # in fn() (LIVE_APPEND_PICK = "hourly")
     "q_knn_ivf_kmeans",        # trainer collects centroids
     "q_dedup_clusters",        # iterative convergence loop
 ]
+# q_stream_session_append moved out of STATEFUL in r11: the keep-one-
+# live slot rotated to hourly, so it reads the mux tables (pure in
+# steady state). Whichever shape holds LIVE_APPEND_PICK belongs here.
 # q_stream_hourly moved out of STATEFUL in r10: it reads the
 # multiplexed consumer graph's output (streaming/mux.py), whose
 # scaffold is a memoized one-time setup — pure in steady state like

@@ -1029,3 +1029,36 @@ def test_repetition_fractions_flags_boilerplate_phrases(spark):
     assert out[2]["top2_frac"] == round(8 / 120, 6)
     assert out[2]["dup3_frac"] == 0.0
     assert out[2]["keep"] == 1 and out[2]["ok_dup3"] == 1
+
+
+def test_embedding_dup_pairs_bare_call_raises(spark):
+    """The planeless form is an exact all-pairs crossJoin (corpus^2):
+    the bare call must raise so no future caller ships a quadratic
+    plan by default (r10 verdict item 4); the explicit opt-in still
+    works for small baseline corpora and agrees with the LSH form's
+    above-threshold pairs on a bucketing-friendly fixture."""
+    import pytest as _pytest
+
+    from typebus_spark.operators.dedup import embedding_dup_pairs
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),   # ~same direction as 1
+            (3, [-1.0, 0.0]),     # opposite
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="allow_quadratic"):
+        embedding_dup_pairs(vecs, "vec_id", "embedding", threshold=0.9)
+
+    exact = embedding_dup_pairs(
+        vecs, "vec_id", "embedding", threshold=0.9, allow_quadratic=True
+    ).collect()
+    assert [(r["a"], r["b"]) for r in exact] == [(1, 2)]
+
+    # one hyperplane separating +x from -x buckets 1,2 together
+    lsh = embedding_dup_pairs(
+        vecs, "vec_id", "embedding", threshold=0.9, planes=[[1.0, 0.0]]
+    ).collect()
+    assert [(r["a"], r["b"]) for r in lsh] == [(1, 2)]

@@ -531,10 +531,11 @@ def test_staged_stream_source_preserves_rows(spark, sf_dir):
     "qname,native",
     [
         ("q_stream_hourly", "native_stream_hourly"),
-        ("q_stream_hourly_append", "native_stream_hourly_append"),
+        ("mux_stream_hourly_append", "native_stream_hourly_append"),
         ("q_stream_dedup_bounded", "native_stream_dedup_bounded"),
         ("q_stream_stream_join", "native_stream_stream_join"),
         ("q_stream_session", "native_stream_session"),
+        ("mux_stream_session_append", "native_stream_session_append"),
     ],
 )
 def test_mux_matches_native_streaming(spark, sf_dir, qname, native):
@@ -544,13 +545,17 @@ def test_mux_matches_native_streaming(spark, sf_dir, qname, native):
     pin for the r10 amortization: the mux handlers are per-micro-batch
     batch transforms (the reference's router architecture), and the
     single-batch availableNow replay makes their output equal the
-    native query's finalized emission. Five representative shapes:
+    native query's finalized emission. Six representative shapes:
     complete-mode window agg, append+watermark eviction, watermark-
-    bounded dedup, stateful two-sided join, session windows."""
+    bounded dedup, stateful two-sided join, session windows (complete
+    and append forms). The append pairs use the explicit mux_* entry
+    points so the pin holds regardless of which shape currently owns
+    the keep-one-live slot (LIVE_APPEND_PICK)."""
     from typebus_spark.queries import dataflow as dfq
     from typebus_spark.suite import QUERIES
 
-    mux_df = QUERIES[qname].fn(spark, sf_dir)
+    mux_fn = getattr(dfq, qname, None) or QUERIES[qname].fn
+    mux_df = mux_fn(spark, sf_dir)
     nat_df = getattr(dfq, native)(spark, sf_dir)
     assert mux_df.columns == nat_df.columns
     cols = mux_df.columns

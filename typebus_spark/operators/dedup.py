@@ -608,14 +608,28 @@ def embedding_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     planes: list[list[float]] | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold.
 
     With ``planes``: LSH-bucketed (hyperplane sign signature equality) —
-    sub-quadratic, probabilistic recall. Without: exact all-pairs (the
-    small-side is broadcast; use only when one side fits in memory —
-    the oracle/baseline path).
+    sub-quadratic, probabilistic recall; this is the only shape that
+    survives a 100x corpus. Without planes the plan is an exact
+    all-pairs crossJoin — corpus² at scale — so the bare call RAISES
+    unless ``allow_quadratic=True`` is passed explicitly (r10 verdict:
+    the default-None footgun invited a quadratic plan from a future
+    caller). For scale paths that can't tolerate LSH recall loss, use
+    ``semdedup`` (cluster-blocked) or a label/metadata-blocked join
+    (queries/dedup.py q_dedup_embedding) instead.
     """
+    if planes is None and not allow_quadratic:
+        raise ValueError(
+            "embedding_dup_pairs without `planes` builds an exact "
+            "all-pairs crossJoin (corpus^2). Pass `planes` (hyperplane "
+            "LSH buckets), or block on a metadata key, or opt in "
+            "explicitly with allow_quadratic=True for a small "
+            "baseline/oracle corpus."
+        )
     from typebus_spark.functions.vector import dot, norm
     from typebus_spark.session import ensure_parallelism
 

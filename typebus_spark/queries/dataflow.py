@@ -47,6 +47,18 @@ from typebus_spark.suite import query, t
 STREAM_STATE_PARTITIONS = 2
 SESSION_STATE_PARTITIONS = 4
 
+# Keep-one-live rotation (r11, r10 verdict item 3): exactly ONE
+# append+watermark window query runs its REAL streaming form in the
+# inventory each round, so live watermark-eviction machinery stays
+# driver-checked at one-query cost; the other append shapes read the
+# multiplexed consumer graph (their mux==native equivalence is pinned
+# by tests/test_streaming_ops.py::test_mux_matches_native_streaming).
+# Rotate each round: session (r10) → hourly (r11) → sliding (r12) →
+# static_join (r13) → session (r14) → … . When advancing the pick, add
+# BOTH affected queries (the newly-live and the newly-muxed shape) to
+# suite.DIRTY_SINCE for the new round.
+LIVE_APPEND_PICK = "hourly"
+
 # Python-stateful operators (applyInPandasWithState) have a different
 # optimum: per-GROUP pandas overhead in the Python worker dominates the
 # state-store open/commit I/O that drives the JVM-stateful choice above,
@@ -739,16 +751,23 @@ GROUP BY 1
         "tumbling windows with a 1-hour watermark, append-mode memory "
         "sink — windows emit exactly once when the watermark closes "
         "them, so the sink is write-once and state stays bounded by "
-        "the open-window horizon. Served by the multiplexed consumer "
-        "graph (see q_stream_hourly; the finalized-output filter — "
-        "window_end strictly before max(ts) − delay — is applied "
-        "identically to the handler output, so the result is the same "
-        "provably-finalized set the per-query streaming form "
-        "native_stream_hourly_append emits, pinned by the mux==native "
-        "test). " + _APPEND_DOC_TAIL
+        "the open-window horizon. Holds the r11 keep-one-live slot "
+        "(LIVE_APPEND_PICK='hourly'): runs the REAL append+watermark "
+        "streaming query; when another shape holds the slot it reads "
+        "the multiplexed consumer graph instead (the finalized-output "
+        "filter — window_end strictly before max(ts) − delay — is "
+        "applied identically to the handler output, so the result is "
+        "the same provably-finalized set either way, pinned by the "
+        "mux==native test). " + _APPEND_DOC_TAIL
     ),
 )
 def q_stream_hourly_append(spark, sf_dir):
+    if LIVE_APPEND_PICK == "hourly":
+        return native_stream_hourly_append(spark, sf_dir)
+    return mux_stream_hourly_append(spark, sf_dir)
+
+
+def mux_stream_hourly_append(spark, sf_dir):
     cutoff = _append_cutoff(spark, sf_dir)
     return (
         mux_result(spark, sf_dir, "stream_hourly_append")
@@ -851,28 +870,67 @@ HAVING max(ts) + INTERVAL 30 MINUTE < (SELECT wm FROM c)
         "mode — a session emits exactly once, when the watermark passes "
         "its end (last event + gap), and its state is dropped; the "
         "oracle's gaps-and-islands replay keeps only sessions whose "
-        "end is strictly closed. " + _APPEND_DOC_TAIL
+        "end is strictly closed. Served by the multiplexed consumer "
+        "graph while another shape holds the keep-one-live slot "
+        "(LIVE_APPEND_PICK); per-query streaming form kept as "
+        "native_stream_session_append, mux==native pinned. "
+        + _APPEND_DOC_TAIL
     ),
 )
 def q_stream_session_append(spark, sf_dir):
-    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_sess_ap_")
-    agg = (
-        stream.groupBy(
-            F.session_window("wts", "30 minutes").alias("w"),
-            F.col("user_id"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            money(F.sum(cents("value")), 100).alias("total_value"),
-        )
-        .select(
+    if LIVE_APPEND_PICK == "session":
+        return native_stream_session_append(spark, sf_dir)
+    return mux_stream_session_append(spark, sf_dir)
+
+
+def mux_stream_session_append(spark, sf_dir):
+    cutoff = _append_cutoff(spark, sf_dir)
+    return mux_result(spark, sf_dir, "stream_session_append").filter(
+        F.col("session_end") < F.lit(cutoff).cast("timestamp_ntz")
+    )
+
+
+def _agg_session_append(df, ts_col="ts"):
+    """30-min-gap session windows + session_end for the finalization
+    filter; session_window is the same expression in batch (mux
+    handler) and streaming (native) form — on the batch side the NTZ
+    event time feeds it directly, the native side reconstructs the
+    wall clock via _ntz (see _agg_hourly_append)."""
+    agg = df.groupBy(
+        F.session_window(ts_col, "30 minutes").alias("w"),
+        F.col("user_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money(F.sum(cents("value")), 100).alias("total_value"),
+    )
+    if ts_col == "ts":
+        return agg.select(
             "user_id",
-            _ntz("w.start").alias("session_start"),
-            _ntz("w.end").alias("session_end"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
             "n_events",
             "total_value",
         )
+    return agg.select(
+        "user_id",
+        _ntz("w.start").alias("session_start"),
+        _ntz("w.end").alias("session_end"),
+        "n_events",
+        "total_value",
     )
+
+
+@mux_handler("stream_session_append")
+def _mux_stream_session_append(spark, sf_dir, batch):
+    return _agg_session_append(batch)
+
+
+def native_stream_session_append(spark, sf_dir):
+    """Per-query REAL append+watermark session-window streaming form —
+    the r10 inventory shape, kept for the keep-one-live rotation and
+    the mux==native parity pin."""
+    stream, cutoff = _watermarked_events(spark, sf_dir, "stream_sess_ap_")
+    agg = _agg_session_append(stream, "wts")
     name = f"sess_ap_{uuid.uuid4().hex[:8]}"
     with pinned_shuffle_partitions(spark, SESSION_STATE_PARTITIONS):
         q = (
@@ -916,6 +974,12 @@ GROUP BY 1
     ),
 )
 def q_stream_sliding_append(spark, sf_dir):
+    if LIVE_APPEND_PICK == "sliding":
+        return native_stream_sliding_append(spark, sf_dir)
+    return mux_stream_sliding_append(spark, sf_dir)
+
+
+def mux_stream_sliding_append(spark, sf_dir):
     cutoff = _append_cutoff(spark, sf_dir)
     return (
         mux_result(spark, sf_dir, "stream_sliding_append")
@@ -1112,10 +1176,9 @@ FROM g GROUP BY user_id, sid
         "gaps-and-islands SQL as the batch form. Served by the "
         "multiplexed consumer graph (see q_stream_hourly); the "
         "per-query streaming session_window form is kept as "
-        "native_stream_session (and the append+watermark form stays "
-        "LIVE in the inventory as q_stream_session_append — one real "
-        "stateful window query per round, the keep-one-live "
-        "convention), mux==native pinned."
+        "native_stream_session (and ONE append+watermark shape stays "
+        "LIVE in the inventory per round — LIVE_APPEND_PICK, the "
+        "keep-one-live rotation), mux==native pinned."
     ),
 )
 def q_stream_session(spark, sf_dir):
@@ -1548,6 +1611,12 @@ GROUP BY 1, 2
     ),
 )
 def q_stream_static_join_append(spark, sf_dir):
+    if LIVE_APPEND_PICK == "static_join":
+        return native_stream_static_join_append(spark, sf_dir)
+    return mux_stream_static_join_append(spark, sf_dir)
+
+
+def mux_stream_static_join_append(spark, sf_dir):
     cutoff = _append_cutoff(spark, sf_dir)
     return (
         mux_result(spark, sf_dir, "stream_static_join_append")

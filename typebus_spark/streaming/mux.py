@@ -28,9 +28,11 @@ What stays OUTSIDE the mux (incompatible shapes, per r9 verdict):
   has that semantics.
 - ``q_stream_entity_state`` — the applyInPandasWithState E1 operator
   must itself run under the driver check.
-- ``q_stream_session_append`` — one live append+watermark window query
-  per round keeps the real eviction machinery driver-checked (the
-  trainer-stays-live convention, CLAUDE.md).
+- one live append+watermark window query per round (the keep-one-live
+  slot, rotated per round across hourly/sliding/static_join/session —
+  ``queries/dataflow.py LIVE_APPEND_PICK``) keeps the real eviction
+  machinery driver-checked (the trainer-stays-live convention,
+  CLAUDE.md).
 
 Scale shape: at 100 TB this is exactly the deployment story — one
 long-running consumer graph per service, handlers as per-micro-batch

@@ -75,6 +75,11 @@ DIRTY_SINCE: dict[str, int] = {
     # jaccard_pairs/containment_pairs but missed the r10 dirty set
     # (ADVICE r10 medium) — its green rows prove the pre-rewrite code.
     "q_dedup_containment": 10,
+    # r11: keep-one-live rotation moved the live append slot from
+    # session to hourly (queries/dataflow.py LIVE_APPEND_PICK) — both
+    # shapes changed implementation (live↔mux).
+    "q_stream_hourly_append": 11,
+    "q_stream_session_append": 11,
 }
 
 # Back-compat alias used by tests/tools that inspect the dirty set.
