@@ -846,6 +846,41 @@ def run_batch(
     return res
 
 
+def _drain_round_bound(service: Service, clock_step: int) -> int | None:
+    """Static upper bound on the number of drain rounds that can end
+    with a NONEMPTY retry queue — the give-up filter as arithmetic.
+
+    Rows enter the drain only at round 1 (``raw=None`` afterwards) and
+    the queue holds two kinds of rows: failed-eligible (attempt just
+    incremented; retry emitted only while attempt ≤ max_attempts) and
+    backoff-pending (attempt unchanged; waits ceil(backoff/clock_step)
+    rounds for the simulated clock). A single row's longest life is
+    therefore 1 initial round plus, per attempt a=1..max_attempts,
+    max(1, ceil(backoff(a)/clock_step)) rounds — after that the row has
+    either succeeded or exceeded max_attempts and dead-lettered
+    (``_retry_parts`` gaveup_cond, streaming/retry.py). Past this bound
+    the queue is PROVABLY empty, so the drain loop skips the final
+    snapshot+count job entirely (r10 verdict item 5). Returns None when
+    no stream retries (loop exits on the round-1 emptiness check).
+
+    Reference parity: the reference pays no drain bookkeeping at all —
+    its retry is a fire-and-forget in-memory timer
+    (KafkaBus.scala:229-233) that a crash silently drops; the remaining
+    snapshot jobs here are the price of deterministic replay.
+    """
+    from typebus_spark.streaming.retry import backoff_rounds
+
+    bounds = [
+        1 + sum(
+            max(1, backoff_rounds(sd.retry, a, clock_step))
+            for a in range(1, sd.retry.max_attempts + 1)
+        )
+        for sd in service.streams.values()
+        if sd.retry is not None
+    ]
+    return max(bounds) if bounds else None
+
+
 def drain_batches(
     service: Service,
     raw: DataFrame,
@@ -892,7 +927,13 @@ def drain_batches(
         )
     now = now_epoch
     feedback: dict[str, DataFrame] | None = None
-    for _ in range(max_rounds):
+    # Static give-up bound: past this round the retry queue is PROVABLY
+    # empty (every row has either succeeded or exceeded max_attempts —
+    # see _drain_round_bound), so the final round skips its
+    # snapshot+count job; its outputs materialize lazily in the
+    # caller's one consuming action instead.
+    bound = _drain_round_bound(service, clock_step)
+    for rnd in range(1, max_rounds + 1):
         res = run_batch(
             service,
             raw,
@@ -903,7 +944,7 @@ def drain_batches(
         )
         raw = None  # only round 1 consumes the raw batch
         merged.absorb(res, skip=lambda t: t.endswith(".retry"))
-        if not res.decoded_retry:
+        if not res.decoded_retry or (bound is not None and rnd >= bound):
             break
         # Materialize the (small) next-round queue: the snapshot makes
         # the emptiness check free and keeps the pending-backoff filter
@@ -914,6 +955,7 @@ def drain_batches(
         # already cut inside ``run_batch`` (orig_failed checkpoint), so
         # this job is a cheap filter scan.
         feedback = {}
+        snapshots: list[tuple[str, DataFrame, int]] = []
         for fqn, df in res.decoded_retry.items():
             if buffer_size is not None:
                 from typebus_spark.streaming.retry import drop_head
@@ -938,8 +980,25 @@ def drain_batches(
             # driver round-trips per stream per round); the count also
             # pulls the round's orig_failed checkpoint (its upstream)
             # into cache, so the dead-letter/trace arms scan cached rows
-            ck = df.coalesce(par).localCheckpoint(eager=False)
-            n = ck.count()
+            snapshots.append(
+                (fqn, df.coalesce(par).localCheckpoint(eager=False), par)
+            )
+        # Per-stream snapshot counts submit CONCURRENTLY (r10 verdict
+        # item 5): with k retry streams the per-round wall is max, not
+        # sum, of k count jobs (the mux fan-out pattern — per-job fixed
+        # cost dominates at queue sizes). The heterogeneous payload
+        # schemas rule out a single union-keyed count without a
+        # serialize-to-common-shape projection that would cost more
+        # than it fuses. Single-stream drains take the direct path —
+        # a pool would only add thread overhead.
+        if len(snapshots) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(len(snapshots)) as pool:
+                counts = list(pool.map(lambda s: s[1].count(), snapshots))
+        else:
+            counts = [ck.count() for _, ck, _ in snapshots]
+        for (fqn, ck, par), n in zip(snapshots, counts):
             if n > 0:
                 # The count just measured the queue, so a NEAR-EMPTY
                 # queue can stop scheduling ``par`` empty tasks in every

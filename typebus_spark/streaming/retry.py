@@ -70,6 +70,20 @@ def backoff_seconds_col(policy: RetryPolicy, attempt: F.Column) -> F.Column:
     return d
 
 
+def backoff_rounds(policy: RetryPolicy, attempt: int, clock_step: int) -> int:
+    """How many ``clock_step``-sized drain rounds the backoff before
+    retry number ``attempt`` spans — the scalar twin of the
+    ``_retry_parts`` backoff SQL (same next-attempt semantics: a row
+    failing its a-th time gets backoff(a); the SQL truncates the delay
+    to long while this ceils the float, so the scalar can only OVER-
+    estimate — safe for ``runtime._drain_round_bound``'s upper bound).
+    Tests pin scalar == columnar per shape."""
+    import math
+
+    d = policy.backoff_seconds(attempt)
+    return max(1, math.ceil(d / max(1, clock_step)))
+
+
 from functools import lru_cache
 
 # Constant SQL fragments for the retry meta update, parsed JVM-side in

@@ -80,6 +80,10 @@ DIRTY_SINCE: dict[str, int] = {
     # shapes changed implementation (live↔mux).
     "q_stream_hourly_append": 11,
     "q_stream_session_append": 11,
+    # r11: drain loop gained the static give-up round bound (skips the
+    # provably-empty final snapshot) + concurrent per-stream snapshots.
+    "q_retry_drain": 11,
+    "q_retry_drain_shed": 11,
 }
 
 # Back-compat alias used by tests/tools that inspect the dirty set.
