@@ -4,6 +4,9 @@ same operators the inventory queries exercise:
     python examples/llm_pipeline.py [sf_dir]
 
 Stages (each one the operator a 100 TB pipeline would run, at toy SF):
+  0. URL/domain curation   (operators.url_curation — normalize, exact
+                            URL dedup, registrable-domain blocklist +
+                            per-domain caps; the C4/RefinedWeb web step)
   1. quality filter        (operators.text_analysis.quality_score)
   1b. Gopher rule gate     (operators.text_analysis.gopher_rules)
   1d. repetition gate      (operators.text_analysis.
@@ -80,6 +83,23 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
+
+    # 0: URL/domain curation (round 11) — normalize the (synthetic)
+    # crawl URL, dedup exact URLs, gate blocklisted registrable domains
+    # and cap docs per domain; the per-doc survivors gate the corpus
+    from typebus_spark.operators.url_curation import (
+        domain_caps,
+        exact_url_dedup,
+    )
+    from typebus_spark.queries.corpus import _SYNTH_URL_SQL
+
+    with_url = docs.selectExpr("doc_id", _SYNTH_URL_SQL + " AS url")
+    url_canon = exact_url_dedup(with_url, "url", "doc_id")
+    url_kept = domain_caps(
+        url_canon, "url", "doc_id", cap=50, blocklist=("src0.com",)
+    ).select("doc_id")
+    n_url_dropped = n0 - url_kept.count()
+    docs = docs.join(url_kept, "doc_id")
 
     # 1: heuristic quality gate
     q = quality_score(docs, "doc_id", "text").filter(
@@ -381,6 +401,8 @@ def main() -> None:
     )
     print(f"documents: {n0} raw -> {n_clean} clean"
           f" ({n_rule_drops} dropped by Gopher rules)")
+    print(f"url curation: {n_url_dropped} dropped"
+          " (url dupes + src0.com blocklist + domain caps)")
     top_dsir = dsir.orderBy(F.col("logweight").desc()).limit(1).collect()[0]
     print(f"most src0-like doc by DSIR: {top_dsir['doc_id']}"
           f" (logweight {top_dsir['logweight']})")

@@ -251,3 +251,71 @@ def test_png_decoder_rejects_corrupted_tails(tail):
     blob = b"\x89PNG\r\n\x1a\n" + tail
     with pytest.raises(Exception):
         decode_png(blob)
+
+
+def test_media_provider_seam_swaps_all_three_paths(spark):
+    """The codec-provider registry (r10 verdict item 7) is a real code
+    seam: registering + activating a stub provider reroutes
+    decode_media/resize_media/perceptual_hash_media's "real" paths
+    with NO operator change, and deactivating restores the pure-Python
+    default (provider resolution happens at plan-build time)."""
+    import base64
+
+    from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
+    from typebus_spark.operators.media_provider import (
+        MediaCodecProvider,
+        active_provider,
+        provider,
+        register_provider,
+    )
+    from typebus_spark.operators.multimodal import (
+        decode_media,
+        perceptual_hash_media,
+        resize_media,
+    )
+
+    fx = next(f for f in MEDIA_FIXTURES if f["mime"] == "image/png")
+    df = spark.createDataFrame(
+        [(1, (bytearray(base64.b64decode(fx["b64"])), fx["mime"], {}))],
+        "id long, media struct<blob binary, mime string, "
+        "meta map<string,string>>",
+    )
+
+    # closures (not module-level defs): cloudpickle ships them by VALUE
+    # into the executor workers, the way a real provider package would
+    # be importable there
+    register_provider(
+        MediaCodecProvider(
+            "stub",
+            lambda blob, mime: {
+                "width": 7, "height": 7, "n_frames": 1, "features": [1.0]
+            },
+            lambda blob, mime, max_w, max_h: {
+                "width": 7, "height": 7, "out_w": 1, "out_h": 1,
+                "resized_sha": "stub",
+            },
+            lambda blob, mime: "0" * 16,
+        )
+    )
+    with provider("stub"):
+        d = decode_media(df, "id", decoder="real").first()
+        r = resize_media(df, "id", decoder="real").first()
+        p = perceptual_hash_media(df, "id").first()
+    assert (d["width"], d["height"]) == (7, 7) and d["decode_error"] is None
+    assert r["resized_sha"] == "stub" and r["resize_error"] is None
+    assert p["phash"] == "0" * 16 and p["phash_error"] is None
+
+    # default restored: the pure-Python provider decodes the real PNG
+    assert active_provider().name == "python"
+    d2 = decode_media(df, "id", decoder="real").first()
+    assert d2["decode_error"] is None and d2["width"] not in (None, 7)
+    p2 = perceptual_hash_media(df, "id").first()
+    assert p2["phash"] != "0" * 16 and len(p2["phash"]) == 16
+
+    # unknown provider names fail loudly
+    import pytest as _pytest
+
+    from typebus_spark.operators.media_provider import activate_provider
+
+    with _pytest.raises(KeyError):
+        activate_provider("no-such-provider")

@@ -1062,3 +1062,95 @@ def test_embedding_dup_pairs_bare_call_raises(spark):
         vecs, "vec_id", "embedding", threshold=0.9, planes=[[1.0, 0.0]]
     ).collect()
     assert [(r["a"], r["b"]) for r in lsh] == [(1, 2)]
+
+
+def test_url_normalize_and_registrable_domain(spark):
+    """normalize_url: fragment/utm/default-port/trailing-slash stripped,
+    scheme+host lowercased, path case and non-utm queries preserved,
+    subdomains kept. registrable_domain: PSL last-2/last-3 logic with
+    multi-label suffixes; label-less hosts pass through."""
+    from typebus_spark.operators.url_curation import (
+        normalize_url,
+        registrable_domain,
+        url_host,
+    )
+
+    urls = [
+        ("HTTPS://WWW.Example.COM:443/Path/A/?utm_campaign=x#frag",
+         "https://www.example.com/Path/A"),
+        ("https://example.com/a?q=1", "https://example.com/a?q=1"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://sub.x.co.uk/p/", "https://sub.x.co.uk/p"),
+    ]
+    df = spark.createDataFrame(urls, "u string, want string")
+    bad = df.filter(normalize_url("u") != F.col("want")).collect()
+    assert not bad, [(r["u"], r["want"]) for r in bad]
+
+    hosts = [
+        ("www.example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("user.github.io", "user.github.io"),
+        ("deep.sub.user.github.io", "user.github.io"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+    ]
+    hdf = spark.createDataFrame(hosts, "h string, want string")
+    bad = hdf.filter(registrable_domain("h") != F.col("want")).collect()
+    assert not bad, [(r["h"], r["want"]) for r in bad]
+
+    # host extraction drops port and lowercases
+    one = spark.createDataFrame(
+        [("HTTPS://A.B.COM:443/x?y#z",)], "u string"
+    ).select(url_host("u").alias("h")).first()
+    assert one["h"] == "a.b.com"
+
+
+def test_exact_url_dedup_and_domain_caps(spark):
+    """exact_url_dedup collapses normalization-equal URLs keeping the
+    lowest id; domain_caps drops blocklisted domains and keeps at most
+    cap rows per registrable domain (deterministic md5 rank)."""
+    from typebus_spark.operators.url_curation import (
+        domain_caps,
+        exact_url_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/x"),
+            (2, "https://a.com/x#frag"),       # same after normalize
+            (3, "https://a.com/x/"),            # same after normalize
+            (4, "https://a.com/y"),
+            (5, "https://www.a.com/x"),         # different (subdomain)
+            (6, "https://bad.org/z"),
+        ],
+        "doc_id long, url string",
+    )
+    ded = exact_url_dedup(df, "url", "doc_id")
+    got = {r["url"]: r["doc_id"] for r in ded.collect()}
+    assert got["https://a.com/x"] == 1  # lowest id kept
+    assert len(got) == 4
+
+    capped = domain_caps(
+        ded, "url", "doc_id", cap=2, blocklist=("bad.org",)
+    ).collect()
+    assert all(r["domain"] == "a.com" for r in capped)
+    assert len(capped) == 2 and all(r["rk"] <= 2 for r in capped)
+
+
+def test_curate_urls_single_scan_plan(spark, sf_dir):
+    """q_domain_caps plan shape: ONE documents scan (the r9 single-scan
+    rule — per-URL counts, dedup and the cap all derive from one
+    grouped frame), no cartesian, window rank feeds the final aggregate
+    without an extra corpus read."""
+    from typebus_spark.suite import QUERIES
+
+    df = QUERIES["q_domain_caps"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    assert rows and all(
+        r["n_kept"] <= min(3, r["n_urls"]) and r["n_urls"] <= r["n_docs"]
+        for r in rows
+    )
+    assert not [r for r in rows if r["domain"] in ("src0.com", "src3.co.uk")]

@@ -132,7 +132,7 @@ def main() -> None:
     big_ev = replicate(ev, "event_id", factor, 100_000_000)
     n_docs = big_docs.count()
 
-    def run(op_name, df, rows_in, collect_rows=False):
+    def run(op_name, df, rows_in, collect_rows=False, extra=None):
         if only_ops is not None and op_name not in only_ops:
             return
         # rows_in may be a thunk so skipped ops never pay its count
@@ -153,20 +153,18 @@ def main() -> None:
         finally:
             sc.setJobGroup("", "")
         wall = round(time.perf_counter() - t0, 2)
-        print(
-            json.dumps(
-                {
-                    "op": op_name,
-                    "factor": factor,
-                    "rows_in": rows_in,
-                    "rows_out": rows_out,
-                    "wall_sec": wall,
-                    "shuffle_write_mb": _shuffle_write_mb(spark, grp),
-                    "plan_ok": plan_ok,
-                }
-            ),
-            flush=True,
-        )
+        row = {
+            "op": op_name,
+            "factor": factor,
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "wall_sec": wall,
+            "shuffle_write_mb": _shuffle_write_mb(spark, grp),
+            "plan_ok": plan_ok,
+        }
+        if extra:
+            row.update(extra)
+        print(json.dumps(row), flush=True)
 
     run("exact_dedup", exact_dedup(big_docs, "doc_id", "text"), n_docs)
     run(
@@ -323,6 +321,11 @@ def main() -> None:
         "knn_ivf", "knn_pq", "profile_table",
     }:
         ann_profile_smoke(spark, sf_dir, factor, run)
+    if only_ops is None or only_ops & {
+        "ann_ivf_probe_salted", "lsh_embedding_bucketed",
+        "semdedup_bucketed", "phash_band_catalog",
+    }:
+        embedding_scale_smoke(spark, sf_dir, factor, run)
     if only_ops is None or "retry_drain" in only_ops:
         drain_smoke(spark, big_ev, factor, n_ev)
     if only_ops is None or "stream_stream_join" in only_ops:
@@ -490,6 +493,156 @@ def ann_profile_smoke(spark, sf_dir: str, factor: int, run) -> None:
         big_li.count(),
         collect_rows=True,
     )
+
+
+def embedding_scale_smoke(spark, sf_dir: str, factor: int, run) -> None:
+    """SALTED embedding/phash scale rows (r10 verdict #1 — the last
+    families without 100x evidence). ann_profile_smoke replicates
+    vectors VERBATIM, which is fine for scan-cost ops (brute/IVF/PQ
+    probes) but degenerate for bucketed PAIR generators: identical
+    replicas pile into the same bucket and the pair output grows
+    quadratically in the factor by construction. Here every replica
+    gets per-(id, dim) md5 noise (±0.15 per component ≈ the fixture's
+    own component scale), so replicas are FRESH content — the realistic
+    corpus-growth shape — and bucket granularity scales with the corpus
+    the way each operator's docstring prescribes:
+
+    - IVF probe: centroid count fixed, probe cost ∝ corpus·nprobe/k —
+      the salted row pins that the probe shuffle tracks the bucket
+      fraction, not the corpus square.
+    - hyperplane LSH: planes ~ 4 + log2(factor), so expected bucket
+      occupancy stays ~constant and pair volume grows ~linearly.
+    - SemDeDup: centroids scale 16 → 16·min(factor, 4) — the literal-
+      argmin assignment is Janino-bounded at ~O(100) centroids (the r6
+      compile-size axis); past that a deployment swaps the assignment
+      to a broadcast-join / coarse-IVF route (documented in
+      BASELINE.md). The row reports predicted intra-bucket pair volume
+      (Σ c·(c−1)/2) so the wall can be read against the arithmetic.
+    - phash banding: a synthetic slice-clustered catalog (4 variants
+      per slice share a 12-hex-char prefix, slices ~random) grows
+      linearly in the factor; the row reports the band-volume
+      prediction Σ_{band,value} c·(c−1)/2 — the candidate join is
+      exactly that volume (never a cartesian), with random cross-slice
+      4-bit band collisions the honest n²/16-flavored tail any
+      hamming≤15-complete banding pays on unclustered hashes.
+    """
+    import math
+    import random
+
+    from typebus_spark.operators.dedup import embedding_dup_pairs, semdedup
+    from typebus_spark.operators.multimodal import phash_near_pairs
+    from typebus_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids,
+        train_centroids_kmeans,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    noise = (
+        f"zip_with(embedding, transform(sequence(0, {dim - 1}), i -> "
+        "cast(cast(conv(substring(md5(concat(cast(vec_id as string), ':',"
+        " cast(i as string))), 1, 6), 16, 10) as bigint) % 2001 - 1000 "
+        "as float) / 6667.0), (x, y) -> x + y)"
+    )
+    big = (
+        replicate(emb, "vec_id", factor, 10_000_000)
+        .withColumn("embedding", F.expr(noise))
+        .persist()
+    )
+    n_emb = big.count()
+
+    qs = emb.orderBy("vec_id").limit(50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = big.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    cents = train_centroids_kmeans(big, "embedding", 16)
+    run(
+        "ann_ivf_probe_salted",
+        ivf_topk(qs, corpus, 10, cents, nprobe=2),
+        n_emb,
+        extra={"n_centroids": 16, "nprobe": 2},
+    )
+
+    n_planes = 4 + max(0, round(math.log2(factor)))
+    rng = random.Random(42)
+    planes = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)
+    ]
+    run(
+        "lsh_embedding_bucketed",
+        embedding_dup_pairs(
+            big, "vec_id", "embedding", threshold=0.3, planes=planes
+        ),
+        n_emb,
+        extra={"n_planes": n_planes},
+    )
+
+    # bucket occupancy ~n/k: scale k with the corpus (the SemDeDup
+    # recipe) up to the literal-argmin Janino budget (~256 centroids)
+    k_sem = 16 * min(factor, 16)
+    sem_cents = train_centroids(
+        big, "embedding", k_sem, seed=7, id_col="vec_id",
+        id_prefix=4 * k_sem,
+    )
+    from typebus_spark.operators.similarity import _nearest_centroid
+
+    vol = (
+        big.select(_nearest_centroid("embedding", sem_cents).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("v"))
+        .first()["v"]
+    )
+    run(
+        "semdedup_bucketed",
+        semdedup(big, "vec_id", "embedding", sem_cents, threshold=0.3),
+        n_emb,
+        collect_rows=True,
+        extra={"n_centroids": k_sem, "pair_volume": int(vol)},
+    )
+    big.unpersist()
+
+    # phash: slice-clustered synthetic catalog, linear in factor
+    n_slices = 10 * factor
+    cat = (
+        spark.range(n_slices)
+        .select(
+            F.col("id").alias("s"),
+            F.explode(F.expr("sequence(0, 3)")).alias("v"),
+        )
+        .selectExpr(
+            "concat(substring(md5(concat('ph:', cast(s as string))), 1, 12),"
+            " substring(md5(concat('ph:', cast(s as string), ':',"
+            " cast(v as string))), 1, 4)) AS phash",
+            "1L AS n_docs",
+        )
+        .persist()
+    )
+    n_cat = cat.count()
+    band_vol = (
+        cat.select(
+            F.explode(F.expr(
+                "transform(sequence(0, 15), "
+                "i -> struct(i AS bi, substring(phash, i + 1, 1) AS bv))"
+            )).alias("b")
+        )
+        .groupBy("b.bi", "b.bv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("v"))
+        .first()["v"]
+    )
+    run(
+        "phash_band_catalog",
+        phash_near_pairs(cat, max_hamming=15),
+        n_cat,
+        extra={"band_volume": int(band_vol)},
+    )
+    cat.unpersist()
 
 
 def drain_smoke(spark, big_ev, factor: int, rows_in: int) -> None:

@@ -101,9 +101,13 @@ def decode_media(
     output frame assembly are pandas column ops over the Arrow batch.
     """
     if decoder == "real":  # type: ignore[comparison-overlap]
-        from typebus_spark.operators.codecs import real_decode
+        # deployment seam: resolve the ACTIVE codec provider at
+        # plan-build time (pure-stdlib by default; a deployment with
+        # real codec libs registers + activates its own provider —
+        # operators/media_provider.py)
+        from typebus_spark.operators.media_provider import active_provider
 
-        fn = real_decode
+        fn = active_provider().decode
     else:
         fn = decoder or _fake_decode
     out_ddl = (
@@ -174,14 +178,17 @@ def resize_media(
     )
     real = decoder == "real"  # type: ignore[comparison-overlap]
     fn = _fake_decode if (real or decoder is None) else decoder
+    if real:
+        # deployment seam (see decode_media): the active provider's
+        # fused resize, resolved driver-side and shipped in the closure
+        from typebus_spark.operators.media_provider import active_provider
+
+        real_resize = active_provider().resize
     cols_out = ("width", "height", "out_w", "out_h", "resized_sha",
                 "resize_error")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
-
-        if real:
-            from typebus_spark.operators.codecs import real_resize
 
         for pdf in batches:
             media = pdf[media_col]
@@ -291,10 +298,12 @@ def perceptual_hash_media(
     One Arrow-batched mapInPandas stage, no shuffle — the groupBy the
     caller adds is the only exchange, on a 16-char key."""
     out_ddl = f"{id_col} long, phash string, phash_error string"
+    # deployment seam (see decode_media): the active provider's phash
+    from typebus_spark.operators.media_provider import active_provider
+
+    average_hash = active_provider().phash
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from typebus_spark.operators.codecs import average_hash
-
         for pdf in batches:
             media = pdf[media_col]
             blobs = media.map(

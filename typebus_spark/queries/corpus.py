@@ -1317,3 +1317,95 @@ def q_dsir_weights(spark, sf_dir):
         n_buckets=_DSIR_BUCKETS,
         seed=_DSIR_SEED,
     )
+
+
+def _url_hx(lo: int, mod: int) -> str:
+    """Engine-portable hex slice of md5('url:'||doc_id) — the synthetic
+    URL axis (the fixtures carry no URL column, so the query derives a
+    deterministic one; the operator under test is real)."""
+    return (
+        "(CAST(conv(substring(md5(concat('url:', CAST(doc_id AS STRING))), "
+        f"{lo}, 4), 16, 10) AS BIGINT) % {mod})"
+    )
+
+
+# scheme case, www subdomain, public suffix, default port, path id,
+# trailing slash, utm tracking query, fragment — every axis the
+# normalizer must handle, all md5-derived so both engines agree.
+_SYNTH_URL_SQL = f"""concat(
+  CASE WHEN {_url_hx(29, 5)} = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+  CASE WHEN {_url_hx(5, 2)} = 0 THEN 'www.' ELSE '' END,
+  source, '.',
+  element_at(array('com','org','net','co.uk','github.io'),
+             CAST({_url_hx(1, 5)} AS INT) + 1),
+  CASE WHEN {_url_hx(21, 7)} = 0 THEN ':443' ELSE '' END,
+  '/p/', CAST({_url_hx(9, 3)} AS STRING),
+  CASE WHEN {_url_hx(25, 6)} = 0 THEN '/' ELSE '' END,
+  CASE WHEN {_url_hx(13, 3)} = 0 THEN '?utm_campaign=x' ELSE '' END,
+  CASE WHEN {_url_hx(17, 4)} = 0 THEN '#sec' ELSE '' END)"""
+
+_DOMAIN_CAP = 3
+_DOMAIN_BLOCKLIST = ("src0.com", "src3.co.uk")
+
+
+@query(
+    "q_domain_caps",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, md5('url:' || CAST(doc_id AS VARCHAR)) AS m
+  FROM documents),
+c AS (
+  SELECT doc_id, source,
+    ['com','org','net','co.uk','github.io'][
+      CAST(('0x' || substr(m, 1, 4))::BIGINT % 5 AS INT) + 1] AS sfx,
+    CASE WHEN ('0x' || substr(m, 5, 4))::BIGINT % 2 = 0
+         THEN 'www.' ELSE '' END AS www,
+    CAST(('0x' || substr(m, 9, 4))::BIGINT % 3 AS VARCHAR) AS pth
+  FROM h),
+n AS (
+  SELECT doc_id, source || '.' || sfx AS domain,
+         'https://' || www || source || '.' || sfx || '/p/' || pth AS url
+  FROM c
+  WHERE source || '.' || sfx NOT IN {repr(_DOMAIN_BLOCKLIST)}),
+d AS (
+  SELECT domain, url, count(*) AS ndu, min(doc_id) AS kid
+  FROM n GROUP BY 1, 2),
+r AS (
+  SELECT domain, ndu,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY md5('dc:' || CAST(kid AS VARCHAR)), kid) AS rk
+  FROM d)
+SELECT domain,
+       CAST(sum(ndu) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN rk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM r GROUP BY domain
+""",
+    doc=(
+        "URL/domain-level curation (C4 / RefinedWeb web step the "
+        "pipeline previously lacked — r10 verdict item 6): synthesize "
+        "a deterministic URL axis from md5(doc_id) (scheme case, www, "
+        "5 public suffixes incl. two multi-label, default port, "
+        "trailing slash, utm query, fragment), then run the REAL "
+        "operator chain — normalize_url (regex canonicalization) → "
+        "registrable-domain extraction (PSL last-2/last-3 logic) → "
+        "blocklist gate → exact-URL dedup (keep lowest doc_id) → "
+        "per-domain cap 3 (md5-ranked, reservoir pattern). The oracle "
+        "derives the NORMALIZED url in closed form from the same hash "
+        "axes, so it cross-checks the whole regex chain, not just the "
+        "aggregation. Single corpus scan: one shuffle on (domain,url) "
+        "with map-side partials, the domain window and final aggregate "
+        "reuse the partitioning (plan-pinned)."
+    ),
+)
+def q_domain_caps(spark, sf_dir):
+    from typebus_spark.operators.url_curation import curate_urls
+
+    docs = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _SYNTH_URL_SQL + " AS url"
+    )
+    return curate_urls(
+        docs, "url", "doc_id", cap=_DOMAIN_CAP, blocklist=_DOMAIN_BLOCKLIST
+    )

@@ -84,6 +84,13 @@ DIRTY_SINCE: dict[str, int] = {
     # provably-empty final snapshot) + concurrent per-stream snapshots.
     "q_retry_drain": 11,
     "q_retry_drain_shed": 11,
+    # r11: media codec calls route through the provider registry
+    # (operators/media_provider.py — same pure-Python default, but the
+    # resolution path changed).
+    "q_multimodal_real_decode": 11,
+    "q_multimodal_real_resize": 11,
+    "q_multimodal_phash": 11,
+    "q_multimodal_phash_near": 11,
 }
 
 # Back-compat alias used by tests/tools that inspect the dirty set.
