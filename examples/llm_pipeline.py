@@ -95,9 +95,17 @@ def main() -> None:
 
     with_url = docs.selectExpr("doc_id", _SYNTH_URL_SQL + " AS url")
     url_canon = exact_url_dedup(with_url, "url", "doc_id")
-    url_kept = domain_caps(
-        url_canon, "url", "doc_id", cap=50, blocklist=("src0.com",)
-    ).select("doc_id")
+    # lazy checkpoint cuts the lineage: every downstream gate self-joins
+    # docs, which would otherwise duplicate the url-curation subtree
+    # (synth expr + window + aggregates) per stage — the plan TREE, not
+    # the data, is what explodes (2^stages copies by stage 4's persist)
+    url_kept = (
+        domain_caps(
+            url_canon, "url", "doc_id", cap=50, blocklist=("src0.com",)
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
     n_url_dropped = n0 - url_kept.count()
     docs = docs.join(url_kept, "doc_id")
 

@@ -319,8 +319,13 @@ def main() -> None:
     if only_ops is None or only_ops & {
         "ann_ivf_kmeans_train", "bpe_train_merges", "knn_brute",
         "knn_ivf", "knn_pq", "profile_table",
+        # the section's actual emitted op names (the alias set above is
+        # kept for old command lines)
+        "ann_brute_topk", "ann_ivf_kmeans_probe", "ann_pq_rerank",
+        "dsir_logweights", "multimodal_real_decode",
+        "profile_table_expand",
     }:
-        ann_profile_smoke(spark, sf_dir, factor, run)
+        ann_profile_smoke(spark, sf_dir, factor, run, only_ops)
     if only_ops is None or only_ops & {
         "ann_ivf_probe_salted", "lsh_embedding_bucketed",
         "semdedup_bucketed", "phash_band_catalog",
@@ -338,7 +343,9 @@ def main() -> None:
     spark.stop()
 
 
-def ann_profile_smoke(spark, sf_dir: str, factor: int, run) -> None:
+def ann_profile_smoke(
+    spark, sf_dir: str, factor: int, run, only_ops=None
+) -> None:
     """ANN + profile families (VERDICT r5 #4): brute top-k is
     documented-LINEAR in corpus (broadcast queries, partial top-k per
     partition — the shuffle carries O(partitions·k), never the scored
@@ -365,27 +372,30 @@ def ann_profile_smoke(spark, sf_dir: str, factor: int, run) -> None:
     )
     run("ann_brute_topk", cosine_topk(qs, corpus, k=10), n_emb)
 
-    t0 = time.perf_counter()
-    cents = train_centroids_kmeans(big_emb, "embedding", 16)
-    train_wall = round(time.perf_counter() - t0, 2)
-    print(
-        json.dumps(
-            {
-                "op": "ann_ivf_kmeans_train",
-                "factor": factor,
-                "rows_in": n_emb,
-                "rows_out": len(cents),
-                "wall_sec": train_wall,
-                "plan_ok": True,  # subsampled: cost ~constant in corpus
-            }
-        ),
-        flush=True,
-    )
-    run(
-        "ann_ivf_kmeans_probe",
-        ivf_topk(qs, corpus, 10, cents, nprobe=2),
-        n_emb,
-    )
+    if only_ops is None or only_ops & {
+        "ann_ivf_kmeans_train", "ann_ivf_kmeans_probe", "knn_ivf",
+    }:
+        t0 = time.perf_counter()
+        cents = train_centroids_kmeans(big_emb, "embedding", 16)
+        train_wall = round(time.perf_counter() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "op": "ann_ivf_kmeans_train",
+                    "factor": factor,
+                    "rows_in": n_emb,
+                    "rows_out": len(cents),
+                    "wall_sec": train_wall,
+                    "plan_ok": True,  # subsampled: ~constant in corpus
+                }
+            ),
+            flush=True,
+        )
+        run(
+            "ann_ivf_kmeans_probe",
+            ivf_topk(qs, corpus, 10, cents, nprobe=2),
+            n_emb,
+        )
 
     # BPE trainer: vocab-bounded — wall is ~flat in corpus size
     # because every round runs on the (word, freq) aggregate.
@@ -394,66 +404,74 @@ def ann_profile_smoke(spark, sf_dir: str, factor: int, run) -> None:
     from typebus_spark.operators.corpus_stats import dsir_logweights
     from typebus_spark.operators.text_analysis import bpe_train_merges
 
-    docs_tbl = load_table(spark, sf_dir, "documents")
-    big_nlp = replicate(docs_tbl, "doc_id", factor, 10_000_000).persist()
-    n_nlp = big_nlp.count()
-    t0 = time.perf_counter()
-    n_merges = len(bpe_train_merges(big_nlp, "text", n_merges=4))
-    print(
-        json.dumps(
-            {
-                "op": "bpe_train_merges",
-                "factor": factor,
-                "rows_in": n_nlp,
-                "rows_out": n_merges,
-                "wall_sec": round(time.perf_counter() - t0, 2),
-                "plan_ok": True,  # vocab-aggregate rounds, TakeOrdered top-1
-            }
-        ),
-        flush=True,
-    )
-    run(
-        "dsir_logweights",
-        dsir_logweights(
-            big_nlp, "doc_id", "text",
-            target_filter=F.col("source") == "src0",
-        ),
-        n_nlp,
-    )
-
-    # Multimodal REAL decode: per-blob pure-Python codec inside
-    # mapInPandas — cost is strictly rows × per-blob decode (no
-    # shuffle, no state), so wall must grow ~linearly and the Arrow
-    # batch plumbing must hold at factor× the blob count.
-    import base64
-
-    from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
-    from typebus_spark.operators.multimodal import decode_media
-
-    fx_df = spark.createDataFrame(
-        [
-            (i, bytearray(base64.b64decode(fx["b64"])), fx["mime"])
-            for i, fx in enumerate(MEDIA_FIXTURES)
-        ],
-        "k long, blob binary, mime string",
-    )
-    blobs = (
-        big_nlp.select("doc_id", (F.col("doc_id") % 5).alias("k"))
-        .join(F.broadcast(fx_df), "k")
-        .select(
-            "doc_id",
-            F.struct(
-                F.col("blob"), F.col("mime"),
-                F.create_map(F.lit("s"), F.lit("smoke")).alias("meta"),
-            ).alias("media"),
+    nlp_wanted = only_ops is None or only_ops & {
+        "bpe_train_merges", "dsir_logweights", "multimodal_real_decode",
+    }
+    if nlp_wanted:
+        docs_tbl = load_table(spark, sf_dir, "documents")
+        big_nlp = replicate(
+            docs_tbl, "doc_id", factor, 10_000_000
+        ).persist()
+        n_nlp = big_nlp.count()
+    if nlp_wanted and (only_ops is None or "bpe_train_merges" in only_ops):
+        t0 = time.perf_counter()
+        n_merges = len(bpe_train_merges(big_nlp, "text", n_merges=4))
+        print(
+            json.dumps(
+                {
+                    "op": "bpe_train_merges",
+                    "factor": factor,
+                    "rows_in": n_nlp,
+                    "rows_out": n_merges,
+                    "wall_sec": round(time.perf_counter() - t0, 2),
+                    "plan_ok": True,  # vocab-agg rounds, TakeOrdered
+                }
+            ),
+            flush=True,
         )
-    )
-    run(
-        "multimodal_real_decode",
-        decode_media(blobs, "doc_id", decoder="real"),
-        n_nlp,
-    )
-    big_nlp.unpersist()
+    if nlp_wanted:
+        run(
+            "dsir_logweights",
+            dsir_logweights(
+                big_nlp, "doc_id", "text",
+                target_filter=F.col("source") == "src0",
+            ),
+            n_nlp,
+        )
+
+        # Multimodal REAL decode: per-blob pure-Python codec inside
+        # mapInPandas — cost is strictly rows × per-blob decode (no
+        # shuffle, no state), so wall must grow ~linearly and the Arrow
+        # batch plumbing must hold at factor× the blob count.
+        import base64
+
+        from typebus_spark.operators._media_fixtures import MEDIA_FIXTURES
+        from typebus_spark.operators.multimodal import decode_media
+
+        fx_df = spark.createDataFrame(
+            [
+                (i, bytearray(base64.b64decode(fx["b64"])), fx["mime"])
+                for i, fx in enumerate(MEDIA_FIXTURES)
+            ],
+            "k long, blob binary, mime string",
+        )
+        blobs = (
+            big_nlp.select("doc_id", (F.col("doc_id") % 5).alias("k"))
+            .join(F.broadcast(fx_df), "k")
+            .select(
+                "doc_id",
+                F.struct(
+                    F.col("blob"), F.col("mime"),
+                    F.create_map(F.lit("s"), F.lit("smoke")).alias("meta"),
+                ).alias("media"),
+            )
+        )
+        run(
+            "multimodal_real_decode",
+            decode_media(blobs, "doc_id", decoder="real"),
+            n_nlp,
+        )
+        big_nlp.unpersist()
 
     # PQ: codebook from the BASE corpus prefix (constant in corpus
     # size), ADC over the replicated corpus — linear scan over codes,
@@ -490,7 +508,7 @@ def ann_profile_smoke(spark, sf_dir: str, factor: int, run) -> None:
             F.min("l_shipdate").alias("sd_min"),
             F.max("l_quantity").alias("q_max"),
         ),
-        big_li.count(),
+        lambda: big_li.count(),
         collect_rows=True,
     )
 
