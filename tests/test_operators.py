@@ -1130,9 +1130,15 @@ def test_exact_url_dedup_and_domain_caps(spark):
     assert got["https://a.com/x"] == 1  # lowest id kept
     assert len(got) == 4
 
-    capped = domain_caps(
+    capped_df = domain_caps(
         ded, "url", "doc_id", cap=2, blocklist=("bad.org",)
-    ).collect()
+    )
+    # rank-then-filter must plan as WindowGroupLimit (per-partition
+    # partial top-k): a hub domain shuffles O(partitions*cap) rows,
+    # never its full row count
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    capped = capped_df.collect()
     assert all(r["domain"] == "a.com" for r in capped)
     assert len(capped) == 2 and all(r["rk"] <= 2 for r in capped)
 
@@ -1148,6 +1154,9 @@ def test_curate_urls_single_scan_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
     assert "CartesianProduct" not in plan, plan
+    # column pruning reaches the scan: the synth-URL projection needs
+    # only (doc_id, source) — the text column never leaves the parquet
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan, plan
     rows = df.collect()
     assert rows and all(
         r["n_kept"] <= min(3, r["n_urls"]) and r["n_urls"] <= r["n_docs"]
