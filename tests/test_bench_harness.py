@@ -24,16 +24,17 @@ PURE = [
     "q_dedup_near_jaccard",    # lazy persist — no build-time job
     "q_profile_table",         # one-pass aggregate
 ]
+from typebus_spark.queries.dataflow import LIVE_APPEND_PICK
+
 STATEFUL = [
     "q_retry_drain",           # drain rounds execute during fn()
-    "q_stream_hourly_append",  # r11 keep-one-live streaming query runs
-                               # in fn() (LIVE_APPEND_PICK = "hourly")
+    # whichever append shape holds the keep-one-live slot this round
+    # runs its REAL streaming query in fn(); the others read the mux
+    # tables (pure in steady state) — follows the rotation
+    f"q_stream_{LIVE_APPEND_PICK}_append",
     "q_knn_ivf_kmeans",        # trainer collects centroids
     "q_dedup_clusters",        # iterative convergence loop
 ]
-# q_stream_session_append moved out of STATEFUL in r11: the keep-one-
-# live slot rotated to hourly, so it reads the mux tables (pure in
-# steady state). Whichever shape holds LIVE_APPEND_PICK belongs here.
 # q_stream_hourly moved out of STATEFUL in r10: it reads the
 # multiplexed consumer graph's output (streaming/mux.py), whose
 # scaffold is a memoized one-time setup — pure in steady state like
@@ -250,3 +251,34 @@ def test_rotation_bounds_staleness():
         if n in has_oracle and r < max_round - rounds_needed
     }
     assert not stale, f"queries staler than {rounds_needed}+1 rounds: {stale}"
+
+
+def test_live_rotation_auto_derivation():
+    """The keep-one-live pick and its dirty pair derive from the round
+    number (max CORRECTNESS round + 1): no hand edit when a round
+    starts. Pin the r10→r14 schedule (session → hourly → sliding →
+    static_join → session) and that the dirty pair is always {newly
+    live, newly muxed}."""
+    from typebus_spark.queries.dataflow import LIVE_APPEND_PICK
+    from typebus_spark.suite import (
+        LIVE_APPEND_ROTATION,
+        _live_rotation_dirty,
+        current_round,
+    )
+
+    schedule = {10: "session", 11: "hourly", 12: "sliding",
+                13: "static_join", 14: "session"}
+    for rnd, pick in schedule.items():
+        assert LIVE_APPEND_ROTATION[rnd % 4] == pick, (rnd, pick)
+
+    rnd = current_round()
+    assert LIVE_APPEND_PICK == LIVE_APPEND_ROTATION[rnd % 4]
+    dirty = _live_rotation_dirty()
+    assert dirty == {
+        f"q_stream_{LIVE_APPEND_ROTATION[rnd % 4]}_append": rnd,
+        f"q_stream_{LIVE_APPEND_ROTATION[(rnd - 1) % 4]}_append": rnd,
+    }
+    # and the merged DIRTY_SINCE carries the pair
+    from typebus_spark.suite import DIRTY_SINCE
+
+    assert set(dirty) <= set(DIRTY_SINCE)

@@ -1163,3 +1163,29 @@ def test_curate_urls_single_scan_plan(spark, sf_dir):
         for r in rows
     )
     assert not [r for r in rows if r["domain"] in ("src0.com", "src3.co.uk")]
+
+
+def test_domain_caps_dataframe_blocklist_broadcast_anti(spark):
+    """A DataFrame blocklist (the 10^5+-domain scale path) gates via a
+    broadcast LEFT ANTI join — same drop set as the literal NOT IN
+    form, and the plan carries BroadcastHashJoin LeftAnti rather than
+    an in-plan literal list."""
+    from typebus_spark.operators.url_curation import domain_caps
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/x"),
+            (2, "https://bad.org/z"),
+            (3, "https://b.net/y"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("bad.org",)], "domain string")
+    out = domain_caps(df, "url", "doc_id", cap=5, blocklist=bl)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    got = {r["domain"] for r in out.collect()}
+    assert got == {"a.com", "b.net"}
+    # literal form drops the same set
+    lit = domain_caps(df, "url", "doc_id", cap=5, blocklist=("bad.org",))
+    assert {r["domain"] for r in lit.collect()} == got

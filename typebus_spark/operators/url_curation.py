@@ -113,12 +113,35 @@ def exact_url_dedup(
     )
 
 
+def _apply_blocklist(df: DataFrame, blocklist) -> DataFrame:
+    """Blocklist gate on the ``domain`` column. A small literal tuple
+    stays a scan-side NOT-IN filter; a DataFrame (single string column
+    of registrable domains) gates via a broadcast LEFT ANTI join — the
+    scale path: real web blocklists run to 10⁵–10⁶ domains, far past
+    what an in-plan literal list should carry (plan size, compile,
+    task-binary bloat). The anti-join keeps NULL-safe drop-if-present
+    semantics identical to NOT IN over non-null lists."""
+    if blocklist is None:
+        return df
+    if isinstance(blocklist, DataFrame):
+        bcol = blocklist.columns[0]
+        dim = blocklist.select(F.col(bcol).alias("_blocked_domain"))
+        return df.join(
+            F.broadcast(dim),
+            df["domain"] == dim["_blocked_domain"],
+            "left_anti",
+        )
+    if blocklist:
+        return df.filter(~F.col("domain").isin(*blocklist))
+    return df
+
+
 def domain_caps(
     df: DataFrame,
     url_col: str,
     id_col: str,
     cap: int,
-    blocklist: tuple[str, ...] = (),
+    blocklist: tuple[str, ...] | DataFrame = (),
     seed: str = "dc",
 ) -> DataFrame:
     """Per-domain document cap with blocklist gating: rows whose
@@ -126,13 +149,15 @@ def domain_caps(
     domain rows rank by md5(seed:id) (deterministic pseudo-random — the
     reservoir_per_group pattern, engine-portable) and only the first
     ``cap`` survive. Returns the input columns + ``domain`` + ``rk``.
+    ``blocklist`` may be a literal tuple (scan-side NOT IN) or a
+    DataFrame of domains (broadcast anti-join — the large-blocklist
+    scale path, see _apply_blocklist).
 
     The rank-then-filter plans as WindowGroupLimit (per-partition
     partial top-k), so a hub domain never shuffles more than
     O(partitions * cap) rows."""
     out = df.withColumn("domain", registrable_domain_of_url(url_col))
-    if blocklist:
-        out = out.filter(~F.col("domain").isin(*blocklist))
+    out = _apply_blocklist(out, blocklist)
     rk = F.row_number().over(
         Window.partitionBy("domain").orderBy(
             F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
@@ -158,7 +183,7 @@ def curate_urls(
     url_col: str,
     id_col: str,
     cap: int,
-    blocklist: tuple[str, ...] = (),
+    blocklist: tuple[str, ...] | DataFrame = (),
     seed: str = "dc",
 ) -> DataFrame:
     """Whole-curation summary per registrable domain: input docs →
@@ -178,8 +203,7 @@ def curate_urls(
         normalize_url(url_col).alias("_url"),
         dom.alias("domain"),
     )
-    if blocklist:
-        base = base.filter(~F.col("domain").isin(*blocklist))
+    base = _apply_blocklist(base, blocklist)
     per_url = base.groupBy("domain", "_url").agg(
         F.count(F.lit(1)).alias("_n_docs_url"),
         F.min("_id").alias("_keep_id"),

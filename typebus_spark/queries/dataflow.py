@@ -53,11 +53,16 @@ SESSION_STATE_PARTITIONS = 4
 # driver-checked at one-query cost; the other append shapes read the
 # multiplexed consumer graph (their mux==native equivalence is pinned
 # by tests/test_streaming_ops.py::test_mux_matches_native_streaming).
-# Rotate each round: session (r10) → hourly (r11) → sliding (r12) →
-# static_join (r13) → session (r14) → … . When advancing the pick, add
-# BOTH affected queries (the newly-live and the newly-muxed shape) to
-# suite.DIRTY_SINCE for the new round.
-LIVE_APPEND_PICK = "hourly"
+# The pick DERIVES from the round number (max committed CORRECTNESS
+# round + 1 — the same history the window rotation reads), so
+# advancing it each round is automatic: session (r10) → hourly (r11)
+# → sliding (r12) → static_join (r13) → session (r14) → … .
+# suite.DIRTY_SINCE likewise auto-marks the newly-live and newly-muxed
+# queries (suite._live_rotation_dirty), so the pair re-enters the
+# driver window without hand maintenance.
+from typebus_spark.suite import LIVE_APPEND_ROTATION, current_round
+
+LIVE_APPEND_PICK = LIVE_APPEND_ROTATION[current_round() % 4]
 
 # Python-stateful operators (applyInPandasWithState) have a different
 # optimum: per-GROUP pandas overhead in the Python worker dominates the

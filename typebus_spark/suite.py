@@ -47,6 +47,44 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _load_driver_history(root: str) -> dict[int, dict]:
+    """CORRECTNESS_r{N}.json files under ``root`` → {round: records}."""
+    import glob
+    import json
+    import re
+
+    history: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            history[int(m.group(1))] = rows
+    return history
+
+
+def current_round() -> int:
+    """The round now being built: max committed CORRECTNESS round + 1
+    (the same history the window rotation reads). 1 on a fresh tree.
+    Defined BEFORE the query-module imports below — dataflow.py reads
+    it (and LIVE_APPEND_ROTATION) at its own import time."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    history = _load_driver_history(root)
+    return (max(history) + 1) if history else 1
+
+
+# Keep-one-live rotation schedule, shared with queries/dataflow.py
+# (defined here so the pick and the auto-dirty marking read ONE
+# source; dataflow imports it — suite must not import dataflow's
+# symbols at module top, the query modules import suite).
+LIVE_APPEND_ROTATION = ("sliding", "static_join", "session", "hourly")
+
+
 # Import modules that register queries (order defines inventory order).
 from typebus_spark.queries import relational  # noqa: E402,F401
 from typebus_spark.queries import relational2  # noqa: E402,F401
@@ -70,16 +108,25 @@ from typebus_spark.queries import corpus  # noqa: E402,F401
 # rotation risk onto whoever remembered to clear it). Entries whose
 # green row has landed are pruned opportunistically; stale-but-cleared
 # entries are harmless (they no longer sort to the front).
+def _live_rotation_dirty() -> dict[str, int]:
+    """Auto-dirty entries for the keep-one-live rotation: advancing the
+    pick changes BOTH the newly-live and the newly-muxed append query's
+    implementation each round, so both re-enter the driver window
+    without hand maintenance."""
+    rnd = current_round()
+    return {
+        f"q_stream_{LIVE_APPEND_ROTATION[rnd % 4]}_append": rnd,
+        f"q_stream_{LIVE_APPEND_ROTATION[(rnd - 1) % 4]}_append": rnd,
+    }
+
+
 DIRTY_SINCE: dict[str, int] = {
     # r10: transitively consumes the lambda-free shingle streams via
     # jaccard_pairs/containment_pairs but missed the r10 dirty set
     # (ADVICE r10 medium) — its green rows prove the pre-rewrite code.
     "q_dedup_containment": 10,
-    # r11: keep-one-live rotation moved the live append slot from
-    # session to hourly (queries/dataflow.py LIVE_APPEND_PICK) — both
-    # shapes changed implementation (live↔mux).
-    "q_stream_hourly_append": 11,
-    "q_stream_session_append": 11,
+    # (the keep-one-live rotation pair is auto-marked each round via
+    # _live_rotation_dirty — merged below)
     # r11: drain loop gained the static give-up round bound (skips the
     # provably-empty final snapshot) + concurrent per-stream snapshots.
     "q_retry_drain": 11,
@@ -153,25 +200,6 @@ def _rotation_order(
     return sorted(has_oracle, key=key)
 
 
-def _load_driver_history(root: str) -> dict[int, dict]:
-    """CORRECTNESS_r{N}.json files under ``root`` → {round: records}."""
-    import glob
-    import json
-    import re
-
-    history: dict[int, dict] = {}
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        try:
-            with open(path) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        if isinstance(rows, dict):
-            history[int(m.group(1))] = rows
-    return history
 
 
 def _reorder_by_driver_history() -> None:
@@ -187,6 +215,9 @@ def _reorder_by_driver_history() -> None:
     """
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     has_oracle = {n: q.oracle is not None for n, q in QUERIES.items()}
+    DIRTY_SINCE.update(_live_rotation_dirty())
+    DIRTY_QUERIES.clear()
+    DIRTY_QUERIES.update(DIRTY_SINCE)
     order = _rotation_order(
         has_oracle, _load_driver_history(root), DIRTY_SINCE
     )
