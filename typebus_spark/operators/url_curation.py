@@ -132,7 +132,8 @@ def _apply_blocklist(df: DataFrame, blocklist) -> DataFrame:
             "left_anti",
         )
     if blocklist:
-        return df.filter(~F.col("domain").isin(*blocklist))
+        lits = ", ".join("'" + d.replace("'", "''") + "'" for d in blocklist)
+        return df.filter(F.expr(f"domain NOT IN ({lits})"))
     return df
 
 
@@ -197,33 +198,36 @@ def curate_urls(
     and the canonical id; the domain window and final aggregate then
     reuse its partitioning — scan → shuffle(domain,url) → window
     shuffle(domain) → agg, no second read of the corpus."""
-    dom = registrable_domain_of_url(url_col)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        normalize_url(url_col).alias("_url"),
-        dom.alias("domain"),
+    # spliced-SQL form (the py4j budget rule, CLAUDE.md): each stage is
+    # one parsed expression string instead of a ~10-call Column tree —
+    # the whole build is ~6 round trips plus the groupBys
+    base = df.selectExpr(
+        f"{id_col} AS _id",
+        _normalize_sql(url_col) + " AS _url",
+        _domain_of_url_sql(url_col) + " AS domain",
     )
     base = _apply_blocklist(base, blocklist)
-    per_url = base.groupBy("domain", "_url").agg(
-        F.count(F.lit(1)).alias("_n_docs_url"),
-        F.min("_id").alias("_keep_id"),
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("domain").orderBy(
-            F.md5(
-                F.concat(F.lit(seed + ":"), F.col("_keep_id").cast("string"))
-            ),
-            F.col("_keep_id"),
-        )
-    )
     return (
-        per_url.withColumn("_rk", rk)
+        base.groupBy("domain", "_url")
+        .agg(
+            F.expr("count(1) AS _n_docs_url"),
+            F.expr("min(_id) AS _keep_id"),
+        )
+        .withColumn(
+            "_rk",
+            F.expr(
+                "row_number() OVER (PARTITION BY domain ORDER BY "
+                f"md5(concat('{seed}:', CAST(_keep_id AS STRING))), "
+                "_keep_id)"
+            ),
+        )
         .groupBy("domain")
         .agg(
-            F.sum("_n_docs_url").cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_urls"),
-            F.sum((F.col("_rk") <= cap).cast("long"))
-            .cast("long")
-            .alias("n_kept"),
+            F.expr("CAST(sum(_n_docs_url) AS BIGINT) AS n_docs"),
+            F.expr("CAST(count(1) AS BIGINT) AS n_urls"),
+            F.expr(
+                f"CAST(sum(CAST(_rk <= {int(cap)} AS BIGINT)) AS BIGINT)"
+                " AS n_kept"
+            ),
         )
     )
