@@ -327,10 +327,11 @@ def main() -> None:
     }:
         ann_profile_smoke(spark, sf_dir, factor, run, only_ops)
     if only_ops is None or only_ops & {
-        "ann_ivf_probe_salted", "lsh_embedding_bucketed",
-        "semdedup_bucketed", "phash_band_catalog",
+        "ann_ivf_probe_salted", "ann_ivf_recall_salted",
+        "lsh_embedding_bucketed", "semdedup_bucketed",
+        "phash_band_catalog",
     }:
-        embedding_scale_smoke(spark, sf_dir, factor, run)
+        embedding_scale_smoke(spark, sf_dir, factor, run, only_ops)
     if only_ops is None or "retry_drain" in only_ops:
         drain_smoke(spark, big_ev, factor, n_ev)
     if only_ops is None or "stream_stream_join" in only_ops:
@@ -513,7 +514,9 @@ def ann_profile_smoke(
     )
 
 
-def embedding_scale_smoke(spark, sf_dir: str, factor: int, run) -> None:
+def embedding_scale_smoke(
+    spark, sf_dir: str, factor: int, run, only_ops=None
+) -> None:
     """SALTED embedding/phash scale rows (r10 verdict #1 — the last
     families without 100x evidence). ann_profile_smoke replicates
     vectors VERBATIM, which is fine for scan-cost ops (brute/IVF/PQ
@@ -578,13 +581,49 @@ def embedding_scale_smoke(spark, sf_dir: str, factor: int, run) -> None:
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").alias("corpus_vec"),
     )
-    cents = train_centroids_kmeans(big, "embedding", 16)
-    run(
-        "ann_ivf_probe_salted",
-        ivf_topk(qs, corpus, 10, cents, nprobe=2),
-        n_emb,
-        extra={"n_centroids": 16, "nprobe": 2},
-    )
+    ivf_wanted = only_ops is None or only_ops & {
+        "ann_ivf_probe_salted", "ann_ivf_recall_salted",
+    }
+    if ivf_wanted:
+        cents = train_centroids_kmeans(big, "embedding", 16)
+        run(
+            "ann_ivf_probe_salted",
+            ivf_topk(qs, corpus, 10, cents, nprobe=2),
+            n_emb,
+            extra={"n_centroids": 16, "nprobe": 2},
+        )
+    # quality-at-scale row: recall@10 of the probed IVF vs the exact
+    # broadcast brute force on the SAME salted corpus — wall growth is
+    # worthless if the approximation quality collapses as the corpus
+    # (and thus per-bucket occupancy) grows 100x
+    from typebus_spark.operators.similarity import cosine_topk
+
+    if only_ops is None or "ann_ivf_recall_salted" in only_ops:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        brute = cosine_topk(qs, corpus, k=10).select(
+            "query_id", "neighbor_id"
+        )
+        approx = ivf_topk(qs, corpus, 10, cents, nprobe=2).select(
+            "query_id", "neighbor_id"
+        )
+        hits = brute.join(approx, ["query_id", "neighbor_id"]).count()
+        n_q = qs.count()
+        print(
+            json.dumps(
+                {
+                    "op": "ann_ivf_recall_salted",
+                    "factor": factor,
+                    "rows_in": n_emb,
+                    "rows_out": hits,
+                    "wall_sec": round(_time.perf_counter() - t0, 2),
+                    "recall_at_10": round(hits / (10 * n_q), 4),
+                    "plan_ok": True,
+                }
+            ),
+            flush=True,
+        )
 
     n_planes = 4 + max(0, round(math.log2(factor)))
     rng = random.Random(42)
