@@ -449,6 +449,83 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @query(
+    "q_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              ('0x' || substr(md5(unnest({_shingles_sql(NEAR_N)})), 1, 15))::BIGINT AS shingle FROM tt),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS (
+  SELECT s.a, s.b
+  FROM shared s
+  JOIN sizes sa ON s.a = sa.doc_id
+  JOIN sizes sb ON s.b = sb.doc_id
+  WHERE s.shared / (sa.n_sh + sb.n_sh - s.shared) >= {NEAR_THRESHOLD}),
+edges AS (SELECT a AS src, b AS dst FROM p
+          UNION SELECT b AS src, a AS dst FROM p),
+reach(src, dst) AS (
+  (SELECT src, dst FROM edges UNION SELECT src, src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+       FROM reach GROUP BY src),
+m AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY d.n_chars DESC, cl.doc_id) AS rk
+      FROM cl JOIN documents d USING (doc_id))
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+       CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_chars
+FROM m GROUP BY cluster_id
+""",
+    doc=(
+        "Canonical-pick dedup: within each near-dup cluster keep the "
+        "BEST member — longest document, deterministic doc_id "
+        "tie-break — instead of q_dedup_clusters' arbitrary min-id "
+        "(the C4/RefinedWeb keep-longest convention; in production the "
+        "rank key is any quality score). Same connected-components "
+        "pair graph; the pick is one row_number window over the "
+        "cluster frame (WindowGroupLimit-free here because the "
+        "aggregate consumes every rank, but state is one row per "
+        "PAIRED doc — far smaller than the corpus)."
+    ),
+)
+def q_dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from typebus_spark.operators.clustering import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=NEAR_N, threshold=NEAR_THRESHOLD
+    )
+    clusters = connected_components(pairs, "a", "b")
+    sized = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        sized.withColumn("_rk", rk)
+        .groupBy("cluster_id")
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n_members"),
+            F.expr("max(CASE WHEN _rk = 1 THEN doc_id END) AS kept_doc_id"),
+            F.expr(
+                "CAST(max(CASE WHEN _rk = 1 THEN n_chars END) AS BIGINT)"
+                " AS kept_chars"
+            ),
+        )
+    )
+
+
+@query(
     "q_pagerank_dups",
     oracle=f"""
 WITH tt AS (SELECT doc_id, {TOKS} AS toks FROM documents),
