@@ -84,6 +84,28 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
+    # -1: HTML → text extraction (round 12) — the step BEFORE every
+    # quality filter on real crawl data: wrap each doc in the synthetic
+    # page (the fixtures are already clean text), drop boilerplate
+    # lines by link density, extract visible text. Pure expression
+    # chain — stays in the scan-side projection, no shuffle.
+    from typebus_spark.operators.html_extract import (
+        drop_boilerplate_sql,
+        extract_text_sql,
+    )
+    from typebus_spark.queries.corpus import _html_synth_sql
+
+    extracted = extract_text_sql(
+        drop_boilerplate_sql(_html_synth_sql("spark"), "spark"), "spark"
+    )
+    docs = docs.selectExpr(
+        "doc_id", f"{extracted} AS text", "lang", "source", "n_chars"
+    )
+    # the extraction expression is a WIDE subtree on the corpus leaf;
+    # every downstream gate self-joins docs, which would duplicate it
+    # 2^stages times (the r11 plan-TREE explosion) — cut lineage here
+    docs = docs.localCheckpoint(eager=False)
+
     # 0: URL/domain curation (round 11) — normalize the (synthetic)
     # crawl URL, dedup exact URLs, gate blocklisted registrable domains
     # and cap docs per domain; the per-doc survivors gate the corpus

@@ -1066,9 +1066,12 @@ def test_embedding_dup_pairs_bare_call_raises(spark):
 
 def test_url_normalize_and_registrable_domain(spark):
     """normalize_url: fragment/utm/default-port/trailing-slash stripped,
-    scheme+host lowercased, path case and non-utm queries preserved,
-    subdomains kept. registrable_domain: PSL last-2/last-3 logic with
-    multi-label suffixes; label-less hosts pass through."""
+    scheme+host lowercased, path case and non-utm queries preserved
+    IN PLACE (r11 ADVICE: individual utm params strip, the rest of the
+    query survives; :443 strips from https only), subdomains kept.
+    registrable_domain: true PSL algorithm over the frozen snapshot —
+    plain/wildcard/exception rules, longest match, default-* fallback;
+    label-less hosts and bare public suffixes pass through."""
     from typebus_spark.operators.url_curation import (
         normalize_url,
         registrable_domain,
@@ -1080,7 +1083,15 @@ def test_url_normalize_and_registrable_domain(spark):
          "https://www.example.com/Path/A"),
         ("https://example.com/a?q=1", "https://example.com/a?q=1"),
         ("http://example.com:8080/a", "http://example.com:8080/a"),
+        # :443 is NOT http's default port — must survive (r11 ADVICE)
+        ("http://example.com:443/a", "http://example.com:443/a"),
         ("https://sub.x.co.uk/p/", "https://sub.x.co.uk/p"),
+        # individual utm strip, non-tracking params preserved in place
+        ("https://x.com/p?utm_source=a&page=2", "https://x.com/p?page=2"),
+        ("https://x.com/p?page=2&utm_source=a", "https://x.com/p?page=2"),
+        ("https://x.com/p?utm_a=1&utm_b=2&page=2",
+         "https://x.com/p?page=2"),
+        ("https://x.com/p?utm_a=1&utm_b=2", "https://x.com/p"),
     ]
     df = spark.createDataFrame(urls, "u string, want string")
     bad = df.filter(normalize_url("u") != F.col("want")).collect()
@@ -1093,6 +1104,21 @@ def test_url_normalize_and_registrable_domain(spark):
         ("deep.sub.user.github.io", "user.github.io"),
         ("example.com", "example.com"),
         ("localhost", "localhost"),
+        # 3-label plain suffix
+        ("a.blogspot.co.uk", "a.blogspot.co.uk"),
+        ("deep.a.blogspot.co.uk", "a.blogspot.co.uk"),
+        ("x.mysite.s3.amazonaws.com", "mysite.s3.amazonaws.com"),
+        # wildcard *.kobe.jp: every child is itself a suffix
+        ("w.x.y.kobe.jp", "x.y.kobe.jp"),
+        ("x.y.kobe.jp", "x.y.kobe.jp"),  # IS a suffix: pass-through
+        # exception !city.kobe.jp punches through the wildcard
+        ("sub.city.kobe.jp", "city.kobe.jp"),
+        ("city.kobe.jp", "city.kobe.jp"),
+        # wildcard *.ck + exception !www.ck
+        ("b.a.foo.ck", "a.foo.ck"),
+        ("a.www.ck", "www.ck"),
+        # unknown TLD → PSL default '*' rule → last two labels
+        ("a.b.x.unknowntld", "x.unknowntld"),
     ]
     hdf = spark.createDataFrame(hosts, "h string, want string")
     bad = hdf.filter(registrable_domain("h") != F.col("want")).collect()
@@ -1189,3 +1215,102 @@ def test_domain_caps_dataframe_blocklist_broadcast_anti(spark):
     # literal form drops the same set
     lit = domain_caps(df, "url", "doc_id", cap=5, blocklist=("bad.org",))
     assert {r["domain"] for r in lit.collect()} == got
+
+
+def test_html_extract_text_and_boilerplate(spark):
+    """extract_text: script/style/comment contents dropped, tags
+    stripped, the six entities decoded (&amp; last), whitespace
+    collapsed. Boilerplate: link-density filter drops link-only lines,
+    keeps text lines; an all-boilerplate page yields '' (not NULL) on
+    both engines (the DuckDB empty-list coalesce)."""
+    import duckdb
+
+    from typebus_spark.operators.html_extract import (
+        boilerplate_counts_sql,
+        drop_boilerplate_sql,
+        extract_text,
+        extract_text_sql,
+    )
+
+    rows = [
+        ("<p>a &amp;&amp; b</p>", "a && b"),
+        ("<script>var x = 1 < 2;</script>ok", "ok"),
+        ("<style>p > a</style>text", "text"),
+        ("<!-- secret -->shown", "shown"),
+        ("a&lt;b&gt;c &quot;d&quot; &#39;e&#39;&nbsp;f",
+         "a<b>c \"d\" 'e' f"),
+        # &amp;lt; decodes ONCE: to the literal text '&lt;'
+        ("x &amp;lt; y", "x &lt; y"),
+        ("  lots   of\nspace  ", "lots of space"),
+        ("<SCRIPT a=b>x<y</script><B>bold</B>", "bold"),
+    ]
+    df = spark.createDataFrame(rows, "html string, want string")
+    bad = df.filter(extract_text("html") != F.col("want")).collect()
+    assert not bad, [(r["html"], r["want"]) for r in bad]
+
+    page = (
+        "<h1>Title</h1>\n"
+        '<div><a href="/">Home</a> <a href="/b">B</a></div>\n'
+        "<p>real content line</p>\n"
+        '<footer><a href="/t">T</a></footer>'
+    )
+    out = spark.createDataFrame([(page,)], "html string").selectExpr(
+        extract_text_sql(
+            drop_boilerplate_sql("html", "spark"), "spark"
+        ) + " AS kept",
+        boilerplate_counts_sql("html", "spark")[0] + " AS n_lines",
+        boilerplate_counts_sql("html", "spark")[1] + " AS n_boiler",
+    ).first()
+    assert out["kept"] == "Title real content line"
+    assert out["n_lines"] == 4 and out["n_boiler"] == 2
+
+    # all-boilerplate page: '' on both engines
+    allb = '<a href="/x">only link</a>'
+    got = spark.createDataFrame([(allb,)], "html string").selectExpr(
+        drop_boilerplate_sql("html", "spark") + " AS kept"
+    ).first()["kept"]
+    dgot = duckdb.connect().execute(
+        "SELECT " + drop_boilerplate_sql("html", "duckdb")
+        + " FROM (SELECT ? AS html)", [allb]
+    ).fetchone()[0]
+    assert got == "" and dgot == ""
+
+
+def test_phash_band_volume_guard(spark):
+    """max_band_pairs turns the SCALE.md selectivity prose into a
+    refusal (r11 verdict item 4): a uniform-hash catalog's 4-bit bands
+    collide ~n^2/16 and trip the budget; a slice-clustered catalog
+    under the wider 4x16-bit banding (the config the error message
+    recommends) stays under the SAME budget and builds."""
+    import pytest as _pytest
+
+    from typebus_spark.operators.multimodal import phash_near_pairs
+
+    uni = spark.range(300).selectExpr(
+        "substring(md5(concat('u:', cast(id as string))), 1, 16)"
+        " AS phash"
+    )
+    with _pytest.raises(ValueError, match="candidate pairs"):
+        phash_near_pairs(
+            uni, max_hamming=15, n_bands=16, max_band_pairs=2000
+        )
+
+    # 50 slices x 4 variants share a 12-hex prefix: the 4x16-bit bands
+    # key on 4-char chunks, so cross-slice collisions vanish and the
+    # volume is ~slices * 3 bands * C(4,2) = 900 < 2000
+    cat = (
+        spark.range(50)
+        .select(
+            F.col("id").alias("s"),
+            F.explode(F.expr("sequence(0, 3)")).alias("v"),
+        )
+        .selectExpr(
+            "concat(substring(md5(concat('p:', cast(s as string))), 1, 12),"
+            " substring(md5(concat('p:', cast(s as string), ':',"
+            " cast(v as string))), 1, 4)) AS phash"
+        )
+    )
+    out = phash_near_pairs(
+        cat, max_hamming=3, n_bands=4, max_band_pairs=2000
+    )
+    assert out.count() >= 0  # guard passed, plan builds and runs

@@ -501,3 +501,31 @@ def test_r10_curated_mix_persists_candidates(spark, sf_dir):
     the upstream executes once (0.67 → 0.27 s fresh-plan at sf0.1)."""
     plan = formatted_plan(_df(spark, sf_dir, "q_pipeline_curated_mix"))
     assert "InMemoryRelation" in plan, plan
+
+
+def test_html_extract_plan_discipline(spark, sf_dir):
+    """HTML->text extraction must stay a pure projection over a pruned
+    scan: no Generate (the line heuristic is a bounded HOF filter, not
+    an explode), no exchange before the terminal shape, and the scan
+    reads only (doc_id, text)."""
+    for name in ("q_extract_text", "q_html_boilerplate"):
+        plan = formatted_plan(_df(spark, sf_dir, name))
+        assert "Generate" not in plan, (name, plan)
+        assert "Exchange" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        rs = " ".join(scan_read_schemas(_df(spark, sf_dir, name)))
+        assert "doc_id" in rs and "text" in rs and "lang" not in rs, rs
+
+
+def test_domain_psl_plan_discipline(spark, sf_dir):
+    """PSL registrable-domain dispatch must plan its big literal rule
+    tables as InSet (hash lookup) — not a join, not a chain of ORs —
+    and aggregate with map-side partials over one pruned scan."""
+    df = _df(spark, sf_dir, "q_domain_psl")
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "INSET" in simple, simple[:2000]
+    assert plan.count("HashAggregate") >= 2, plan
+    rs = " ".join(scan_read_schemas(df))
+    assert rs.strip().endswith("struct<doc_id:bigint>"), rs

@@ -558,33 +558,44 @@ def embedding_scale_smoke(
         train_centroids_kmeans,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    noise = (
-        f"zip_with(embedding, transform(sequence(0, {dim - 1}), i -> "
-        "cast(cast(conv(substring(md5(concat(cast(vec_id as string), ':',"
-        " cast(i as string))), 1, 6), 16, 10) as bigint) % 2001 - 1000 "
-        "as float) / 6667.0), (x, y) -> x + y)"
-    )
-    big = (
-        replicate(emb, "vec_id", factor, 10_000_000)
-        .withColumn("embedding", F.expr(noise))
-        .persist()
-    )
-    n_emb = big.count()
-
-    qs = emb.orderBy("vec_id").limit(50).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-    )
-    corpus = big.select(
-        F.col("vec_id").alias("corpus_id"),
-        F.col("embedding").alias("corpus_vec"),
-    )
-    ivf_wanted = only_ops is None or only_ops & {
+    # every op that reads the salted `big` frame — the replicate+persist
+    # +count setup is corpus-sized, so it must not run when only the
+    # (big-free) phash catalog op was requested (r11 ADVICE: --only
+    # phash_band_catalog was paying the full salted replication)
+    _BIG_OPS = {
         "ann_ivf_probe_salted", "ann_ivf_recall_salted",
+        "lsh_embedding_bucketed", "semdedup_bucketed",
     }
+    big_wanted = only_ops is None or bool(only_ops & _BIG_OPS)
+    big = None
+    if big_wanted:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        noise = (
+            f"zip_with(embedding, transform(sequence(0, {dim - 1}), i -> "
+            "cast(cast(conv(substring(md5(concat(cast(vec_id as string), ':',"
+            " cast(i as string))), 1, 6), 16, 10) as bigint) % 2001 - 1000 "
+            "as float) / 6667.0), (x, y) -> x + y)"
+        )
+        big = (
+            replicate(emb, "vec_id", factor, 10_000_000)
+            .withColumn("embedding", F.expr(noise))
+            .persist()
+        )
+        n_emb = big.count()
+
+    ivf_wanted = only_ops is None or bool(only_ops & {
+        "ann_ivf_probe_salted", "ann_ivf_recall_salted",
+    })
     if ivf_wanted:
+        qs = emb.orderBy("vec_id").limit(50).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        corpus = big.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("corpus_vec"),
+        )
         cents = train_centroids_kmeans(big, "embedding", 16)
         run(
             "ann_ivf_probe_salted",
@@ -625,44 +636,49 @@ def embedding_scale_smoke(
             flush=True,
         )
 
-    n_planes = 4 + max(0, round(math.log2(factor)))
-    rng = random.Random(42)
-    planes = [
-        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)
-    ]
-    run(
-        "lsh_embedding_bucketed",
-        embedding_dup_pairs(
-            big, "vec_id", "embedding", threshold=0.3, planes=planes
-        ),
-        n_emb,
-        extra={"n_planes": n_planes},
-    )
+    if only_ops is None or "lsh_embedding_bucketed" in only_ops:
+        n_planes = 4 + max(0, round(math.log2(factor)))
+        rng = random.Random(42)
+        planes = [
+            [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)
+        ]
+        run(
+            "lsh_embedding_bucketed",
+            embedding_dup_pairs(
+                big, "vec_id", "embedding", threshold=0.3, planes=planes
+            ),
+            n_emb,
+            extra={"n_planes": n_planes},
+        )
 
-    # bucket occupancy ~n/k: scale k with the corpus (the SemDeDup
-    # recipe) up to the literal-argmin Janino budget (~256 centroids)
-    k_sem = 16 * min(factor, 16)
-    sem_cents = train_centroids(
-        big, "embedding", k_sem, seed=7, id_col="vec_id",
-        id_prefix=4 * k_sem,
-    )
-    from typebus_spark.operators.similarity import _nearest_centroid
+    # centroid training and the pair-volume aggregate are corpus-sized
+    # jobs — gated like the IVF/NLP blocks (r11 ADVICE)
+    if only_ops is None or "semdedup_bucketed" in only_ops:
+        # bucket occupancy ~n/k: scale k with the corpus (the SemDeDup
+        # recipe) up to the literal-argmin Janino budget (~256 centroids)
+        k_sem = 16 * min(factor, 16)
+        sem_cents = train_centroids(
+            big, "embedding", k_sem, seed=7, id_col="vec_id",
+            id_prefix=4 * k_sem,
+        )
+        from typebus_spark.operators.similarity import _nearest_centroid
 
-    vol = (
-        big.select(_nearest_centroid("embedding", sem_cents).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("v"))
-        .first()["v"]
-    )
-    run(
-        "semdedup_bucketed",
-        semdedup(big, "vec_id", "embedding", sem_cents, threshold=0.3),
-        n_emb,
-        collect_rows=True,
-        extra={"n_centroids": k_sem, "pair_volume": int(vol)},
-    )
-    big.unpersist()
+        vol = (
+            big.select(_nearest_centroid("embedding", sem_cents).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("v"))
+            .first()["v"]
+        )
+        run(
+            "semdedup_bucketed",
+            semdedup(big, "vec_id", "embedding", sem_cents, threshold=0.3),
+            n_emb,
+            collect_rows=True,
+            extra={"n_centroids": k_sem, "pair_volume": int(vol)},
+        )
+    if big is not None:
+        big.unpersist()
 
     # phash: slice-clustered synthetic catalog, linear in factor
     n_slices = 10 * factor

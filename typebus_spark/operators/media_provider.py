@@ -63,7 +63,16 @@ def active_provider() -> MediaCodecProvider:
 
 @contextmanager
 def provider(name: str):
-    """Temporarily activate a provider (tests; scoped benchmarks)."""
+    """Temporarily activate a provider (tests; scoped benchmarks).
+
+    NOT thread-safe: ``_ACTIVE`` is process-global mutable state
+    resolved at plan-BUILD time, and the mux scaffold builds handler
+    plans concurrently (ThreadPoolExecutor 8) — a flip inside this
+    context manager can leak into plans built concurrently on other
+    threads. Only single-threaded tests flip providers today; a
+    deployment that needs per-plan providers should pass the provider
+    explicitly to the decode/resize/phash call sites instead of using
+    this ambient switch (r11 ADVICE)."""
     prev = _ACTIVE["name"]
     activate_provider(name)
     try:

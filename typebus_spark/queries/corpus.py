@@ -1390,7 +1390,7 @@ FROM r GROUP BY domain
         "5 public suffixes incl. two multi-label, default port, "
         "trailing slash, utm query, fragment), then run the REAL "
         "operator chain — normalize_url (regex canonicalization) → "
-        "registrable-domain extraction (PSL last-2/last-3 logic) → "
+        "registrable-domain extraction (frozen-PSL-snapshot rules) → "
         "blocklist gate → exact-URL dedup (keep lowest doc_id) → "
         "per-domain cap 3 (md5-ranked, reservoir pattern). The oracle "
         "derives the NORMALIZED url in closed form from the same hash "
@@ -1408,4 +1408,246 @@ def q_domain_caps(spark, sf_dir):
     )
     return curate_urls(
         docs, "url", "doc_id", cap=_DOMAIN_CAP, blocklist=_DOMAIN_BLOCKLIST
+    )
+
+
+# --- PSL registrable-domain torture query (r11 verdict item 2) -------
+# Host axes cover every rule class in the frozen snapshot: 1/2/3-label
+# plain suffixes, 1/2-label wildcards, and both exception families.
+_PSL_SUFFIX_ARRAY = (
+    "'com','co.uk','com.au','github.io','blogspot.co.uk',"
+    "'kobe.jp','ck','qld.edu.au'"
+)
+
+
+def _psl_hx(lo: int, mod: int) -> str:
+    """Spark-side hex slice of md5('psl:'||doc_id) — deterministic host
+    axis (same idiom as _url_hx, different salt)."""
+    return (
+        "(CAST(conv(substring(md5(concat('psl:', CAST(doc_id AS STRING))), "
+        f"{lo}, 4), 16, 10) AS BIGINT) % {mod})"
+    )
+
+
+def _psl_hx_duck(lo: int, mod: int) -> str:
+    return (
+        "(('0x' || substr(md5('psl:' || CAST(doc_id AS VARCHAR)), "
+        f"{lo}, 4))::BIGINT % {mod})"
+    )
+
+
+# [optional sub2.]sub1.name.SUFFIX — name is 'www' on one axis value so
+# the *.ck wildcard row also exercises the !www.ck exception.
+_PSL_HOST_SQL = f"""concat(
+  CASE WHEN {_psl_hx(13, 3)} = 0
+       THEN concat('t', CAST({_psl_hx(17, 5)} AS STRING), '.')
+       ELSE '' END,
+  's', CAST({_psl_hx(9, 4)} AS STRING), '.',
+  CASE WHEN {_psl_hx(5, 7)} = 0 THEN 'www'
+       ELSE concat('n', CAST({_psl_hx(5, 7)} AS STRING)) END, '.',
+  element_at(array({_PSL_SUFFIX_ARRAY}),
+             CAST({_psl_hx(1, 8)} AS INT) + 1))"""
+
+
+@query(
+    "q_domain_psl",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id,
+    {_psl_hx_duck(1, 8)} AS sfx_i,
+    CASE WHEN {_psl_hx_duck(5, 7)} = 0 THEN 'www'
+         ELSE 'n' || CAST({_psl_hx_duck(5, 7)} AS VARCHAR) END AS name,
+    's' || CAST({_psl_hx_duck(9, 4)} AS VARCHAR) AS sub1,
+    ['com','co.uk','com.au','github.io','blogspot.co.uk',
+     'kobe.jp','ck','qld.edu.au'][CAST({_psl_hx_duck(1, 8)} AS INT) + 1]
+      AS sfx
+  FROM documents),
+d AS (
+  SELECT CASE
+    -- wildcard classes: suffix swallows one more label ...
+    WHEN sfx_i IN (5, 6) THEN
+      CASE WHEN sfx_i = 6 AND name = 'www'
+           THEN 'www.ck'             -- ... unless the exception wins
+           ELSE sub1 || '.' || name || '.' || sfx END
+    -- plain suffixes of any label count: name.suffix
+    ELSE name || '.' || sfx END AS domain
+  FROM a)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_hosts
+FROM d GROUP BY domain
+""",
+    doc=(
+        "True Public-Suffix-List registrable-domain extraction (r11 "
+        "verdict item 2 — the last-2/last-3 heuristic mis-bucketed "
+        "*.co.uk-class domains): synthesize a deterministic host axis "
+        "from md5(doc_id) covering every rule class in the frozen PSL "
+        "snapshot (plain 1/2/3-label suffixes incl. blogspot.co.uk and "
+        "qld.edu.au, the *.kobe.jp and *.ck wildcards, the !www.ck "
+        "exception), run the REAL registrable_domain CASE, and group. "
+        "The oracle derives each expected domain in CLOSED FORM from "
+        "the same hash axes — an independent derivation, not a replay "
+        "— so it cross-checks the whole longest-rule-wins dispatch. "
+        "Scan-side projection + one groupBy with map-side partials; "
+        "the IN-lists plan as InSet (hash lookup inside codegen)."
+    ),
+)
+def q_domain_psl(spark, sf_dir):
+    from typebus_spark.operators.url_curation import psl_registrable_sql
+
+    docs = t(spark, sf_dir, "documents")
+    hosts = docs.selectExpr(_PSL_HOST_SQL + " AS host")
+    return (
+        hosts.selectExpr(psl_registrable_sql("host", "spark") + " AS domain")
+        .groupBy("domain")
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS n_hosts"))
+    )
+
+
+# --- HTML -> text extraction (r11 verdict item 3) --------------------
+# The fixtures carry clean text, so the query synthesizes a
+# deterministic HTML wrapper (script/style/comment blocks, nav+footer
+# boilerplate lines, escaped entities) around each document — the
+# operator under test is real; the axes are engine-portable md5 hex.
+_BOILER_DENS = 0.6
+
+
+def _html_ds(dialect: str) -> str:
+    return (
+        "CAST(doc_id AS STRING)" if dialect == "spark"
+        else "CAST(doc_id AS VARCHAR)"
+    )
+
+
+def _html_hx(mod: int, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            "(CAST(conv(substring(md5(concat('html:', "
+            "CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) "
+            f"% {mod})"
+        )
+    return (
+        "(('0x' || substr(md5('html:' || CAST(doc_id AS VARCHAR)), "
+        f"1, 4))::BIGINT % {mod})"
+    )
+
+
+def _html_synth_sql(dialect: str) -> str:
+    """Six-line synthetic page: head with script/style blocks (whose <
+    and && would corrupt a naive tag strip), a comment, an h1, a
+    link-only nav line on half the docs, the document text with escaped
+    entities, and a link-only footer."""
+    ds = _html_ds(dialect)
+    nav = _html_hx(2, dialect)
+    return (
+        "concat_ws(chr(10), "
+        "'<html><head><style>.nav > a</style>"
+        "<script>if (1 < 2 && 2 > 1) go();</script></head>', "
+        f"concat('<body><!-- id ', {ds}, ' --><h1>Doc ', {ds}, '</h1>'), "
+        f"CASE WHEN {nav} = 0 THEN "
+        "'<div class=\"nav\"><a href=\"/\">Home</a> "
+        "<a href=\"/about\">About</a> <a href=\"/faq\">FAQ</a></div>' "
+        "ELSE '<p>standalone midline</p>' END, "
+        "concat('<p>', text, "
+        "' &amp; tail &lt;b&gt;&nbsp;x&#39;s &quot;q&quot;</p>'), "
+        "'<footer><a href=\"/tos\">Terms</a> "
+        "<a href=\"/priv\">Privacy</a></footer>', "
+        "'</body></html>')"
+    )
+
+
+def _extract_oracle() -> str:
+    from typebus_spark.operators.html_extract import extract_text_sql
+
+    ext = extract_text_sql(_html_synth_sql("duckdb"), "duckdb")
+    return f"""
+SELECT doc_id,
+       CAST(length({ext}) AS BIGINT) AS clean_len,
+       md5({ext}) AS clean_md5
+FROM documents
+"""
+
+
+@query(
+    "q_extract_text",
+    oracle=_extract_oracle(),
+    doc=(
+        "HTML -> text extraction, the missing FIRST stage of the "
+        "C4/RefinedWeb pipeline (r11 verdict item 3): synthesize a "
+        "deterministic 6-line HTML page around each document (script/"
+        "style blocks whose < and && would corrupt a naive tag strip, "
+        "comments, nav/footer link lines, six escaped entities), run "
+        "the REAL extract_text chain (block drops -> tag strip -> "
+        "entity decode -> whitespace collapse; operators/"
+        "html_extract.py — pure regexp_replace/replace, no UDF, no "
+        "Generate), emit per-doc md5+length of the clean text. The "
+        "oracle replays the identical chain in DuckDB dialect (global "
+        "regex flag, backslash escaping and empty-list handling are "
+        "the only mechanical differences). Plan: single pruned scan, "
+        "one projection, whole-stage codegen."
+    ),
+)
+def q_extract_text(spark, sf_dir):
+    from typebus_spark.operators.html_extract import extract_text_sql
+
+    ext = extract_text_sql(_html_synth_sql("spark"), "spark")
+    return t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"CAST(length({ext}) AS BIGINT) AS clean_len",
+        f"md5({ext}) AS clean_md5",
+    )
+
+
+def _boiler_oracle() -> str:
+    from typebus_spark.operators.html_extract import (
+        boilerplate_counts_sql,
+        drop_boilerplate_sql,
+        extract_text_sql,
+    )
+
+    html = _html_synth_sql("duckdb")
+    n_lines, n_boiler = boilerplate_counts_sql(
+        html, "duckdb", _BOILER_DENS
+    )
+    kept = extract_text_sql(
+        drop_boilerplate_sql(html, "duckdb", _BOILER_DENS), "duckdb"
+    )
+    return f"""
+SELECT doc_id, {n_lines} AS n_lines, {n_boiler} AS n_boiler,
+       md5({kept}) AS kept_md5
+FROM documents
+"""
+
+
+@query(
+    "q_html_boilerplate",
+    oracle=_boiler_oracle(),
+    doc=(
+        "Boilerplate-line removal by link density (Kohlschuetter-style "
+        "heuristic): per line of the synthetic page, the fraction of "
+        "visible characters inside <a> elements; lines above "
+        f"{_BOILER_DENS} (the nav on half the docs, the footer on all) "
+        "drop before extraction. Per-line logic runs as a bounded "
+        "higher-order filter over the split-lines array (lambdas stay "
+        "on bounded arrays — the codegen-boundary rule; a page's line "
+        "count is bounded, unlike token streams), so the plan is still "
+        "one pruned scan + one projection, no Generate, no shuffle. "
+        "Oracle replays the chain with DuckDB list_filter."
+    ),
+)
+def q_html_boilerplate(spark, sf_dir):
+    from typebus_spark.operators.html_extract import (
+        boilerplate_counts_sql,
+        drop_boilerplate_sql,
+        extract_text_sql,
+    )
+
+    html = _html_synth_sql("spark")
+    n_lines, n_boiler = boilerplate_counts_sql(html, "spark", _BOILER_DENS)
+    kept = extract_text_sql(
+        drop_boilerplate_sql(html, "spark", _BOILER_DENS), "spark"
+    )
+    return t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{n_lines} AS n_lines",
+        f"{n_boiler} AS n_boiler",
+        f"md5({kept}) AS kept_md5",
     )

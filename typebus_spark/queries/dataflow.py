@@ -756,9 +756,11 @@ GROUP BY 1
         "tumbling windows with a 1-hour watermark, append-mode memory "
         "sink — windows emit exactly once when the watermark closes "
         "them, so the sink is write-once and state stays bounded by "
-        "the open-window horizon. Holds the r11 keep-one-live slot "
-        "(LIVE_APPEND_PICK='hourly'): runs the REAL append+watermark "
-        "streaming query; when another shape holds the slot it reads "
+        "the open-window horizon. Dispatches on the keep-one-live "
+        "rotation (LIVE_APPEND_PICK, derived from the on-disk driver "
+        "history each run — round-agnostic by design): when this shape "
+        "holds the slot it runs the REAL append+watermark streaming "
+        "query; when another shape holds the slot it reads "
         "the multiplexed consumer graph instead (the finalized-output "
         "filter — window_end strictly before max(ts) − delay — is "
         "applied identically to the handler output, so the result is "

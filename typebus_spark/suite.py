@@ -69,10 +69,13 @@ def _load_driver_history(root: str) -> dict[int, dict]:
 
 
 def current_round() -> int:
-    """The round now being built: max committed CORRECTNESS round + 1
-    (the same history the window rotation reads). 1 on a fresh tree.
-    Defined BEFORE the query-module imports below — dataflow.py reads
-    it (and LIVE_APPEND_ROTATION) at its own import time."""
+    """The round now being built: max ON-DISK CORRECTNESS round + 1
+    (the same history the window rotation reads — committed or not;
+    the driver writes the file before the next round starts, so a
+    bench run after that file lands resolves the NEXT round's live
+    pick). 1 on a fresh tree. Defined BEFORE the query-module imports
+    below — dataflow.py reads it (and LIVE_APPEND_ROTATION) at its own
+    import time."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     history = _load_driver_history(root)
     return (max(history) + 1) if history else 1
@@ -121,23 +124,14 @@ def _live_rotation_dirty() -> dict[str, int]:
 
 
 DIRTY_SINCE: dict[str, int] = {
-    # r10: transitively consumes the lambda-free shingle streams via
-    # jaccard_pairs/containment_pairs but missed the r10 dirty set
-    # (ADVICE r10 medium) — its green rows prove the pre-rewrite code.
-    "q_dedup_containment": 10,
     # (the keep-one-live rotation pair is auto-marked each round via
-    # _live_rotation_dirty — merged below)
-    # r11: drain loop gained the static give-up round bound (skips the
-    # provably-empty final snapshot) + concurrent per-stream snapshots.
-    "q_retry_drain": 11,
-    "q_retry_drain_shed": 11,
-    # r11: media codec calls route through the provider registry
-    # (operators/media_provider.py — same pure-Python default, but the
-    # resolution path changed).
-    "q_multimodal_real_decode": 11,
-    "q_multimodal_real_resize": 11,
-    "q_multimodal_phash": 11,
-    "q_multimodal_phash_near": 11,
+    # _live_rotation_dirty — merged below; all r10/r11 entries earned
+    # their change-round green row in CORRECTNESS_r11 and self-cleared
+    # — pruned)
+    # r12: normalize_url (individual utm-param strip, https-anchored
+    # :443) and registrable_domain (true PSL snapshot algorithm)
+    # changed — q_domain_caps consumes both via curate_urls.
+    "q_domain_caps": 12,
 }
 
 # Back-compat alias used by tests/tools that inspect the dirty set.
