@@ -200,6 +200,14 @@ def main() -> None:
 
     if sf_dir in LAST_SCAFFOLD_WALL:
         out["mux_scaffold_sec"] = LAST_SCAFFOLD_WALL[sf_dir]
+    # Which append query ran LIVE this bench (keep-one-live rotation):
+    # recorded so round-over-round diffs compare the append family
+    # like-for-like — the pick advances each round, and a bench run
+    # after CORRECTNESS_r{N}.json lands already resolves round N+1's
+    # pick (r11 verdict, What's wrong).
+    from typebus_spark.queries.dataflow import LIVE_APPEND_PICK
+
+    out["live_append_pick"] = LIVE_APPEND_PICK
     if failures:
         out["failures"] = failures
     if flaky:

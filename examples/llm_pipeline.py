@@ -76,27 +76,119 @@ from typebus_spark.operators.text_analysis import (
 from typebus_spark.session import load_table
 
 
+PLAN_NODE_BUDGET = 1200
+
+
+def _plan_nodes(jplan, cap: int = PLAN_NODE_BUDGET) -> int:
+    """Logical-plan node count with an early-abort cap — the
+    lineage-depth pin (r11: gate self-joins duplicated the gated
+    subtree 2^stages; the OOM fired while merely RENDERING the plan
+    string, so the guard must never render — it walks children() and
+    stops counting at the cap instead)."""
+    n, stack = 0, [jplan]
+    while stack:
+        p = stack.pop()
+        n += 1
+        if n > cap:
+            return n
+        ch = p.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return n
+
+
 def main() -> None:
+    import json as _json
+    import resource
+    import time as _time
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    t_start = _time.time()
     spark = get_spark(app_name="llm-pipeline-example")
     spark.sparkContext.setLogLevel("ERROR")
 
+    stage_nodes: dict[str, int] = {}
+
+    def guard(df, stage: str):
+        """Record the stage's logical-plan node count and REFUSE past
+        the budget (no render — see _plan_nodes). Composition smokes
+        catch cross-stage lineage explosions single-operator smokes
+        cannot (the r11 OOM was found exactly this way)."""
+        nodes = _plan_nodes(df._jdf.queryExecution().logical())
+        stage_nodes[stage] = nodes
+        if nodes > PLAN_NODE_BUDGET:
+            raise RuntimeError(
+                f"stage {stage}: logical plan exceeds "
+                f"{PLAN_NODE_BUDGET} nodes — lineage explosion; add a "
+                "localCheckpoint/persist barrier upstream"
+            )
+        return df
+
     docs = load_table(spark, sf_dir, "documents")
+    if factor > 1:
+        # salted corpus-growth replication (the scale_smoke --salted
+        # idea, adapted for a FULL pipeline): fresh ids per replica
+        # slice; slice > 0 tokens are rewritten to OTHER corpus words
+        # keyed on (token, slice) — "vocabulary rotation". Unlike a
+        # character suffix (which shifts the char-3-gram distribution
+        # and the langid gate then drops every replica — observed: 5000
+        # raw -> 0 clean), rotation keeps the text English-shaped for
+        # every downstream gate, PRESERVES within-slice near-dup
+        # structure (two docs sharing a phrase share its rewrite), and
+        # breaks cross-slice matches (same phrase maps differently per
+        # slice) — so the dup RATE stays constant as the corpus grows.
+        voc = (
+            "array('key','agg','row','scan','slow','fast','table',"
+            "'value','part','hash','merge','batch','spark','window',"
+            "'order','data','column','join','small','line','customer',"
+            "'query','the','big','vector','group','filter','plan',"
+            "'index','cache','stage','task','shuffle','broadcast',"
+            "'sort','limit','count','range','split','token')"
+        )
+        docs = docs.withColumn(
+            "_r", F.explode(F.expr(f"sequence(0, {factor - 1})"))
+        ).withColumn(
+            "doc_id",
+            F.col("doc_id") + F.col("_r").cast("long") * F.lit(10_000_000),
+        ).drop("_r")
+        docs = docs.withColumn(
+            "text",
+            F.expr(
+                "CASE WHEN doc_id < 10000000 THEN text ELSE "
+                f"array_join(transform(split(text, ' '), t -> element_at({voc}, "
+                "cast(conv(substring(md5(concat(t, ':', cast(doc_id div "
+                "10000000 as string))), 1, 6), 16, 10) % 40 as int) + 1"
+                ")), ' ') END"
+            ),
+        ).persist()
     n0 = docs.count()
 
     # -1: HTML → text extraction (round 12) — the step BEFORE every
-    # quality filter on real crawl data: wrap each doc in the synthetic
-    # page (the fixtures are already clean text), drop boilerplate
-    # lines by link density, extract visible text. Pure expression
-    # chain — stays in the scan-side projection, no shuffle.
+    # quality filter on real crawl data: wrap each doc in an HTML page
+    # (the fixtures are already clean text), drop boilerplate lines by
+    # link density, extract visible text. Pure expression chain —
+    # stays in the scan-side projection, no shuffle. The wrapper here
+    # deliberately adds NO shared visible residue (q_extract_text's
+    # richer template does, per-doc-checked there): a template phrase
+    # repeated into EVERY document manufactures cross-doc near-dup
+    # structure and sends the downstream minhash/CC/substring stages
+    # quadratic — a 490 s Catalyst burn found by this very smoke.
+    # Extraction must be content-identity on an already-clean corpus.
     from typebus_spark.operators.html_extract import (
         drop_boilerplate_sql,
         extract_text_sql,
     )
-    from typebus_spark.queries.corpus import _html_synth_sql
 
+    page = (
+        "concat('<html><head><style>p > a</style>"
+        "<script>if (1 < 2 && 2 > 1) go();</script></head>', chr(10), "
+        "'<body><div class=\"nav\"><a href=\"/\">Home</a> "
+        "<a href=\"/about\">About</a></div>', chr(10), "
+        "'<p>', text, '</p>', chr(10), '</body></html>')"
+    )
     extracted = extract_text_sql(
-        drop_boilerplate_sql(_html_synth_sql("spark"), "spark"), "spark"
+        drop_boilerplate_sql(page, "spark"), "spark"
     )
     docs = docs.selectExpr(
         "doc_id", f"{extracted} AS text", "lang", "source", "n_chars"
@@ -105,6 +197,7 @@ def main() -> None:
     # every downstream gate self-joins docs, which would duplicate it
     # 2^stages times (the r11 plan-TREE explosion) — cut lineage here
     docs = docs.localCheckpoint(eager=False)
+    docs = guard(docs, "extract")
 
     # 0: URL/domain curation (round 11) — normalize the (synthetic)
     # crawl URL, dedup exact URLs, gate blocklisted registrable domains
@@ -113,9 +206,19 @@ def main() -> None:
         domain_caps,
         exact_url_dedup,
     )
-    from typebus_spark.queries.corpus import _SYNTH_URL_SQL
-
-    with_url = docs.selectExpr("doc_id", _SYNTH_URL_SQL + " AS url")
+    # doc-UNIQUE path component (8 hex chars), unlike q_domain_caps's
+    # 3-value path axis: that axis exists for a closed-form oracle, but
+    # it caps the whole corpus at ~150 distinct URLs — under
+    # replication, exact-URL dedup then flattens every added replica
+    # and the smoke stops exercising anything downstream
+    pipe_url = (
+        "concat('https://', CASE WHEN doc_id % 2 = 0 THEN 'www.' "
+        "ELSE '' END, source, '.', element_at(array('com', 'org', "
+        "'co.uk', 'github.io', 'net'), cast(doc_id % 5 as int) + 1), "
+        "'/p/', substring(md5(concat('u:', cast(doc_id as string))), "
+        "1, 8))"
+    )
+    with_url = docs.selectExpr("doc_id", pipe_url + " AS url")
     url_canon = exact_url_dedup(with_url, "url", "doc_id")
     # lazy checkpoint cuts the lineage: every downstream gate self-joins
     # docs, which would otherwise duplicate the url-curation subtree
@@ -123,13 +226,20 @@ def main() -> None:
     # the data, is what explodes (2^stages copies by stage 4's persist)
     url_kept = (
         domain_caps(
-            url_canon, "url", "doc_id", cap=50, blocklist=("src0.com",)
+            # cap scales with the replication factor: the synthetic
+            # corpus has a FIXED ~25-domain universe, so a constant cap
+            # would throttle every added replica at this gate and
+            # starve the downstream stages the smoke exists to stress
+            # (at 10x, 4406 of 5000 died here) — a real crawl's domain
+            # count grows with the corpus instead
+            url_canon, "url", "doc_id", cap=50 * factor,
+            blocklist=("src0.com",)
         )
         .select("doc_id")
         .localCheckpoint(eager=False)
     )
     n_url_dropped = n0 - url_kept.count()
-    docs = docs.join(url_kept, "doc_id")
+    docs = guard(docs.join(url_kept, "doc_id"), "url_curation")
 
     # 1: heuristic quality gate
     q = quality_score(docs, "doc_id", "text").filter(
@@ -142,9 +252,9 @@ def main() -> None:
 
     flags = gopher_rules(docs, "doc_id", "text")
     n_rule_drops = flags.filter(F.col("keep") == 0).count()
-    docs = docs.join(
+    docs = guard(docs.join(
         flags.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
-    )
+    ), "gopher")
 
     # 1d: n-gram repetition gate (round 10) — drop boilerplate-phrase
     # docs (chars in most-frequent 2-gram / duplicated 3-grams)
@@ -178,9 +288,9 @@ def main() -> None:
         docs, "doc_id", "text", profile=langid_frozen_profile(spark)
     )
     n_lang_drops = lang.filter(F.col("pred_lang") != "en").count()
-    docs = docs.join(
+    docs = guard(docs.join(
         lang.filter(F.col("pred_lang") == "en").select("doc_id"), "doc_id"
-    )
+    ), "langid")
 
     # 2: model-based gate (distilled linear head, weights as literals)
     toks = F.split(F.trim("text"), r"\s+")
@@ -211,7 +321,15 @@ def main() -> None:
     canon = exact_dedup(docs, "doc_id", "text").select(
         F.col("canonical_id").alias("doc_id")
     )
-    docs = docs.join(canon, "doc_id").persist()
+    # checkpoint, not persist: a dozen downstream gates self-join this
+    # frame — the data cache alone leaves the logical subtree growing
+    # 2^stages (the guard below tripped >1200 nodes at substr_dedup
+    # before this cut); the checkpoint is materialized by the stage-4b
+    # index build anyway
+    docs = guard(
+        docs.join(canon, "doc_id").localCheckpoint(eager=False),
+        "exact_dedup",
+    )
 
     # 4b: INCREMENTAL ingest against stored indexes (round 10) — the
     # shape a production corpus actually runs per batch: the corpus's
@@ -255,7 +373,7 @@ def main() -> None:
     docs = docs.drop("text").join(
         cleaned.select("doc_id", F.col("cleaned_text").alias("text")),
         "doc_id",
-    )
+    ).localCheckpoint(eager=False)  # second barrier: span text rewrite
 
     # 7c: exact-substring cleanup (round 9) — content-defined chunking
     # catches arbitrary-offset repeated spans the fixed grid missed
@@ -265,10 +383,10 @@ def main() -> None:
     n_substr_cut = int(
         sub.agg(F.sum("n_removed")).collect()[0][0] or 0
     )
-    docs = docs.drop("text").join(
+    docs = guard(docs.drop("text").join(
         sub.select("doc_id", F.col("cleaned_text").alias("text")),
         "doc_id",
-    )
+    ), "substr_dedup")
 
     # 7b: perplexity tiering + per-tier curated sampling (head kept,
     # middle halved, tail decimated — the CCNet-style recipe)
@@ -285,7 +403,7 @@ def main() -> None:
     curated = weighted_sample(
         tiers.withColumn("sample_thr", rate), "doc_id", "sample_thr", seed=13
     ).select("doc_id")
-    docs = docs.join(curated, "doc_id")
+    docs = guard(docs.join(curated, "doc_id"), "curated")
 
     # 8-9: LEAKAGE-SAFE deterministic split (key on the near-dup
     # family, not the doc — no duplicate family straddles train/test),
@@ -300,7 +418,10 @@ def main() -> None:
     train = split.filter(F.col("split") == "train").withColumn(
         "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
     )
-    packed = pack_sequences(train, "doc_id", "n_tokens", max_tokens=512)
+    packed = guard(
+        pack_sequences(train, "doc_id", "n_tokens", max_tokens=512),
+        "packed",
+    )
 
     # 9c: tokenizer induction on the train split — the merge table a
     # production tokenizer ships with (one driver row per round)
@@ -333,6 +454,23 @@ def main() -> None:
     # quantization expression actually executes (a bare count would let
     # Catalyst prune it away)
     emb = load_table(spark, sf_dir, "embeddings")
+    if factor > 1:
+        dim = len(emb.select("embedding").first()[0])
+        emb = emb.withColumn(
+            "_r", F.explode(F.expr(f"sequence(0, {factor - 1})"))
+        ).withColumn(
+            "vec_id",
+            F.col("vec_id") + F.col("_r").cast("long") * F.lit(10_000_000),
+        ).drop("_r").withColumn(
+            "embedding",
+            F.expr(
+                f"zip_with(embedding, transform(sequence(0, {dim - 1}), "
+                "i -> cast(cast(conv(substring(md5(concat(cast(vec_id as "
+                "string), ':', cast(i as string))), 1, 6), 16, 10) as "
+                "bigint) % 2001 - 1000 as float) / 6667.0), "
+                "(x, y) -> x + y)"
+            ),
+        ).persist()
     qrow = (
         emb.select(int8_quantize("embedding").alias("q8"))
         .agg(
@@ -453,6 +591,25 @@ def main() -> None:
     print(f"multimodal: {n_decoded} real PNG decodes,"
           f" {n_pgroups} perceptual-hash groups")
     print(f"incremental ingest vs stored index: {ingest_tally}")
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    print(_json.dumps({
+        "pipeline_smoke": {
+            "sf_dir": sf_dir,
+            "factor": factor,
+            "wall_sec": round(_time.time() - t_start, 1),
+            "n_raw": n0,
+            "n_clean": n_clean,
+            "peak_py_rss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+            ),
+            "jvm_used_mb": round(
+                (rt.totalMemory() - rt.freeMemory()) / 1e6
+            ),
+            "plan_node_budget": PLAN_NODE_BUDGET,
+            "max_stage_nodes": max(stage_nodes.values()),
+            "stage_nodes": stage_nodes,
+        }
+    }))
     spark.stop()
 
 

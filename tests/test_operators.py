@@ -1314,3 +1314,44 @@ def test_phash_band_volume_guard(spark):
         cat, max_hamming=3, n_bands=4, max_band_pairs=2000
     )
     assert out.count() >= 0  # guard passed, plan builds and runs
+
+
+def test_psl_snapshot_well_formed():
+    """Frozen PSL snapshot invariants (the r12 frozen artifact's pin —
+    it is static public data, not a trained model, so the pin is
+    structural): entries lowercase dotted labels with the advertised
+    label counts, no entry in two rule sets, every exception's parent
+    wildcard base present (an orphan exception would silently act as a
+    plain suffix), and the SQL splice helper rejects quoting hazards."""
+    import pytest as _pytest
+
+    from typebus_spark.operators import _psl_snapshot as psl
+
+    def labels(s):
+        return s.split(".")
+
+    for s in psl.PSL_SUFFIXES_2LABEL:
+        assert len(labels(s)) == 2 and s == s.lower(), s
+    for s in psl.PSL_SUFFIXES_3LABEL:
+        assert len(labels(s)) == 3 and s == s.lower(), s
+    for s in psl.PSL_WILDCARD_BASES_1LABEL:
+        assert len(labels(s)) == 1, s
+    for s in psl.PSL_WILDCARD_BASES_2LABEL:
+        assert len(labels(s)) == 2, s
+    sets = [
+        set(psl.PSL_SUFFIXES_2LABEL),
+        set(psl.PSL_SUFFIXES_3LABEL),
+        set(psl.PSL_WILDCARD_BASES_2LABEL),
+        set(psl.PSL_EXCEPTIONS_2LABEL),
+        set(psl.PSL_EXCEPTIONS_3LABEL),
+    ]
+    for i, a in enumerate(sets):
+        for b in sets[i + 1:]:
+            assert not (a & b), (a & b)
+    # each exception punches through a wildcard that must exist
+    for e in psl.PSL_EXCEPTIONS_2LABEL:
+        assert ".".join(labels(e)[1:]) in psl.PSL_WILDCARD_BASES_1LABEL, e
+    for e in psl.PSL_EXCEPTIONS_3LABEL:
+        assert ".".join(labels(e)[1:]) in psl.PSL_WILDCARD_BASES_2LABEL, e
+    with _pytest.raises(AssertionError):
+        psl.sql_in_list(("bad'quote",))

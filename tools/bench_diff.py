@@ -58,6 +58,17 @@ def main() -> None:
         f"new_total={sum(qn[k] for k in common):.1f}s "
         f"median_ratio={med:.2f} iqr={spread:.2f}"
     )
+    # keep-one-live rotation: the append family's live query advances
+    # each round, so diffs of q_stream_*_append rows compare DIFFERENT
+    # implementations (live vs mux-served) unless the picks match
+    po, pn = old.get("live_append_pick"), new.get("live_append_pick")
+    if po or pn:
+        note = (
+            "" if po == pn else
+            "  [picks differ: append-family rows are live-vs-mux, "
+            "not like-for-like]"
+        )
+        print(f"live_append_pick: old={po} new={pn}{note}")
     if abs(med - 1.0) > 0.15 and spread < 0.5 * abs(med - 1.0) + 0.1:
         print(
             "WARNING: uniform shift (median far from 1.0, tight spread) "

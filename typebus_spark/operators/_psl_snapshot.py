@@ -124,6 +124,7 @@ PSL_SUFFIXES_2LABEL: tuple[str, ...] = (
     # private section (hosting platforms — each customer subdomain is
     # an independent registrable domain)
     "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
+    "blogspot.in",
     "herokuapp.com", "appspot.com", "netlify.app", "vercel.app",
     "pages.dev", "web.app", "firebaseapp.com", "azurewebsites.net",
     "cloudfront.net", "wordpress.com", "weebly.com", "wixsite.com",
@@ -138,7 +139,7 @@ PSL_SUFFIXES_3LABEL: tuple[str, ...] = (
     "qld.edu.au", "sa.edu.au", "tas.edu.au", "vic.edu.au", "wa.edu.au",
     # private section
     "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
-    "blogspot.co.nz", "blogspot.co.za", "blogspot.in",
+    "blogspot.co.nz", "blogspot.co.za",
     "s3.amazonaws.com",
 )
 

@@ -94,12 +94,25 @@ def psl_registrable_sql(host: str, dialect: str = "spark") -> str:
     ``list_extract``), and NULL-propagating concat (Spark ``concat``
     propagates NULL; DuckDB ``concat`` IGNORES NULLs, so the DuckDB form
     must use ``||``). IN-lists splice from one frozen table so both
-    engines read identical rules."""
+    engines read identical rules.
+
+    The Spark form binds the label array ONCE as a lambda variable
+    (``transform(array(split(host)), p -> CASE …)``): the naive
+    expansion splices the host expression into every lastK reference —
+    ~10 copies of a potentially regex-deep host (curate_urls derives
+    host from a 600-char synthetic URL), and the resulting single CASE
+    expression overflowed Janino's 64 KB method limit. A FAILED compile
+    is not cached, so every execution re-paid it (~1.3 s/pass at
+    sf0.001, 3× the query's honest cost) and then evaluated
+    interpreted WITHOUT subexpression elimination — 10 regex extracts
+    per row. The 1-element-array lambda is the bounded-array HOF case
+    the codegen-boundary rule allows; host splices exactly twice
+    (split + final coalesce). DuckDB has no such limit — its branch
+    keeps the expanded form."""
     if dialect == "spark":
-        parts = f"split({host}, '[.]')"
 
         def el(k: int) -> str:
-            return f"try_element_at({parts}, {k})"
+            return f"try_element_at(p, {k})"
 
         def cat(a: str, b: str) -> str:
             return f"concat({a}, '.', {b})"
@@ -126,8 +139,8 @@ def psl_registrable_sql(host: str, dialect: str = "spark") -> str:
     sfx2 = sql_in_list(PSL_SUFFIXES_2LABEL)
     wild2 = sql_in_list(PSL_WILDCARD_BASES_2LABEL)
     wild1 = sql_in_list(PSL_WILDCARD_BASES_1LABEL)
-    return (
-        "coalesce(CASE "
+    case = (
+        "CASE "
         # exception rules beat the wildcards they punch through
         f"WHEN {last3} IN ({exc3}) THEN {last3} "
         f"WHEN {last2} IN ({exc2}) THEN {last2} "
@@ -136,8 +149,14 @@ def psl_registrable_sql(host: str, dialect: str = "spark") -> str:
         # 2-label suffixes and 1-label wildcard bases → last 3 labels
         f"WHEN {last2} IN ({sfx2}) OR {last1} IN ({wild1}) THEN {last3} "
         # PSL default rule '*': the TLD is the suffix → last 2 labels
-        f"ELSE {last2} END, {host})"
+        f"ELSE {last2} END"
     )
+    if dialect == "spark":
+        return (
+            f"coalesce(element_at(transform(array(split({host}, "
+            f"'[.]')), p -> {case}), 1), {host})"
+        )
+    return f"coalesce({case}, {host})"
 
 
 @lru_cache(maxsize=8)
