@@ -115,7 +115,7 @@ def get_spark(
     return builder.getOrCreate()
 
 
-_SCAN_EST_CACHE: dict[tuple, int] = {}
+_SCAN_EST_CACHE: dict[tuple, tuple] = {}
 
 
 def _max_partition_bytes(spark: SparkSession) -> int:
@@ -168,8 +168,8 @@ def ensure_parallelism(df, min_partitions: int | None = None):
         # UNDER-estimates (ignores per-file open cost): an underestimate
         # only toggles a harmless repartition, an overestimate would
         # silently serialize a CPU-heavy operator.
-        est = _SCAN_EST_CACHE.get(files)
-        if est is None:
+        cached = _SCAN_EST_CACHE.get(files)
+        if cached is None:
             mpb = _max_partition_bytes(spark)
             total = 0
             for f in files:
@@ -182,7 +182,18 @@ def ensure_parallelism(df, min_partitions: int | None = None):
                     total = -1
                     break
             est = -(-total // mpb) if total > 0 else -1
-            _SCAN_EST_CACHE[files] = est
+            cached = (est, total)
+            _SCAN_EST_CACHE[files] = cached
+        est, total = cached
+        # A task-size floor here (cap target at total_bytes/16KB, min 4
+        # — don't launch 32 tasks over a 65 KB file) was A/B'd
+        # interleaved at sf0.001 in r12: net −4% across the CPU-heavy
+        # family but TWO-SIGNED per op (langid −15%, dedup_substring
+        # −24%, contamination_fuzzy +12%, perplexity +10%) — the
+        # expansion factor is op-dependent and some ops are genuinely
+        # CPU-bound even on 65 KB inputs. Rejected as within-noise;
+        # full spread stays (the r9 evidence at bench scale is
+        # one-sided in its favor).
         if est >= 0:
             return df if est >= target else df.repartition(target)
     # Derived (non-scan) frame: NO physical probe — under AQE,

@@ -129,9 +129,18 @@ DIRTY_SINCE: dict[str, int] = {
     # their change-round green row in CORRECTNESS_r11 and self-cleared
     # — pruned)
     # r12: normalize_url (individual utm-param strip, https-anchored
-    # :443) and registrable_domain (true PSL snapshot algorithm)
-    # changed — q_domain_caps consumes both via curate_urls.
+    # :443) and registrable_domain (true PSL snapshot algorithm, then
+    # the 1-element-lambda codegen form) changed — q_domain_caps
+    # consumes both via curate_urls.
     "q_domain_caps": 12,
+    # r12: wire-format fixture batches are now STAGED per (app, sf_dir)
+    # (queries/dataflow.staged_wire) and the run_batch sites pass
+    # materialize=False — every query reading a staged batch changed.
+    "q_route_counts": 12,
+    "q_route_traced": 12,
+    "q_entity_lookup": 12,
+    "q_retry_drain": 12,
+    "q_retry_drain_shed": 12,
 }
 
 # Back-compat alias used by tests/tools that inspect the dirty set.
