@@ -224,6 +224,42 @@ def main() -> None:
     # wall must grow ~linearly with the token stream, never with the
     # vocabulary
     run("heavy_hitter_tokens", heavy_hitters(tok, "token", 1, 500), n_docs)
+
+    # r12 additions: HTML->text extraction and PSL registrable domains
+    # are pure scan-side projections — wall must grow ~linearly in the
+    # factor and the only shuffle is the terminal aggregate. Aggregate-
+    # only ops collect() (the count-prune trap); the PSL op groups BY
+    # the derived domain, so its count() cannot prune the expression.
+    from typebus_spark.operators.html_extract import (
+        drop_boilerplate_sql,
+        extract_text_sql,
+    )
+    from typebus_spark.operators.url_curation import psl_registrable_sql
+    from typebus_spark.queries.corpus import _PSL_HOST_SQL, _html_synth_sql
+
+    _ext = extract_text_sql(
+        drop_boilerplate_sql(_html_synth_sql("spark"), "spark"), "spark"
+    )
+    run(
+        "html_extract",
+        big_docs.selectExpr(
+            f"md5({_ext}) AS m", f"length({_ext}) AS l"
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("l").alias("clean_chars"),
+            F.count_distinct(F.col("m")).alias("distinct_texts"),
+        ),
+        n_docs,
+        collect_rows=True,
+    )
+    run(
+        "domain_psl",
+        big_docs.selectExpr(_PSL_HOST_SQL + " AS host")
+        .selectExpr(psl_registrable_sql("host", "spark") + " AS domain")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n")),
+        n_docs,
+    )
     # events count only when an events-family op actually runs
     need_ev = only_ops is None or only_ops & {
         "retry_drain", "stream_stream_join", "stream_hourly_append",
