@@ -158,6 +158,26 @@ def _check_exact_stored_index(spark, sf_dir):
     assert key in _EXACT_INDEX_CACHE
 
 
+def _check_staged_wire(spark, sf_dir):
+    from typebus_spark.queries.dataflow import _WIRE_CACHE, staged_wire
+
+    # warm: q_route_counts stages its wire batch on first build
+    QUERIES["q_route_counts"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    key = (spark.sparkContext.applicationId, sf_dir, "events_api")
+    assert key in _WIRE_CACHE, sorted(_WIRE_CACHE)
+    # loader-actually-hit: a poisoned build thunk proves the cached
+    # frame is returned WITHOUT re-invoking the encode builder (the
+    # route queries stay honestly stateful — their decode checkpoints
+    # still run per build — but the fixture ENCODE must not)
+    def _poison():
+        raise AssertionError("staged_wire re-built a cached wire batch")
+
+    df = staged_wire(spark, sf_dir, "events_api", _poison)
+    assert df is _WIRE_CACHE[key]
+
+
 CASES = {
     "ivf_codebook": _check_ivf_codebook,
     "langid_profile": _check_langid_profile,
@@ -168,6 +188,7 @@ CASES = {
     "media_fixtures": _check_media_fixtures,
     "minhash_stored_index": _check_minhash_stored_index,
     "exact_stored_index": _check_exact_stored_index,
+    "staged_wire": _check_staged_wire,
 }
 
 
