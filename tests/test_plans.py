@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import re
 
+import pyspark.sql.functions as F
 import pytest
 
 from typebus_spark.plans.checks import (
@@ -529,3 +530,38 @@ def test_domain_psl_plan_discipline(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan
     rs = " ".join(scan_read_schemas(df))
     assert rs.strip().endswith("struct<doc_id:bigint>"), rs
+
+
+def test_pipeline_plan_node_guard_counts_and_caps(spark):
+    """The example pipeline's lineage-depth guard (r11 verdict #5) must
+    COUNT logical-plan nodes without rendering (the r11 OOM fired
+    inside treeString itself) and early-abort at the cap: a 2^k
+    self-join chain is seen growing, and passing a small cap returns
+    promptly instead of walking the whole tree."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "llm_pipeline_example",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples", "llm_pipeline.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    flat = spark.range(10)
+    n_flat = mod._plan_nodes(flat._jdf.queryExecution().logical())
+    assert n_flat <= 3, n_flat
+
+    deep = spark.range(10).withColumnRenamed("id", "k")
+    for _ in range(5):  # each round doubles the subtree (the r11 trap)
+        other = deep.select(F.col("k").alias("k2"))
+        deep = deep.join(other, deep["k"] == other["k2"]).drop("k2")
+    n_deep = mod._plan_nodes(deep._jdf.queryExecution().logical())
+    assert n_deep > 2 ** 5, n_deep
+    # cap early-abort: returns cap+1 without walking the full tree
+    assert mod._plan_nodes(
+        deep._jdf.queryExecution().logical(), cap=10
+    ) == 11
