@@ -5,9 +5,12 @@ blocklist gating and per-domain document caps.
 
 The reference (a Scala event bus) has no corpus operators at all
 (SURVEY.md §2.2); this module is part of the LLM-training-pipeline
-surface the engine adds on top. Everything is pure built-in string
-expressions — no UDFs — so the whole pipeline stays inside
-whole-stage codegen and pushes down like any other projection.
+surface the engine adds on top. Everything is built-in string
+expressions — no UDFs — and pushes down like any other projection;
+the one deliberate codegen exception is the PSL dispatch's bounded
+1-element lambda (see psl_registrable_sql: the expanded CASE
+overflowed Janino's 64 KB method limit and re-paid the FAILED compile
+every execution).
 
 Scale shape: the registrable domain is the NATURAL bucketing key of a
 web corpus (every per-domain policy — caps, rate limits, quality

@@ -173,7 +173,12 @@ def q_route_counts(spark, sf_dir):
             payload_cols=["event_id", "user_id", "value"],
         ),
     )
-    res = run_batch(svc, raw, materialize=False)
+    # materialize stays True: with ONE data-plane schema group
+    # run_batch skips the raw checkpoint anyway (the staged frame IS
+    # one) and checkpoints only the DECODE — which ~16 branches
+    # consume; materialize=False would re-parse the envelope JSON
+    # per branch (the router's most expensive expression)
+    res = run_batch(svc, raw)
     # single-pass tail: every output row carries its destination topic, so
     # one union + one groupBy aggregates all routes in ONE job (empty
     # branches contribute nothing and vanish); coalesce merges the
@@ -250,7 +255,7 @@ def q_route_traced(spark, sf_dir):
             payload_cols=["event_id", "user_id", "value"],
         ),
     )
-    res = run_batch(svc, raw, trace=True, materialize=False)
+    res = run_batch(svc, raw, trace=True)
     par = spark.sparkContext.defaultParallelism
     return (
         res.union_all()
@@ -519,7 +524,12 @@ def q_entity_lookup(spark, sf_dir):
             "api.UserState.get",
         ),
     )
-    res = run_batch(svc, raw, materialize=False)
+    # materialize stays True: with ONE data-plane schema group
+    # run_batch skips the raw checkpoint anyway (the staged frame IS
+    # one) and checkpoints only the DECODE — which ~16 branches
+    # consume; materialize=False would re-parse the envelope JSON
+    # per branch (the router's most expensive expression)
+    res = run_batch(svc, raw)
     replies = res.topic("api.UserState")
     return decode_envelope(replies, state_schema).select("payload.*")
 
