@@ -48,9 +48,34 @@ def builds_with_jobs(spark, fn, sf_dir: str, name: str) -> bool:
     return bool(sc.statusTracker().getJobIdsForGroup(grp))
 
 
+def _window_stamp() -> dict:
+    """Host-window metadata for the detail files (r12 verdict
+    What's-wrong #1): cross-window detail comparisons are the
+    documented ±30% trap, so every committed detail file records WHICH
+    window produced it — bench_diff refuses ratio claims across
+    distant-load windows without an interleaved pair."""
+    import subprocess
+
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            text=True,
+            stderr=subprocess.DEVNULL,
+        ).strip()
+    except Exception:
+        sha = None
+    return {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "load_start": round(os.getloadavg()[0], 2),
+        "git_sha": sha,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    window = _window_stamp()
     spark = get_spark(
         app_name="typebus-spark-bench",
         extra_conf={
@@ -200,6 +225,12 @@ def main() -> None:
 
     if sf_dir in LAST_SCAFFOLD_WALL:
         out["mux_scaffold_sec"] = LAST_SCAFFOLD_WALL[sf_dir]
+    # Same transparency for the staged wire-format fixture batches
+    # (queries/dataflow.staged_wire — one encode per session+dir).
+    from typebus_spark.queries.dataflow import LAST_STAGED_WIRE_WALL
+
+    if sf_dir in LAST_STAGED_WIRE_WALL:
+        out["staged_wire_sec"] = LAST_STAGED_WIRE_WALL[sf_dir]
     # Which append query ran LIVE this bench (keep-one-live rotation):
     # recorded so round-over-round diffs compare the append family
     # like-for-like — the pick advances each round, and a bench run
@@ -220,6 +251,9 @@ def main() -> None:
     # stdout line under budget: headline + the slowest queries that
     # fit + a pointer. Local callers (tools/interleave_bench.py,
     # BASELINE.md protocol) read the detail file.
+    window["load_end"] = round(os.getloadavg()[0], 2)
+    window["live_append_pick"] = LIVE_APPEND_PICK
+    out["window"] = window
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

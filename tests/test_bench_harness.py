@@ -282,3 +282,43 @@ def test_live_rotation_auto_derivation():
     from typebus_spark.suite import DIRTY_SINCE
 
     assert set(dirty) <= set(DIRTY_SINCE)
+
+
+def test_window_stamp_keys_and_diff_refusal(tmp_path):
+    """Detail-file window hygiene (r12 verdict item 5): bench stamps
+    {timestamp, load_start, git_sha} (+load_end, live_append_pick at
+    write time), and bench_diff REFUSES ratio claims when either file
+    lacks the stamp."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    from bench import _window_stamp
+
+    w = _window_stamp()
+    assert {"timestamp", "load_start", "git_sha"} <= set(w)
+    assert isinstance(w["load_start"], float)
+
+    stamped = {
+        "queries": {"q_a": 1.0, "q_b": 2.0},
+        "window": {**w, "load_end": w["load_start"]},
+    }
+    bare = {"queries": {"q_a": 1.1, "q_b": 2.1}}
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(json.dumps(stamped))
+    pb.write_text(json.dumps(bare))
+    r = subprocess.run(
+        [_sys.executable, "tools/bench_diff.py", str(pa), str(pb)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 1 and "REFUSED" in r.stdout, r.stdout
+    pb.write_text(json.dumps(stamped))
+    r = subprocess.run(
+        [_sys.executable, "tools/bench_diff.py", str(pa), str(pb)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0 and "windows:" in r.stdout, r.stdout

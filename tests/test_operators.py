@@ -1085,6 +1085,13 @@ def test_url_normalize_and_registrable_domain(spark):
         ("http://example.com:8080/a", "http://example.com:8080/a"),
         # :443 is NOT http's default port — must survive (r11 ADVICE)
         ("http://example.com:443/a", "http://example.com:443/a"),
+        # a port merely STARTING with 443 must survive whole (r12
+        # ADVICE: the unanchored regex turned x.com:4430 into x.com0)
+        ("https://x.com:4430/a", "https://x.com:4430/a"),
+        ("https://x.com:44300", "https://x.com:44300"),
+        # :443 at end-of-string still strips
+        ("https://x.com:443", "https://x.com"),
+        ("https://x.com:443?q=1", "https://x.com?q=1"),
         ("https://sub.x.co.uk/p/", "https://sub.x.co.uk/p"),
         # individual utm strip, non-tracking params preserved in place
         ("https://x.com/p?utm_source=a&page=2", "https://x.com/p?page=2"),
@@ -1129,6 +1136,32 @@ def test_url_normalize_and_registrable_domain(spark):
         [("HTTPS://A.B.COM:443/x?y#z",)], "u string"
     ).select(url_host("u").alias("h")).first()
     assert one["h"] == "a.b.com"
+
+    # DuckDB dialect parity (r12 ADVICE: the duckdb branch of
+    # psl_registrable_sql was never exercised — the q_domain_psl
+    # oracle is closed-form): feed the same host list through both
+    # dialect forms and assert row-for-row equality, covering the
+    # ||-vs-concat NULL propagation and list_extract negative indexing.
+    import duckdb
+
+    from typebus_spark.operators.url_curation import psl_registrable_sql
+
+    host_list = [h for h, _ in hosts]
+    want_list = [w for _, w in hosts]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE hosts AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{h}')" for i, h in enumerate(host_list))
+        + ") AS t(i, h)"
+    )
+    dgot = [
+        r[0]
+        for r in con.execute(
+            "SELECT " + psl_registrable_sql("h", "duckdb")
+            + " FROM hosts ORDER BY i"
+        ).fetchall()
+    ]
+    assert dgot == want_list, list(zip(host_list, dgot, want_list))
 
 
 def test_exact_url_dedup_and_domain_caps(spark):
@@ -1252,7 +1285,11 @@ def test_html_extract_text_and_boilerplate(spark):
         "<h1>Title</h1>\n"
         '<div><a href="/">Home</a> <a href="/b">B</a></div>\n'
         "<p>real content line</p>\n"
-        '<footer><a href="/t">T</a></footer>'
+        '<footer><a href="/t">T</a></footer>\n'
+        # <abbr>/<article> are NOT anchors (r12 ADVICE: the unanchored
+        # pattern matched any tag starting with 'a' and dropped this
+        # line as link-only boilerplate)
+        "<article><abbr>HTML</abbr> spec text</article>"
     )
     out = spark.createDataFrame([(page,)], "html string").selectExpr(
         extract_text_sql(
@@ -1261,8 +1298,8 @@ def test_html_extract_text_and_boilerplate(spark):
         boilerplate_counts_sql("html", "spark")[0] + " AS n_lines",
         boilerplate_counts_sql("html", "spark")[1] + " AS n_boiler",
     ).first()
-    assert out["kept"] == "Title real content line"
-    assert out["n_lines"] == 4 and out["n_boiler"] == 2
+    assert out["kept"] == "Title real content line HTML spec text"
+    assert out["n_lines"] == 5 and out["n_boiler"] == 2
 
     # all-boilerplate page: '' on both engines
     allb = '<a href="/x">only link</a>'

@@ -61,6 +61,33 @@ def main() -> None:
     # keep-one-live rotation: the append family's live query advances
     # each round, so diffs of q_stream_*_append rows compare DIFFERENT
     # implementations (live vs mux-served) unless the picks match
+    # Window-stamp gate (r12 verdict What's-wrong #1): without stamps
+    # on both files, or with distant loads, a per-query ratio claim is
+    # the documented ±30% trap — refuse to present ratios as findings.
+    wo, wn = old.get("window"), new.get("window")
+    if not wo or not wn:
+        print(
+            "REFUSED: missing window stamp on "
+            + ("both files" if not wo and not wn else
+               ("OLD" if not wo else "NEW"))
+            + " — totals above are NOT comparable; re-run bench.py "
+            "(it stamps {timestamp, load_start/end, git_sha, "
+            "live_append_pick}) or interleave the two versions."
+        )
+        sys.exit(1)
+    lo = max(wo.get("load_start", 0), wo.get("load_end", 0))
+    ln = max(wn.get("load_start", 0), wn.get("load_end", 0))
+    print(
+        f"windows: old={wo.get('timestamp')} load≤{lo} "
+        f"sha={wo.get('git_sha')} | new={wn.get('timestamp')} "
+        f"load≤{ln} sha={wn.get('git_sha')}"
+    )
+    if min(lo, ln) > 0 and max(lo, ln) / max(min(lo, ln), 0.1) > 1.5:
+        print(
+            "WARNING: window loads differ >1.5x — per-query ratios "
+            "below reflect the host, not the code; interleave before "
+            "believing any row."
+        )
     po, pn = old.get("live_append_pick"), new.get("live_append_pick")
     if po or pn:
         note = (

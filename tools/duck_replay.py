@@ -30,6 +30,10 @@ def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    sys.path.insert(0, REPO)
+    from bench import _window_stamp
+
+    w = _window_stamp()
 
     import duckdb
 
@@ -63,6 +67,10 @@ def main() -> None:
     # query drifting past the 2x letter is visible as a ratio instead
     # of estimated from family aggregates. tests/test_bench_harness.py
     # asserts the two detail files share the oracled query key set.
+    # same window stamp as BENCH_DETAIL.json (r12 verdict What's-wrong
+    # #1): a committed pair must be provably same-window
+    w["load_end"] = round(os.getloadavg()[0], 2)
+    out["window"] = w
     with open(os.path.join(REPO, "DUCK_DETAIL.json"), "w") as f:
         json.dump(out, f)
     print(json.dumps(out))

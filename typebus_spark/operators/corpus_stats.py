@@ -263,7 +263,18 @@ def bigram_logprob(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     uni = base.select(F.explode(toks).alias("w"))
-    ugc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    # persisted: ugc feeds BOTH the score join and the vocab-size
+    # aggregate, and without the persist each consumer re-executed the
+    # unigram explode over the whole corpus (double-scan disease, r9 —
+    # single-reuse persists are the sanctioned fix; vocab-sized rows,
+    # tiny in bytes)
+    from pyspark import StorageLevel
+
+    ugc = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # |vocab| == number of ugc groups: reuse the aggregate instead of a
     # second explode + countDistinct pass over the corpus
     vocab = ugc.agg(F.count(F.lit(1)).alias("vs"))
@@ -329,22 +340,26 @@ def source_overlap(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
-    sa = F.broadcast(
-        sizes.select(F.col("_id").alias("src_a"), F.col("_n").alias("n_a"))
-    )
-    sb = F.broadcast(
-        sizes.select(F.col("_id").alias("src_b"), F.col("_n").alias("n_b"))
-    )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    # Both size enrichments broadcast the SAME aggregate: joining two
+    # ALIASES of one frame keeps the canonical exchange plan identical,
+    # so ReuseExchange materializes the broadcast once — the renamed-
+    # select form built two broadcast jobs, each re-running the sizes
+    # aggregate, in SERIES before the pair join could start (r12
+    # verdict item 2).
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    n_a = F.col("s1._n")
+    n_b = F.col("s2._n")
+    jac = F.col("inter") / (n_a + n_b - F.col("inter"))
     return (
-        inter.join(sa, "src_a")
-        .join(sb, "src_b")
+        inter.join(F.broadcast(s1), F.col("src_a") == F.col("s1._id"))
+        .join(F.broadcast(s2), F.col("src_b") == F.col("s2._id"))
         .filter(jac >= min_jaccard)
         .select(
             "src_a",
             "src_b",
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
+            n_a.cast("long").alias("n_a"),
+            n_b.cast("long").alias("n_b"),
             "inter",
             F.round(jac, 4).alias("jaccard"),
         )
@@ -392,7 +407,14 @@ def perplexity_buckets(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    scored = bigram_logprob(df, id_col, text_col)
+    # persisted: repartitionByRange runs a SAMPLING job over its child
+    # to pick range bounds, then the exchange executes the child again —
+    # without the persist the entire score pipeline (explode + two
+    # count joins) ran twice per materialization. One row per document,
+    # three narrow columns — tiny at any scale.
+    scored = bigram_logprob(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rb = (
         scored.repartitionByRange(
             n_range_partitions, F.col("avg_logprob").desc(), F.col(id_col)
@@ -506,15 +528,28 @@ def dsir_logweights(
         .cast("long")
         .alias("c_t"),
     )
-    tot = lm.agg(
-        F.sum("c_r").cast("long").alias("n_r"),
-        F.sum("c_t").cast("long").alias("n_t"),
+    # corpus totals as a window over the ``n_buckets``-row lm frame
+    # (single partition of ≤1024 rows — the perplexity_buckets offsets
+    # precedent): a separate agg + broadcast crossJoin added one more
+    # SEQUENTIAL broadcast-materialization job per run (r12 verdict
+    # item 2 — wall ≈ sequential stages × driver latency)
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lm = lm.select(
+        "b",
+        "c_r",
+        "c_t",
+        F.sum("c_r").over(w_all).cast("long").alias("n_r"),
+        F.sum("c_t").over(w_all).cast("long").alias("n_t"),
     )
     # ln p_t(b) - ln p_r(b), add-1 smoothed, fixed to MICRO-units per
     # BUCKET (a pure function of the exact integer counts; the coarse
     # grid keeps ulp drift ~6 orders away from the rounding boundary —
     # see the docstring's flip-probability analysis)
-    ratio = lm.crossJoin(F.broadcast(tot)).select(
+    ratio = lm.select(
         "b",
         F.round(
             (

@@ -47,7 +47,10 @@ _SCRIPT_PAT = r"(?is)<script[^>]*>.*?</script>"
 _STYLE_PAT = r"(?is)<style[^>]*>.*?</style>"
 _COMMENT_PAT = r"(?s)<!--.*?-->"
 _TAG_PAT = r"<[^>]*>"
-_ANCHOR_PAT = r"(?is)<a[^>]*>.*?</a>"
+# (\s[^>]*)? requires a word boundary after the 'a' so <abbr>/<aside>/
+# <article>/<address> don't count as anchors (r12 ADVICE) — RE2-safe
+# (optional group, no lookaround)
+_ANCHOR_PAT = r"(?is)<a(\s[^>]*)?>.*?</a>"
 _WS_PAT = r"\s+"
 
 _DIALECTS = ("spark", "duckdb")

@@ -1,0 +1,293 @@
+"""Full-PSL registrable-domain extraction via a broadcast rules table.
+
+The literal-CASE path (``url_curation.registrable_domain``) keeps the
+PSL algorithm a pure whole-stage-codegen expression over the frozen
+snapshot SUBSET (operators/_psl_snapshot.py); hosts whose true suffix
+is outside the snapshot silently fall back to the PSL default ``*``
+rule. A crawl-scale corpus hits unknown-TLD fallback constantly (r12
+verdict, What's-missing #3) — this module is the scale path the
+snapshot file names: the rules become a ~9k-row BROADCAST lookup table
+and the dispatch becomes a handful of broadcast hash joins keyed on
+the host's last-k-label strings. No shuffle, no explode, no UDF.
+
+Rule source, in precedence order:
+1. ``parse_psl_rules(text)`` — the standard ``public_suffix_list.dat``
+   format (publicsuffix.org, MPL-2.0 public data): comments, blank
+   lines, plain / ``*.`` wildcard / ``!`` exception rules. Production
+   deployments feed the real full file here.
+2. The built-in default: the frozen snapshot subset PLUS
+   ``PSL_EXTRA_RULES`` — additional well-known ICANN second-level
+   registries the literal subset deliberately omits (kept small so the
+   in-plan path stays codegen-friendly; the table path has no such
+   constraint). Still a subset of the public list; the loader above is
+   the full-coverage path.
+
+Matching algorithm (https://publicsuffix.org/list/ §Algorithm):
+- a PLAIN rule of k labels matches hosts ending in it; effective
+  public-suffix length = k;
+- a WILDCARD rule ``*.X`` (|X| = m) matches hosts with ≥ m+1 labels
+  ending in X; effective length = m+1;
+- an EXCEPTION rule ``!Y`` (|Y| = j) matches hosts ending in Y and
+  PREVAILS over every other match; effective length = j-1;
+- otherwise the default ``*`` rule applies: effective length = 1.
+The registrable domain is the effective suffix plus one label; a host
+with no extra label (it IS a suffix, or is label-less) passes through
+unchanged — identical pass-through semantics to the literal path.
+
+Spark shape: rules pre-aggregate (driver-side, k-thousand rows) into
+one row per base string carrying (plain?, wildcard?, exception?) so a
+join can never fan out; the host frame LEFT-joins the broadcast table
+once per distinct base length (≤4), then one CASE picks the prevailing
+rule. At 100 TB this is 4 broadcast hash joins against a ≤9k-row dim —
+map-side only, AQE-irrelevant, no skew surface.
+
+Reference: the event-bus reference has no URL operators (SURVEY.md
+§2.2); this belongs to the LLM-pipeline curation surface.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from typebus_spark.operators._psl_snapshot import (
+    PSL_EXCEPTIONS_2LABEL,
+    PSL_EXCEPTIONS_3LABEL,
+    PSL_SUFFIXES_2LABEL,
+    PSL_SUFFIXES_3LABEL,
+    PSL_WILDCARD_BASES_1LABEL,
+    PSL_WILDCARD_BASES_2LABEL,
+)
+
+# Additional real ICANN second-level registries NOT in the frozen
+# literal snapshot (publicsuffix.org, same 2025 vintage) — they prove
+# the table dispatches beyond the in-plan subset and cover registries
+# a crawl actually hits. Deliberately plain-rule-only additions.
+PSL_EXTRA_RULES: tuple[str, ...] = (
+    # .ir
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    # .rs
+    "ac.rs", "co.rs", "edu.rs", "gov.rs", "in.rs", "org.rs",
+    # .by / .kz / .uz
+    "com.by", "gov.by", "mil.by", "of.by",
+    "com.kz", "edu.kz", "gov.kz", "mil.kz", "net.kz", "org.kz",
+    "co.uz", "com.uz", "net.uz", "org.uz",
+    # .lk
+    "com.lk", "edu.lk", "gov.lk", "net.lk", "org.lk", "sch.lk",
+    "web.lk",
+    # .bd is wildcard in the snapshot; .np too — skip
+    # .ma / .tn / .dz
+    "ac.ma", "co.ma", "gov.ma", "net.ma", "org.ma", "press.ma",
+    "com.tn", "edunet.tn", "gov.tn", "net.tn", "org.tn",
+    "com.dz", "edu.dz", "gov.dz", "net.dz", "org.dz",
+    # .gh / .tz / .ug / .zm / .zw
+    "com.gh", "edu.gh", "gov.gh", "mil.gh", "org.gh",
+    "ac.tz", "co.tz", "go.tz", "ne.tz", "or.tz", "sc.tz",
+    "ac.ug", "co.ug", "go.ug", "ne.ug", "or.ug", "sc.ug",
+    "ac.zm", "co.zm", "gov.zm", "org.zm", "sch.zm",
+    "ac.zw", "co.zw", "gov.zw", "mil.zw", "org.zw",
+)
+
+# Largest base-label count the built-in rules reach; parse_psl_rules
+# raises past _MAX_BASE_LABELS so the join fan below stays exhaustive.
+_MAX_BASE_LABELS = 4
+
+
+def parse_psl_rules(text: str) -> list[tuple[str, str]]:
+    """``public_suffix_list.dat`` → [(base, kind)] where kind ∈
+    {plain, wildcard, exception} and base is the rule minus its ``*.``
+    or ``!`` marker. Comments (``//``) and blank lines skip; rules are
+    lowercased (the list is ASCII/punycode)."""
+    rules: list[tuple[str, str]] = []
+    for line in text.splitlines():
+        line = line.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            base, kind = line[1:], "exception"
+        elif line.startswith("*."):
+            base, kind = line[2:], "wildcard"
+        else:
+            base, kind = line, "plain"
+        if not base or base.startswith(".") or base.endswith("."):
+            raise ValueError(f"malformed PSL rule: {line!r}")
+        if base.count(".") + 1 > _MAX_BASE_LABELS:
+            raise ValueError(
+                f"PSL rule deeper than {_MAX_BASE_LABELS} labels "
+                f"unsupported: {line!r}"
+            )
+        rules.append((base, kind))
+    return rules
+
+
+def builtin_psl_rules() -> list[tuple[str, str]]:
+    """Snapshot subset + PSL_EXTRA_RULES as (base, kind) tuples."""
+    rules: list[tuple[str, str]] = []
+    for base in (
+        PSL_SUFFIXES_2LABEL + PSL_SUFFIXES_3LABEL + PSL_EXTRA_RULES
+    ):
+        rules.append((base, "plain"))
+    for base in PSL_WILDCARD_BASES_1LABEL + PSL_WILDCARD_BASES_2LABEL:
+        rules.append((base, "wildcard"))
+    for base in PSL_EXCEPTIONS_2LABEL + PSL_EXCEPTIONS_3LABEL:
+        rules.append((base, "exception"))
+    return rules
+
+
+def _aggregate_rules(
+    rules: list[tuple[str, str]],
+) -> dict[int, list[tuple[str, int, int, int]]]:
+    """Pre-aggregate driver-side into one row per base, bucketed by
+    base label count: (base, eff_plain, eff_wild, eff_exc) with -1 for
+    an absent kind. One row per base means the broadcast joins below
+    can never fan out a host row."""
+    by_base: dict[str, dict[str, int]] = {}
+    for base, kind in rules:
+        n = base.count(".") + 1
+        d = by_base.setdefault(base, {})
+        if kind == "plain":
+            d["plain"] = n
+        elif kind == "wildcard":
+            d["wild"] = n + 1
+        else:
+            d["exc"] = n - 1
+    out: dict[int, list[tuple[str, int, int, int]]] = {}
+    for base, d in sorted(by_base.items()):
+        n = base.count(".") + 1
+        out.setdefault(n, []).append(
+            (base, d.get("plain", -1), d.get("wild", -1), d.get("exc", -1))
+        )
+    return out
+
+
+# Memoized per (applicationId, rules identity): building a ~9k-row
+# local DataFrame ships the rows over py4j — once per session, never
+# per plan (the frozen-artifact loader discipline; the loader-hit pin
+# lives in tests/test_psl_table.py).
+_RULES_CACHE: dict[tuple, dict[int, DataFrame]] = {}
+
+
+def psl_rules_frames(
+    spark: SparkSession, rules: list[tuple[str, str]] | None = None
+) -> dict[int, DataFrame]:
+    """The aggregated rules as one small DataFrame per base label
+    count, keyed {n_labels: DataFrame(base, eff_plain, eff_wild,
+    eff_exc)}. Memoized per (app, rules identity)."""
+    key = (
+        spark.sparkContext.applicationId,
+        id(rules) if rules is not None else None,
+    )
+    hit = _RULES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    agg = _aggregate_rules(rules if rules is not None else builtin_psl_rules())
+    frames = {
+        n: spark.createDataFrame(
+            rows,
+            f"base_{n} string, eff_plain_{n} int, eff_wild_{n} int, "
+            f"eff_exc_{n} int",
+        )
+        for n, rows in agg.items()
+    }
+    _RULES_CACHE[key] = frames
+    return frames
+
+
+@lru_cache(maxsize=16)
+def _cand_cols(host: str) -> tuple:
+    """(labels array, n_labels, last-1..last-_MAX_BASE_LABELS strings)
+    — bounded projections of the host column expression."""
+    labels = F.split(F.expr(host), "[.]")
+    nl = F.size(labels)
+    # slice() raises on a non-positive start — hosts shallower than k
+    # labels have no last-k candidate (NULL never joins)
+    cands = tuple(
+        F.when(
+            nl >= k,
+            F.array_join(F.slice(labels, nl - k + 1, k), "."),
+        ).alias(f"_cand_{k}")
+        for k in range(1, _MAX_BASE_LABELS + 1)
+    )
+    return (labels.alias("_labels"), nl.alias("_nl")) + cands
+
+
+def registrable_domain_table(
+    df: DataFrame,
+    host_col: str,
+    rules: list[tuple[str, str]] | None = None,
+    out_col: str = "domain",
+) -> DataFrame:
+    """``df`` + ``out_col`` = the PSL registrable domain of
+    ``host_col`` under the full rules table (see module docstring).
+
+    ``host_col`` may be any SQL expression string. Matches the
+    literal-CASE path bit-for-bit on hosts whose suffix is inside the
+    frozen snapshot (pinned by tests/test_psl_table.py) and extends
+    coverage to every rule in ``rules``.
+    """
+    spark = df.sparkSession
+    frames = psl_rules_frames(spark, rules)
+    out = df.select("*", *_cand_cols(host_col))
+    for n, dim in sorted(frames.items()):
+        out = out.join(
+            F.broadcast(dim),
+            out[f"_cand_{n}"] == dim[f"base_{n}"],
+            "left",
+        )
+    # Prevailing rule (PSL §Algorithm): any exception wins outright
+    # (deepest first for determinism; real lists cannot have two
+    # exceptions matching one host at different depths under one
+    # wildcard, but the CASE is total anyway); else the longest
+    # effective suffix among plain/wildcard matches; else default 1.
+    # Wildcard effective lengths only count when the host actually has
+    # the extra label (nl >= eff — a host EQUAL to a wildcard base is
+    # not matched by the wildcard).
+    ns = sorted(frames.keys(), reverse=True)
+    exc = F.coalesce(
+        *[F.col(f"eff_exc_{n}") for n in ns], F.lit(-1)
+    )
+    effs = [
+        F.when(
+            F.col(f"eff_plain_{n}").isNotNull()
+            & (F.col(f"eff_plain_{n}") >= 0),
+            F.col(f"eff_plain_{n}"),
+        ).otherwise(F.lit(-1))
+        for n in ns
+    ] + [
+        F.when(
+            F.col(f"eff_wild_{n}").isNotNull()
+            & (F.col(f"eff_wild_{n}") >= 0)
+            & (F.col("_nl") >= F.col(f"eff_wild_{n}")),
+            F.col(f"eff_wild_{n}"),
+        ).otherwise(F.lit(-1))
+        for n in ns
+    ]
+    best = F.greatest(*effs) if len(effs) > 1 else effs[0]
+    eff = F.when(exc >= 0, exc).otherwise(
+        F.when(best >= 0, best).otherwise(F.lit(1))
+    )
+    nl = F.col("_nl")
+    reg = F.when(
+        nl <= eff, F.expr(host_col)
+    ).otherwise(
+        F.array_join(F.slice(F.col("_labels"), nl - eff, eff + 1), ".")
+    )
+    # pass-through when the host IS a suffix or is label-less (nl <=
+    # eff means no extra label exists for the registrable domain)
+    drop = (
+        ["_labels", "_nl"]
+        + [f"_cand_{k}" for k in range(1, _MAX_BASE_LABELS + 1)]
+        + [
+            c
+            for n in frames
+            for c in (
+                f"base_{n}",
+                f"eff_plain_{n}",
+                f"eff_wild_{n}",
+                f"eff_exc_{n}",
+            )
+        ]
+    )
+    return out.withColumn(out_col, reg).drop(*drop)

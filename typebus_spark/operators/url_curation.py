@@ -61,7 +61,10 @@ def _normalize_sql(col: str) -> str:
     u1 = f"regexp_replace({u0}, '&utm_[^&]*', '')"
     u2 = f"regexp_replace({u1}, '[?]utm_[^&]*&', '?')"
     u3 = f"regexp_replace({u2}, '[?]utm_[^&]*$', '')"
-    u4 = f"regexp_replace({u3}, '(?i)^(https://[^/:?#]+):443', '$1')"
+    u4 = (
+        f"regexp_replace({u3}, "
+        "'(?i)^(https://[^/:?#]+):443([/?#]|$)', '$1$2')"
+    )
     pre = f"regexp_extract({u4}, '{_PREFIX_RE}', 1)"
     u5 = f"concat(lower({pre}), substring({u4}, length({pre}) + 1))"
     return f"regexp_replace({u5}, '/$', '')"

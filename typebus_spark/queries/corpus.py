@@ -1502,6 +1502,78 @@ def q_domain_psl(spark, sf_dir):
     )
 
 
+# --- full-PSL broadcast-table dispatch (r12 verdict item 3) ----------
+# Suffix axis deliberately dominated by registries the frozen literal
+# snapshot LACKS (.ir/.kz/.by/.tz/.uz come only from PSL_EXTRA_RULES):
+# a green row proves TABLE dispatch, not default-* fallback — the
+# literal path would bucket 'a.b.example.co.ir' under 'co.ir'.
+_PSLF_SUFFIX_ARRAY = (
+    "'co.ir','com.kz','gov.by','ac.tz','co.uz','co.uk','kobe.jp',"
+    "'unknowntld'"
+)
+
+_PSLF_HOST_SQL = f"""concat(
+  CASE WHEN {_psl_hx(13, 3)} = 0
+       THEN concat('t', CAST({_psl_hx(17, 5)} AS STRING), '.')
+       ELSE '' END,
+  's', CAST({_psl_hx(9, 4)} AS STRING), '.',
+  CASE WHEN {_psl_hx(5, 7)} = 0 THEN 'city'
+       ELSE concat('n', CAST({_psl_hx(5, 7)} AS STRING)) END, '.',
+  element_at(array({_PSLF_SUFFIX_ARRAY}),
+             CAST({_psl_hx(1, 8)} AS INT) + 1))"""
+
+
+@query(
+    "q_domain_psl_full",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id,
+    {_psl_hx_duck(1, 8)} AS sfx_i,
+    CASE WHEN {_psl_hx_duck(5, 7)} = 0 THEN 'city'
+         ELSE 'n' || CAST({_psl_hx_duck(5, 7)} AS VARCHAR) END AS name,
+    's' || CAST({_psl_hx_duck(9, 4)} AS VARCHAR) AS sub1,
+    ['co.ir','com.kz','gov.by','ac.tz','co.uz','co.uk','kobe.jp',
+     'unknowntld'][CAST({_psl_hx_duck(1, 8)} AS INT) + 1] AS sfx
+  FROM documents),
+d AS (
+  SELECT CASE
+    -- *.kobe.jp wildcard swallows one label, !city.kobe.jp punches out
+    WHEN sfx_i = 6 THEN
+      CASE WHEN name = 'city' THEN 'city.kobe.jp'
+           ELSE sub1 || '.' || name || '.' || sfx END
+    -- unknown TLD: PSL default '*' rule, last two labels
+    WHEN sfx_i = 7 THEN name || '.' || sfx
+    -- plain rules (incl. the extra-rule registries): name.suffix
+    ELSE name || '.' || sfx END AS domain
+  FROM a)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_hosts
+FROM d GROUP BY domain
+""",
+    doc=(
+        "Registrable-domain extraction via the BROADCAST rules table "
+        "(operators/psl_table.py — the full-list scale path the frozen "
+        "snapshot file names; r12 verdict item 3): the host axis is "
+        "dominated by registries only PSL_EXTRA_RULES carries, so a "
+        "green row proves table dispatch, with the *.kobe.jp wildcard "
+        "+ !city.kobe.jp exception and the default-* rule riding "
+        "along. The oracle derives every expected domain in closed "
+        "form from the same hash axes. Plan: ≤4 broadcast hash joins "
+        "against the ≤9k-row rules dim (memoized per app), no shuffle "
+        "before the final groupBy (pinned in tests/test_psl_table.py)."
+    ),
+)
+def q_domain_psl_full(spark, sf_dir):
+    from typebus_spark.operators.psl_table import registrable_domain_table
+
+    docs = t(spark, sf_dir, "documents")
+    hosts = docs.selectExpr(_PSLF_HOST_SQL + " AS host")
+    return (
+        registrable_domain_table(hosts, "host")
+        .groupBy("domain")
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS n_hosts"))
+    )
+
+
 # --- HTML -> text extraction (r11 verdict item 3) --------------------
 # The fixtures carry clean text, so the query synthesizes a
 # deterministic HTML wrapper (script/style/comment blocks, nav+footer

@@ -97,6 +97,42 @@ def _fail_n_times_handler(df):
     return df.select(*_fail_n_times_handler_cols())
 
 
+@lru_cache(maxsize=1)
+def _double_value_handler_cols() -> tuple:
+    """Columns for the router queries' value-doubling handler — run_batch
+    re-invokes the handler per warm build (2 streams × ~8 round trips
+    measured at tools/py4j_sites.py; r12 verdict item 1)."""
+    return (
+        F.col("meta"),
+        F.col("event_id"),
+        F.col("user_id"),
+        (F.col("value") * 2).alias("value"),
+    )
+
+
+def _double_value_handler(df):
+    return df.select(*_double_value_handler_cols())
+
+
+@lru_cache(maxsize=1)
+def _topic_count_agg() -> F.Column:
+    return F.count(F.lit(1)).alias("n")
+
+
+@lru_cache(maxsize=1)
+def _identity_payload_cols() -> tuple:
+    return (
+        F.col("meta"),
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("value"),
+    )
+
+
+def _identity_payload_handler(df):
+    return df.select(*_identity_payload_cols())
+
+
 # Staged wire-format batches, memoized per (app, sf_dir, key) — the
 # batch analogue of streaming's staged source (streaming/mux.py, same
 # memoization precedent): encoding the fixture events into bus rows is
@@ -110,12 +146,29 @@ def _fail_n_times_handler(df):
 # materialized rows.
 _WIRE_CACHE: dict[tuple, object] = {}
 
+# One-time staging wall per sf_dir (summed over keys) — surfaced by
+# bench.py as staged_wire_sec, the mux LAST_SCAFFOLD_WALL precedent:
+# memoized setup must never vanish from reported numbers (r12 ADVICE).
+LAST_STAGED_WIRE_WALL: dict[str, float] = {}
+
 
 def staged_wire(spark, sf_dir: str, key: str, build):
     k = (spark.sparkContext.applicationId, sf_dir, key)
     df = _WIRE_CACHE.get(k)
     if df is None:
+        import time
+
+        t0 = time.perf_counter()
         df = build().localCheckpoint(eager=False)
+        # materialize NOW so the one-time encode is timed here (and the
+        # nondeterministic-uuid rows are locked) instead of hiding
+        # inside the first consumer's warm-up pass
+        df.count()
+        LAST_STAGED_WIRE_WALL[sf_dir] = round(
+            LAST_STAGED_WIRE_WALL.get(sf_dir, 0.0)
+            + (time.perf_counter() - t0),
+            3,
+        )
         _WIRE_CACHE[k] = df
     return df
 
@@ -159,9 +212,7 @@ def q_route_counts(spark, sf_dir):
         svc.register_stream(
             f"api.{et}",
             f"api.{et}.done",
-            lambda df: df.select(
-                "meta", "event_id", "user_id", (F.col("value") * 2).alias("value")
-            ),
+            _double_value_handler,
         )
     from typebus_spark.session import ensure_parallelism
 
@@ -189,7 +240,7 @@ def q_route_counts(spark, sf_dir):
         res.union_all()
         .coalesce(par)
         .groupBy("topic")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(_topic_count_agg())
     )
 
 
@@ -245,7 +296,7 @@ def q_route_traced(spark, sf_dir):
         svc.register_stream(
             f"api.{et}",
             f"api.{et}.done",
-            lambda df: df.select("meta", "event_id", "user_id", "value"),
+            _identity_payload_handler,
         )
     raw = staged_wire(
         spark, sf_dir, "events_api",
@@ -261,7 +312,7 @@ def q_route_traced(spark, sf_dir):
         res.union_all()
         .coalesce(par)
         .groupBy("topic")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(_topic_count_agg())
     )
 
 
@@ -326,7 +377,7 @@ def q_retry_drain(spark, sf_dir):
         res.union_all()
         .coalesce(par)
         .groupBy("topic")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(_topic_count_agg())
     )
 
 
@@ -2055,7 +2106,7 @@ def q_retry_drain_shed(spark, sf_dir):
         res.union_all()
         .coalesce(par)
         .groupBy("topic")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(_topic_count_agg())
     )
 
 

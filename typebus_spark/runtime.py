@@ -130,7 +130,7 @@ class BatchResult:
         ``names`` maps a logical output name to its ``_kind`` tag so
         ``topic()`` lookups still work per destination class (built
         lazily in ``_view``)."""
-        self._shared.append(fanned.select("key", "value", "topic"))
+        self._shared.append(fanned.select(*_kvt_cols()))
         self._shared_named.append((fanned, dict(names)))
 
     def absorb(self, other: "BatchResult", skip=None) -> None:
@@ -171,6 +171,21 @@ from functools import lru_cache  # noqa: E402
 @lru_cache(maxsize=128)
 def _static_meta(fqn: str) -> F.Column:
     return new_meta(fqn)
+
+
+@lru_cache(maxsize=1)
+def _kvt_cols() -> tuple:
+    return (F.col("key"), F.col("value"), F.col("topic"))
+
+
+@lru_cache(maxsize=128)
+def _flat_cols(payload_fields: tuple) -> tuple:
+    """(meta, payload.a, payload.b, …) — the handler input projection,
+    cached per payload shape (the string form ``select("meta",
+    "payload.*")`` rebuilt its column list per stream per build)."""
+    return (F.col("meta"),) + tuple(
+        F.col(f"payload.{c}") for c in payload_fields
+    )
 
 
 @lru_cache(maxsize=8)
@@ -312,9 +327,11 @@ def _payload_null_split() -> tuple:
     return bad, good
 
 
-@lru_cache(maxsize=1)
-def _meta_only_value() -> F.Column:
-    return F.to_json(F.struct("meta")).cast("binary").alias("value")
+@lru_cache(maxsize=256)
+def _retry_encode_cols(retry_t: str) -> tuple:
+    """(null-key, re-encoded wire value, lit-topic) projection for
+    backoff-pending rows headed back to the retry topic."""
+    return (_null_key(), _envelope_value(), _topic_col(retry_t))
 
 
 @lru_cache(maxsize=128)
@@ -421,6 +438,34 @@ def _dead_letter(raw: DataFrame, message: str) -> DataFrame:
     """Wrap raw bus rows as ServiceException envelopes
     (produceErrorReport, bus/package.scala:93-125)."""
     return raw.select(*_dead_letter_cols(message))
+
+
+@lru_cache(maxsize=256)
+def _dead_letter_cols_static(message: str, orig_topic: str) -> tuple:
+    """``_dead_letter_cols`` with the originating topic as a LITERAL —
+    fuses the former two-select chain (project topic lit → wrap) into
+    one projection for the per-stream branches whose topic is known at
+    build time (undecodable payload, handler give-up). The intermediate
+    select also computed a to_json envelope the wrapper immediately
+    discarded — pure py4j + plan-node overhead per warm router build
+    (r12 verdict item 1, tools/py4j_sites.py)."""
+    payload = F.struct(
+        F.lit(message).alias("message"),
+        F.lit("java.lang.RuntimeException").alias("throwable_type"),
+        F.array().cast("array<string>").alias("stack_trace"),
+        F.map_from_arrays(
+            F.array(F.lit("topic")), F.array(F.lit(orig_topic))
+        ).alias("extra"),
+    )
+    env = F.struct(
+        _static_meta("typebus.ServiceException").alias("meta"),
+        payload.alias("payload"),
+    )
+    return (
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(env).cast("binary").alias("value"),
+        F.lit(DEAD_LETTER_TOPIC).alias("topic"),
+    )
 
 
 def run_batch(
@@ -641,9 +686,7 @@ def run_batch(
                 res._add(
                     retry_topic(in_fqn),
                     pending.select(
-                        _null_key(),
-                        _envelope_value(),
-                        _topic_col(retry_topic(in_fqn)),
+                        *_retry_encode_cols(retry_topic(in_fqn))
                     ),
                 )
             decoded = eligible_now(decoded, now_epoch)
@@ -653,13 +696,8 @@ def run_batch(
         if lazy or not bad.isEmpty():
             res._add(
                 DEAD_LETTER_TOPIC,
-                _dead_letter(
-                    bad.select(
-                        _null_key(),
-                        _envelope_value(),
-                        _topic_col(in_fqn),
-                    ),
-                    "undecodable payload",
+                bad.select(
+                    *_dead_letter_cols_static("undecodable payload", in_fqn)
                 ),
             )
         good = decoded.filter(good_cond)
@@ -679,7 +717,8 @@ def run_batch(
 
         # T1: handler over (meta, payload-fields); flatten payload for
         # ergonomic expression handlers, keep meta for correlation.
-        flat = good.select("meta", "payload.*")
+        payload_fields = tuple(f.name for f in payload_schema.fields)
+        flat = good.select(*_flat_cols(payload_fields))
         out = sd.handler(flat)
 
         # ST1/ST2 + C2: rows marked failed (``_error`` convention) are
@@ -712,10 +751,9 @@ def run_batch(
                         _fid_join_cond(),
                         "left_semi",
                     )
-                    .select("meta", "payload.*")
+                    .select(*_flat_cols(payload_fields))
                 )
 
-            payload_fields = [f.name for f in payload_schema.fields]
             if sd.retry and emit_decoded_retry:
                 from typebus_spark.streaming.retry import retry_decoded
 
@@ -752,13 +790,8 @@ def run_batch(
             if lazy or not gave_up.isEmpty():
                 res._add(
                     DEAD_LETTER_TOPIC,
-                    _dead_letter(
-                        gave_up.select(
-                            _null_key(),
-                            _meta_only_value(),
-                            _topic_col(in_fqn),
-                        ),
-                        "handler failed",
+                    gave_up.select(
+                        *_dead_letter_cols_static("handler failed", in_fqn)
                     ),
                 )
                 # ExceptionTrace alongside the error report

@@ -128,19 +128,44 @@ DIRTY_SINCE: dict[str, int] = {
     # _live_rotation_dirty — merged below; all r10/r11 entries earned
     # their change-round green row in CORRECTNESS_r11 and self-cleared
     # — pruned)
-    # r12: normalize_url (individual utm-param strip, https-anchored
-    # :443) and registrable_domain (true PSL snapshot algorithm, then
-    # the 1-element-lambda codegen form) changed — q_domain_caps
-    # consumes both via curate_urls.
-    "q_domain_caps": 12,
-    # r12: wire-format fixture batches are now STAGED per (app, sf_dir)
-    # (queries/dataflow.staged_wire) and the run_batch sites pass
-    # materialize=False — every query reading a staged batch changed.
-    "q_route_counts": 12,
-    "q_route_traced": 12,
-    "q_entity_lookup": 12,
-    "q_retry_drain": 12,
-    "q_retry_drain_shed": 12,
+    # r13: normalize_url's :443 strip gained its port-end anchor
+    # ((?i)^(https://[^/:?#]+):443([/?#]|$) — r12 ADVICE: x.com:4430
+    # was corrupted to x.com0) — q_domain_caps consumes it via
+    # curate_urls.
+    "q_domain_caps": 13,
+    # r13: run_batch/decode_envelope branch construction moved to
+    # cached projection tuples (dead-letter fuse, _flat_cols,
+    # _decode_sel — r12 verdict item 1); staged_wire now materializes
+    # eagerly with a timed count. Every query routing through the
+    # batch router changed plans.
+    "q_route_counts": 13,
+    "q_route_traced": 13,
+    "q_retry_drain": 13,
+    "q_retry_drain_shed": 13,
+    "q_entity_lookup": 13,
+    "q_rpc_correlate": 13,
+    # r13: corpus-stats stragglers restructured (r12 verdict item 2):
+    # bigram_logprob persists ugc (double-scan), perplexity_buckets
+    # persists the scored frame (repartitionByRange sampling re-ran
+    # the pipeline), dsir's corpus totals became a window over lm,
+    # source_overlap's size joins share one broadcast exchange.
+    "q_bigram_logprob": 13,
+    "q_perplexity_buckets": 13,
+    "q_dsir_weights": 13,
+    "q_source_overlap": 13,
+    # r13: _ANCHOR_PAT requires a word boundary after '<a' (r12
+    # ADVICE: <abbr>/<aside>/<article>/<address> inflated link
+    # density) — everything consuming line_link_density /
+    # drop_boilerplate changed values.
+    "q_html_boilerplate": 13,
+    "q_pipeline_clean_corpus": 13,
+    "q_pipeline_curated_mix": 13,
+    # (r12 entries earned green rows in the r12 window and
+    # self-cleared — pruned. For the record: the r12 staging change
+    # stages wire-format fixture batches per (app, sf_dir)
+    # (queries/dataflow.staged_wire) while run_batch KEEPS its decode
+    # checkpoint (materialize=True — 5c0690e reverted the
+    # materialize=False experiment).)
 }
 
 # Back-compat alias used by tests/tools that inspect the dirty set.
