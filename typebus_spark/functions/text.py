@@ -40,6 +40,17 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def tokens_lower(col: Column | str) -> Column:
+    """Lowercased whitespace tokens via lower-then-split: identical
+    values to ``transform(tokens(c), lower)`` (per-character lowering
+    never touches whitespace, so boundaries and per-token results
+    agree), but LAMBDA-FREE — the transform form evaluates its lambda
+    on the interpreted expression path per token of an unbounded array
+    (the r10 HOF rule; measured on the dsir/tfidf token streams r13)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
 def bpe_ish_tokens(col: Column | str) -> Column:
     """BPE-ish subword split: word chunks, digit runs, punctuation as
     separate tokens (regex analog of a byte-pair pretokenizer)."""

@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from typebus_spark.functions.text import shingles, tokens
+from typebus_spark.functions.text import shingles, tokens, tokens_lower
 
 
 def contamination_report(
@@ -145,7 +145,7 @@ def vocab_topk(
         df.select(F.col(id_col).alias("_id"), F.col(text_col))
     ).select(
         "_id",
-        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
+        F.explode(tokens_lower(text_col)).alias("token"),
     )
     return (
         tok.groupBy("token")
@@ -175,7 +175,7 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         df.select(F.col(id_col), F.col(text_col))
     ).select(
         F.col(id_col),
-        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
+        F.explode(tokens_lower(text_col)).alias("token"),
     )
     counts = tok.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("c")
@@ -498,7 +498,7 @@ def dsir_logweights(
     toks = df.select(
         F.col(id_col),
         target_filter.alias("_is_t"),
-        F.explode(F.transform(tokens(text_col), F.lower)).alias("tok"),
+        F.explode(tokens_lower(text_col)).alias("tok"),
     ).withColumn(
         "b",
         F.conv(

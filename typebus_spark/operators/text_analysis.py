@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from typebus_spark.functions.text import norm_text, tokens
+from typebus_spark.functions.text import norm_text, tokens, tokens_lower
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Deliberately minimal + deterministic (the real-world analog swaps in
@@ -93,7 +93,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-lexicon language ID: per language, count marker hits among
     lowercased tokens; argmax wins, 'und' when no hits. Deterministic
     tiebreak by language code order."""
-    toks = F.transform(tokens(text_col), F.lower)
+    toks = tokens_lower(text_col)
 
     def _hits(ws: list[str]) -> F.Column:
         # single-arg lambda: a 2-arg lambda would receive the element

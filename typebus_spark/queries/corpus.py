@@ -329,7 +329,7 @@ FROM ranked WHERE rk <= 3
     ),
 )
 def q_tfidf_top_terms(spark, sf_dir):
-    from typebus_spark.functions.text import tokens
+    from typebus_spark.functions.text import tokens_lower
     from typebus_spark.session import ensure_parallelism
     from pyspark.sql import Window
 
@@ -341,7 +341,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     tok = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id",
-        F.explode(F.transform(tokens("text"), F.lower)).alias("term"),
+        F.explode(tokens_lower("text")).alias("term"),
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -694,13 +694,13 @@ ORDER BY n DESC, pair LIMIT 30
     ),
 )
 def q_bpe_pair_counts(spark, sf_dir):
-    from typebus_spark.functions.text import tokens
+    from typebus_spark.functions.text import tokens_lower
     from typebus_spark.session import ensure_parallelism
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents").select("text"))
     words = (
         docs.select(
-            F.explode(F.transform(tokens("text"), F.lower)).alias("w")
+            F.explode(tokens_lower("text")).alias("w")
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))

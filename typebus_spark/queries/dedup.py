@@ -13,7 +13,7 @@ from functools import lru_cache
 
 import pyspark.sql.functions as F
 
-from typebus_spark.functions.text import tokens
+from typebus_spark.functions.text import tokens, tokens_lower
 from typebus_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -689,7 +689,7 @@ def q_pipeline_clean_corpus(spark, sf_dir):
 
 @lru_cache(maxsize=1)
 def _clean_corpus_lang_cols() -> tuple:
-    toks = F.transform(tokens("text"), F.lower)
+    toks = tokens_lower("text")
     en_hits = F.size(
         F.filter(toks, lambda t_: t_.isin("the", "a", "and", "of", "to"))
     )

@@ -153,6 +153,15 @@ DIRTY_SINCE: dict[str, int] = {
     "q_perplexity_buckets": 13,
     "q_dsir_weights": 13,
     "q_source_overlap": 13,
+    # r13: transform(tokens, lower) → tokens_lower (lower-then-split,
+    # lambda-free — the r10 interpreted-HOF rule) in vocab_topk,
+    # token_entropy, dsir, lang_id, tfidf, bpe_pair_counts, and the
+    # clean-corpus lang gate. Same values, new expression trees.
+    "q_vocab_topk": 13,
+    "q_token_entropy": 13,
+    "q_text_langid": 13,
+    "q_tfidf_top_terms": 13,
+    "q_bpe_pair_counts": 13,
     # r13: _ANCHOR_PAT requires a word boundary after '<a' (r12
     # ADVICE: <abbr>/<aside>/<article>/<address> inflated link
     # density) — everything consuming line_link_density /
