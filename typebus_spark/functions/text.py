@@ -79,8 +79,23 @@ def shingles(toks: Column, n: int) -> Column:
     )
 
 
-def exploded_shingle_rows(df, id_col: str, text_col: str, n: int):
-    """Spread + LAMBDA-FREE exploded word n-gram stream:
+def tokenized_rows(df, id_col: str, text_col: str):
+    """Spread ``(_id, _t)`` rows: the token ARRAY per document, input
+    repartitioned across cores first (tokenize/explode/hashing are
+    compute-bound and a small file arrives as one partition). A query
+    that derives several streams from the same tokenization (unigram +
+    bigram counts, say) should persist THIS frame — one text scan, one
+    regex split, one spread shuffle instead of one per stream (r13:
+    bigram_logprob's second full scan+tokenize was ~45% of its wall)."""
+    from typebus_spark.session import ensure_parallelism
+
+    return ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+
+
+def shingle_rows_from_tokens(tok, n: int):
+    """LAMBDA-FREE exploded word n-gram stream over ``(_id, _t)`` rows:
     ``(_id, _s)`` rows, one per shingle instance (duplicates kept).
 
     Position explode + plain slice/concat_ws projections stay inside
@@ -89,26 +104,24 @@ def exploded_shingle_rows(df, id_col: str, text_col: str, n: int):
     measured 2.0-2.6x slower on the 10x distinct-shingle stream with
     identical rows (r10 A/B). Documents shorter than ``n`` words yield
     the single whole-document shingle (``slice`` clamps past the end),
-    exactly matching ``shingles``'s fallback. Input is spread across
-    cores first (explode + downstream hashing are compute-bound and a
-    small file arrives as one partition)."""
-    from typebus_spark.session import ensure_parallelism
-
-    return (
-        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
-        .select(
-            "_id",
-            "_t",
-            F.expr(
-                f"explode(sequence(1, greatest(size(_t) - {n - 1}, 1)))"
-            ).alias("_i"),
-        )
-        .select(
-            "_id",
-            F.expr(f"concat_ws(' ', slice(_t, _i, {n}))").alias("_s"),
-        )
+    exactly matching ``shingles``'s fallback."""
+    return tok.select(
+        "_id",
+        "_t",
+        F.expr(
+            f"explode(sequence(1, greatest(size(_t) - {n - 1}, 1)))"
+        ).alias("_i"),
+    ).select(
+        "_id",
+        F.expr(f"concat_ws(' ', slice(_t, _i, {n}))").alias("_s"),
     )
+
+
+def exploded_shingle_rows(df, id_col: str, text_col: str, n: int):
+    """``shingle_rows_from_tokens`` over a fresh ``tokenized_rows``
+    scan — the one-stream convenience form (identical plan to the
+    pre-split implementation)."""
+    return shingle_rows_from_tokens(tokenized_rows(df, id_col, text_col), n)
 
 
 def minhash_signature(sh: Column, num_hashes: int) -> Column:

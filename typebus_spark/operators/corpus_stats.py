@@ -245,31 +245,35 @@ def bigram_logprob(
     boundary (measure-zero in float data). Contrast
     ``round(sum(double))`` on raw doubles, which the repo bans.
     """
-    from typebus_spark.functions.text import shingles, tokens
-    from typebus_spark.session import ensure_parallelism
-
     from pyspark import StorageLevel
 
-    from typebus_spark.functions.text import exploded_shingle_rows
-
-    toks = tokens(text_col)
-    base = ensure_parallelism(df.select(F.col(group_col), F.col(text_col)))
-    # the exploded bigram stream feeds BOTH the count aggregate and the
-    # final score join — persist so the explode runs once, not twice;
-    # lambda-free stream (r10)
-    ex = (
-        exploded_shingle_rows(df, group_col, text_col, 2)
-        .select(F.col("_id").alias(group_col), F.col("_s").alias("bg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    from typebus_spark.functions.text import (
+        shingle_rows_from_tokens,
+        tokenized_rows,
     )
-    uni = base.select(F.explode(toks).alias("w"))
+
+    # ONE text scan + regex tokenize + spread shuffle for BOTH streams:
+    # the bigram explode and the unigram explode previously each ran
+    # their own scan+split+repartition of the full corpus — the second
+    # full tokenize was ~45% of the query wall at sf0.1 (r13 profile).
+    # The persisted frame is one row per document (token ARRAY), tiny
+    # relative to the exploded streams it feeds.
+    tok = tokenized_rows(df, group_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # the exploded bigram stream feeds BOTH the count aggregate and the
+    # final score join; it re-derives from the CACHED token arrays
+    # (explode + concat only), so a second persist of 50x the rows
+    # bought nothing — the r13 3-variant A/B read persist-ex slightly
+    # SLOWER (one more materialization barrier in the stage chain)
+    ex = shingle_rows_from_tokens(tok, 2).select(
+        F.col("_id").alias(group_col), F.col("_s").alias("bg")
+    )
+    uni = tok.select(F.explode("_t").alias("w"))
     # persisted: ugc feeds BOTH the score join and the vocab-size
     # aggregate, and without the persist each consumer re-executed the
-    # unigram explode over the whole corpus (double-scan disease, r9 —
-    # single-reuse persists are the sanctioned fix; vocab-sized rows,
-    # tiny in bytes)
-    from pyspark import StorageLevel
-
+    # unigram explode (double-scan disease, r9 — single-reuse persists
+    # are the sanctioned fix; vocab-sized rows, tiny in bytes)
     ugc = (
         uni.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
@@ -495,9 +499,18 @@ def dsir_logweights(
     ``operators.sampling.weighted_sample`` (threshold from the weight)
     — no global sort, no driver data.
     """
-    toks = df.select(
+    from typebus_spark.session import ensure_parallelism
+
+    # spread FIRST: the fixture parquet arrives as one split, and the
+    # explode + per-token md5 below is the query's entire compute — on
+    # one core it serializes the whole scan stage (guide §2 / the repo's
+    # ensure_parallelism rule; this operator was the one corpus query
+    # missing the spread, r13)
+    toks = ensure_parallelism(
+        df.select(F.col(id_col), target_filter.alias("_is_t"), F.col(text_col))
+    ).select(
         F.col(id_col),
-        target_filter.alias("_is_t"),
+        "_is_t",
         F.explode(tokens_lower(text_col)).alias("tok"),
     ).withColumn(
         "b",

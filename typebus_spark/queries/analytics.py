@@ -528,8 +528,6 @@ FROM lineitem
     ),
 )
 def q_profile_table(spark, sf_dir):
-    from typebus_spark.session import ensure_parallelism
-
     # DECOMPOSED, not the single Expand aggregate (r9): Catalyst plans
     # a 2-distinct profile as an Expand that pushes 3 projections of
     # EVERY row through one aggregate — measured 2.25 s vs 0.40 s
@@ -540,10 +538,17 @@ def q_profile_table(spark, sf_dir):
     # two distinct aggregates shuffle pre-reduced partials exactly as
     # before. The three results are 1-row frames, so the recombine is
     # two broadcast joins of scalars.
-    li = ensure_parallelism(
-        t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_returnflag", "l_shipdate", "l_quantity"
-        )
+    #
+    # NO ensure_parallelism (r13): min/max/count/sum profiling is
+    # scan-bound, not CPU-dense — the spread repartition was a full
+    # 4-column shuffle re-executed by all THREE consumers of this
+    # frame, and dropping it measured 1.04 -> 0.46 s warm-best at
+    # sf0.1 (interleaved 4-variant A/B; persist and a fused
+    # groupBy-decomposition both lost to simply not shuffling). At
+    # 100 TB the scan already arrives with thousands of splits, so the
+    # spread was a no-op there and pure tax here.
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate", "l_quantity"
     )
     plain = li.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -149,10 +149,20 @@ DIRTY_SINCE: dict[str, int] = {
     # persists the scored frame (repartitionByRange sampling re-ran
     # the pipeline), dsir's corpus totals became a window over lm,
     # source_overlap's size joins share one broadcast exchange.
+    # r13 optimization round: bigram_logprob tokenizes ONCE (persisted
+    # token-array frame feeds both the bigram and unigram streams;
+    # the ex persist dropped), dsir_logweights gained the spread
+    # before its explode+md5 scan — perplexity_buckets and
+    # q_pipeline_curated_mix consume bigram_logprob transitively.
     "q_bigram_logprob": 13,
     "q_perplexity_buckets": 13,
     "q_dsir_weights": 13,
     "q_source_overlap": 13,
+    # r13 optimization round: profile decomposition keeps its three
+    # narrow scans but drops the ensure_parallelism spread (the
+    # repartition was a full shuffle re-run by all three consumers;
+    # min/max/count profiling is scan-bound — 1.04 -> 0.46 s).
+    "q_profile_table": 13,
     # r13: transform(tokens, lower) → tokens_lower (lower-then-split,
     # lambda-free — the r10 interpreted-HOF rule) in vocab_topk,
     # token_entropy, dsir, lang_id, tfidf, bpe_pair_counts, and the
