@@ -130,6 +130,24 @@ def main() -> None:
         )
     big_docs = big_docs.persist()
     big_ev = replicate(ev, "event_id", factor, 100_000_000)
+    if salted:
+        # KEY-GROWTH mode for events (r13, the streaming 100x rows):
+        # fresh user_id range per replica, so stream-stream join
+        # matches and per-key state exist only WITHIN a replica slice
+        # and grow LINEARLY with the factor — the realistic 100 TB
+        # shape (more users, same per-user density/horizon). The
+        # default (identical user set) multiplies per-user DENSITY:
+        # join output is quadratic in the factor by construction,
+        # which measures fanout blowup, not corpus scaling, past ~10x
+        # (the r13 100x unsalted attempt OOMed exactly this way).
+        # entity_state_smoke deliberately runs UNSALTED — its claim is
+        # state rows == the unchanged distinct-key count.
+        big_ev = big_ev.withColumn(
+            "user_id",
+            F.expr(
+                "user_id + (event_id div 100000000L) * 10000000L"
+            ),
+        )
     n_docs = big_docs.count()
 
     def run(op_name, df, rows_in, collect_rows=False, extra=None):

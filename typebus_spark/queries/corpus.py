@@ -547,17 +547,14 @@ FROM c, tot WHERE n * 500 > t
     ),
 )
 def q_heavy_hitter_tokens(spark, sf_dir):
+    from typebus_spark.functions.text import tokens_lower
     from typebus_spark.operators.sketch import heavy_hitters
 
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select(
-        F.explode(
-            F.transform(
-                F.split(F.trim(F.col("text")), r"\s+"),
-                lambda x: F.lower(x),
-            )
-        ).alias("token")
-    )
+    # tokens_lower, not transform(split, lower): the site the r13
+    # lambda-free sweep missed — the interpreted per-token lambda ran
+    # TWICE here (freqItems sketch scan + exact-count scan).
+    tok = docs.select(F.explode(tokens_lower("text")).alias("token"))
     return heavy_hitters(tok, "token", num=1, den=500)
 
 

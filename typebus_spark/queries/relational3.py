@@ -79,12 +79,26 @@ def q4_priority_exists(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # EXISTS as broadcast-inner + per-order dedup, not LEFT SEMI (r13):
+    # with orders on the left, BroadcastHashJoin LeftSemi can only
+    # build the RIGHT side — so the r12 plan broadcast the LINEITEM
+    # projection (plans/r13/q4_priority_exists_before.txt: BuildRight
+    # over the fact table). That only works at toy scale; at 100 TB the
+    # fact side never fits a broadcast and the semi degrades to a
+    # two-sided sort-merge shuffle. Probing lineitem
+    # against the BROADCAST order slice shuffles nothing; the distinct
+    # (orderkey, priority) then collapses multiple late items per order
+    # (priority is functionally dependent on orderkey, so this equals
+    # the semi-join's order set) with map-side partials bounded by the
+    # matched-order count. Broadcast stays valid at scale because the
+    # date slice — not the fact table — is what must fit.
     return (
-        o.join(
-            l,
+        l.join(
+            F.broadcast(o.select("o_orderkey", "o_orderdate", "o_orderpriority")),
             (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
-            "left_semi",
         )
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
@@ -607,13 +621,20 @@ def q21_sole_late_supplier(spark, sf_dir):
             .alias("late"),
         )
     )
+    # Two distinct counts over one grouping would plan as an Expand
+    # that pushes 2 projections of every ll row through the aggregate
+    # (the r9 multi-distinct rule). Pre-reducing to (orderkey, suppkey)
+    # groups makes both counts PLAIN aggregates: distinct suppliers ==
+    # group count, distinct LATE suppliers == sum of the per-group
+    # late flag (max(late) — a supplier is late if ANY of its items
+    # is). Both shuffles carry map-side partials; no row inflation.
     ok = (
-        ll.groupBy("l_orderkey")
+        ll.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late_any"))
+        .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(
-                F.when(F.col("late") == 1, F.col("l_suppkey"))
-            ).alias("n_late_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("late_any").alias("n_late_supp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .select("l_orderkey")

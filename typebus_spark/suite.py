@@ -163,6 +163,18 @@ DIRTY_SINCE: dict[str, int] = {
     # repartition was a full shuffle re-run by all three consumers;
     # min/max/count profiling is scan-bound — 1.04 -> 0.46 s).
     "q_profile_table": 13,
+    # r13 optimization round, relational rewrites (values identical,
+    # oracles unchanged): q16 drops the redundant distinct-pairs
+    # shuffle (countDistinct collapses duplicates anyway), q4's EXISTS
+    # becomes broadcast-inner + per-order distinct (LeftSemi could not
+    # broadcast the small side), q21's double countDistinct becomes
+    # two plain aggregates over a (orderkey, suppkey) pre-reduce (no
+    # Expand), q_heavy_hitter_tokens gets the lambda-free tokens_lower
+    # the r13 sweep missed.
+    "q16_supplier_part_counts": 13,
+    "q4_priority_exists": 13,
+    "q21_sole_late_supplier": 13,
+    "q_heavy_hitter_tokens": 13,
     # r13: transform(tokens, lower) → tokens_lower (lower-then-split,
     # lambda-free — the r10 interpreted-HOF rule) in vocab_topk,
     # token_entropy, dsir, lang_id, tfidf, bpe_pair_counts, and the
