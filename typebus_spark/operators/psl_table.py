@@ -166,15 +166,22 @@ def _aggregate_rules(
 # local DataFrame ships the rows over py4j — once per session, never
 # per plan (the frozen-artifact loader discipline; the loader-hit pin
 # lives in tests/test_psl_table.py).
-_RULES_CACHE: dict[tuple, dict[int, DataFrame]] = {}
+_RULES_CACHE: dict[tuple, DataFrame] = {}
 
 
-def psl_rules_frames(
+def psl_rules_frame(
     spark: SparkSession, rules: list[tuple[str, str]] | None = None
-) -> dict[int, DataFrame]:
-    """The aggregated rules as one small DataFrame per base label
-    count, keyed {n_labels: DataFrame(base, eff_plain, eff_wild,
-    eff_exc)}. Memoized per (app, rules identity)."""
+) -> DataFrame:
+    """The aggregated rules as ONE small DataFrame(base, eff_plain,
+    eff_wild, eff_exc). Memoized per (app, rules identity).
+
+    One frame, not one per base label count (r13): a candidate string
+    of k labels can only string-equal a k-label base, so the per-depth
+    joins all probe the SAME table — and because every join broadcasts
+    the identical frame on the identical key, ReuseExchange builds the
+    broadcast ONCE per execution instead of once per depth (the
+    per-depth frames paid 3 sequential broadcast builds per pass,
+    ~60%% of the query's warm wall at sf0.1)."""
     key = (
         spark.sparkContext.applicationId,
         id(rules) if rules is not None else None,
@@ -183,16 +190,12 @@ def psl_rules_frames(
     if hit is not None:
         return hit
     agg = _aggregate_rules(rules if rules is not None else builtin_psl_rules())
-    frames = {
-        n: spark.createDataFrame(
-            rows,
-            f"base_{n} string, eff_plain_{n} int, eff_wild_{n} int, "
-            f"eff_exc_{n} int",
-        )
-        for n, rows in agg.items()
-    }
-    _RULES_CACHE[key] = frames
-    return frames
+    rows = [r for n in sorted(agg) for r in agg[n]]
+    frame = spark.createDataFrame(
+        rows, "base string, eff_plain int, eff_wild int, eff_exc int"
+    )
+    _RULES_CACHE[key] = frame
+    return frame
 
 
 @lru_cache(maxsize=16)
@@ -228,12 +231,24 @@ def registrable_domain_table(
     coverage to every rule in ``rules``.
     """
     spark = df.sparkSession
-    frames = psl_rules_frames(spark, rules)
+    dim = psl_rules_frame(spark, rules)
     out = df.select("*", *_cand_cols(host_col))
-    for n, dim in sorted(frames.items()):
+    ks = range(1, _MAX_BASE_LABELS + 1)
+    # Per-depth joins against per-depth RENAMES of the one rules frame:
+    # a k-label candidate can only equal a k-label base, so depth
+    # separation comes from string equality itself, and the identical
+    # broadcast subplans collapse into one build via ReuseExchange
+    # (plan pin in tests/test_psl_table.py).
+    for k in ks:
+        dk = dim.select(
+            F.col("base").alias(f"base_{k}"),
+            F.col("eff_plain").alias(f"eff_plain_{k}"),
+            F.col("eff_wild").alias(f"eff_wild_{k}"),
+            F.col("eff_exc").alias(f"eff_exc_{k}"),
+        )
         out = out.join(
-            F.broadcast(dim),
-            out[f"_cand_{n}"] == dim[f"base_{n}"],
+            F.broadcast(dk),
+            out[f"_cand_{k}"] == dk[f"base_{k}"],
             "left",
         )
     # Prevailing rule (PSL §Algorithm): any exception wins outright
@@ -244,7 +259,7 @@ def registrable_domain_table(
     # Wildcard effective lengths only count when the host actually has
     # the extra label (nl >= eff — a host EQUAL to a wildcard base is
     # not matched by the wildcard).
-    ns = sorted(frames.keys(), reverse=True)
+    ns = sorted(ks, reverse=True)
     exc = F.coalesce(
         *[F.col(f"eff_exc_{n}") for n in ns], F.lit(-1)
     )
@@ -281,7 +296,7 @@ def registrable_domain_table(
         + [f"_cand_{k}" for k in range(1, _MAX_BASE_LABELS + 1)]
         + [
             c
-            for n in frames
+            for n in ks
             for c in (
                 f"base_{n}",
                 f"eff_plain_{n}",
