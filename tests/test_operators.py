@@ -1392,3 +1392,64 @@ def test_psl_snapshot_well_formed():
         assert ".".join(labels(e)[1:]) in psl.PSL_WILDCARD_BASES_2LABEL, e
     with _pytest.raises(AssertionError):
         psl.sql_in_list(("bad'quote",))
+
+
+def test_incremental_dedup_index_paths_agree(spark, sf_dir, tmp_path):
+    """The 3-table stored index (hashes / postings / per-doc sizes —
+    r13), the legacy 2-tuple index, and full live derivation must tag
+    the delta identically: the stored size table is the SAME per-doc
+    distinct-shingle count, just computed at index build instead of
+    per batch."""
+    import pyspark.sql.functions as F
+
+    from typebus_spark.operators.dedup import (
+        build_exact_index,
+        incremental_dedup,
+    )
+    from typebus_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    idx = build_exact_index(
+        corpus, "doc_id", "text", shingle_n=8,
+        materialize_dir=str(tmp_path / "ix"),
+    )
+    assert len(idx) == 3 and idx[2].columns == ["_id", "nc"]
+
+    def tags(ci):
+        return sorted(
+            (r["doc_id"], r["admit_reason"])
+            for r in incremental_dedup(
+                delta, corpus, "doc_id", "text", shingle_n=8,
+                threshold=0.5, corpus_index=ci,
+            ).select("doc_id", "admit_reason").collect()
+        )
+
+    stored = tags(idx)
+    assert stored == tags(idx[:2]) == tags(None)
+    assert {t for _, t in stored} >= {"new"}
+
+
+def test_incremental_dedup_exact_outranks_near(spark):
+    """A delta doc that is BOTH an exact copy and a near-dup of the
+    corpus must tag exact_dup (the r13 union+min-priority fuse keeps
+    the old two-join precedence)."""
+    from typebus_spark.operators.dedup import incremental_dedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, text)], ["doc_id", "text"]
+    )
+    delta = spark.createDataFrame(
+        [(2, text), (3, "alpha beta gamma delta epsilon zeta eta iota"),
+         (4, "totally different words here nothing shared at all")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["admit_reason"]
+        for r in incremental_dedup(
+            delta, corpus, "doc_id", "text", shingle_n=3, threshold=0.3
+        ).collect()
+    }
+    assert got == {2: "exact_dup", 3: "near_dup", 4: "new"}

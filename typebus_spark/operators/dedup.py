@@ -1008,30 +1008,48 @@ def build_exact_index(
     text_col: str,
     shingle_n: int = 8,
     materialize_dir: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """The two STORED-TABLE frames ``incremental_dedup`` probes per
-    ingest batch: the distinct content-hash set ``(_h)`` and the
-    per-doc distinct-shingle index ``(_id, shingle)``. Build once per
-    corpus snapshot (append per admitted batch in production); with
-    ``materialize_dir`` they are written as parquet and the returned
-    frames read the store (explicit schema — job-free steady-state
-    plan construction), mirroring ``build_minhash_index``."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The STORED-TABLE frames ``incremental_dedup`` probes per ingest
+    batch: the distinct content-hash set ``(_h)``, the per-doc
+    distinct-shingle index ``(_id, shingle)``, and the per-doc
+    distinct-shingle COUNT ``(_id, nc)`` — the inverted-index design
+    stores sizes next to postings so the per-batch jaccard never
+    re-aggregates the postings table (r13: the per-pass semi-join +
+    corpus-index re-count was a sequential job chain behind the probe
+    join; a one-row-per-doc stored table is both cheaper to scan and
+    independent of the probe, so it broadcasts while the probe runs).
+    Build once per corpus snapshot (append per admitted batch in
+    production); with ``materialize_dir`` they are written as parquet
+    and the returned frames read the store (explicit schema — job-free
+    steady-state plan construction), mirroring ``build_minhash_index``;
+    sizes aggregate from the WRITTEN shingle store so the corpus is
+    shingled exactly once at build."""
     c_hash = corpus.select(
         F.md5(norm_text(text_col)).alias("_h")
     ).distinct()
     c_sh = distinct_shingles(corpus, id_col, text_col, shingle_n)
+
+    def _sizes(sh: DataFrame) -> DataFrame:
+        return sh.groupBy("_id").agg(F.count(F.lit(1)).alias("nc"))
+
     if materialize_dir is None:
-        return c_hash, c_sh
+        return c_hash, c_sh, _sizes(c_sh)
     import os
 
     spark = corpus.sparkSession
     hp = os.path.join(materialize_dir, "hashes")
     sp = os.path.join(materialize_dir, "shingles")
+    zp = os.path.join(materialize_dir, "sizes")
     c_hash.write.mode("overwrite").parquet(hp)
     c_sh.write.mode("overwrite").parquet(sp)
+    stored_sh = spark.read.schema(c_sh.schema).parquet(sp)
+    _sizes(stored_sh).write.mode("overwrite").parquet(zp)
     return (
         spark.read.schema(c_hash.schema).parquet(hp),
-        spark.read.schema(c_sh.schema).parquet(sp),
+        stored_sh,
+        spark.read.schema(
+            _sizes(stored_sh).schema
+        ).parquet(zp),
     )
 
 
@@ -1042,7 +1060,7 @@ def incremental_dedup(
     text_col: str,
     shingle_n: int = 8,
     threshold: float = 0.5,
-    corpus_index: tuple[DataFrame, DataFrame] | None = None,
+    corpus_index: tuple[DataFrame, ...] | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: admit only NEW-batch documents that
     are neither exact copies nor near-duplicates of the EXISTING corpus
@@ -1053,11 +1071,15 @@ def incremental_dedup(
     corpus hash index and (b) one inverted-index join of the delta's
     shingles against the corpus shingle index — both proportional to
     the DELTA (plus index probe), never corpus². Pass the stored
-    indexes as ``corpus_index=(content_hashes, distinct_shingles)``
-    (built by ``build_exact_index``) and the corpus is never re-hashed
-    or re-shingled here; with no index they derive from the corpus
-    frame (the live-derivation check). Precondition: delta and corpus
-    ids are disjoint (re-ingest same-id handling is the
+    indexes as ``corpus_index=(content_hashes, distinct_shingles,
+    shingle_sizes)`` (built by ``build_exact_index``): the corpus is
+    never re-hashed, re-shingled, or re-counted here, and the per-doc
+    size table joins the collision pairs directly (r13 — the old
+    2-tuple form re-aggregated the postings index behind a semi-join
+    per batch, a sequential tail; it is still accepted and derives
+    sizes collision-restricted). With no index everything derives from
+    the corpus frame (the live-derivation check). Precondition: delta
+    and corpus ids are disjoint (re-ingest same-id handling is the
     ``minhash_lsh_incremental`` contract; this operator's indexes are
     pruned by the caller before re-add).
 
@@ -1068,41 +1090,45 @@ def incremental_dedup(
     d_hash = delta.select(
         F.col(id_col), F.md5(norm_text(text_col)).alias("_h")
     )
+    c_sizes = None
     if corpus_index is None:
         c_hash = corpus.select(
             F.md5(norm_text(text_col)).alias("_h")
         ).distinct()
-        c_sh_src = distinct_shingles(corpus, id_col, text_col, shingle_n)
+        c_sh = distinct_shingles(corpus, id_col, text_col, shingle_n)
+    elif len(corpus_index) == 2:
+        c_hash, c_sh = corpus_index
     else:
-        c_hash, c_sh_src = corpus_index
+        c_hash, c_sh, c_sizes = corpus_index
     exact_dups = d_hash.join(c_hash, "_h", "left_semi").select(id_col)
 
     from pyspark import StorageLevel
 
-    # each index feeds its size aggregate AND the probe join — persist
-    # so the explode+hash pass runs once per side, not twice
+    # the delta index feeds its size aggregate AND the probe join —
+    # persist so the explode+hash pass runs once, not twice
     d_sh = distinct_shingles(delta, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     d_sizes = d_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("nd"))
-    c_sh = c_sh_src.persist(StorageLevel.MEMORY_AND_DISK)
-    # collision-pair-sized; persisted because BOTH the size semi-join
-    # and the jaccard filter consume it (two consumers of one reduced
-    # frame re-execute the probe join otherwise — the r9 double-scan
-    # rule, CLAUDE.md)
     shared = (
         d_sh.select(F.col("_id").alias("d"), "shingle")
         .join(c_sh.select(F.col("_id").alias("c"), "shingle"), "shingle")
         .groupBy("d", "c")
         .agg(F.count(F.lit(1)).alias("shared"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # size only the corpus docs that actually collided (semi join before
-    # the aggregate — the same restriction the minhash verify applies):
-    # the per-doc size reduce stays delta-collision-sized, never a
-    # corpus-wide aggregate over the stored index
-    c_sizes = c_sh.join(
-        shared.select(F.col("c").alias("_id")).distinct(), "_id", "left_semi"
-    ).groupBy("_id").agg(F.count(F.lit(1)).alias("nc"))
+    )
+    if c_sizes is None:
+        # no stored size table: derive it collision-restricted (semi
+        # join before the aggregate — delta-collision-sized, never a
+        # corpus-wide aggregate). shared now has TWO consumers, so it
+        # persists (the r9 double-scan rule, CLAUDE.md); with the
+        # stored table the jaccard filter is shared's ONLY consumer
+        # and the barrier would just add a sequential job.
+        shared = shared.persist(StorageLevel.MEMORY_AND_DISK)
+        c_sizes = c_sh.persist(StorageLevel.MEMORY_AND_DISK).join(
+            shared.select(F.col("c").alias("_id")).distinct(),
+            "_id",
+            "left_semi",
+        ).groupBy("_id").agg(F.count(F.lit(1)).alias("nc"))
     near = (
         shared.join(d_sizes.select(F.col("_id").alias("d"), "nd"), "d")
         .join(c_sizes.select(F.col("_id").alias("c"), "nc"), "c")
@@ -1112,19 +1138,25 @@ def incremental_dedup(
             >= threshold
         )
         .select(F.col("d").alias(id_col))
-        .distinct()
+    )
+    # ONE outer join tags both reasons (r13 — two sequential broadcast
+    # joins before): union the reason sets with a priority and reduce
+    # per id (exact wins; the groupBy also dedups near's multi-collision
+    # ids, replacing its distinct).
+    reasons = (
+        exact_dups.withColumn("_pri", F.lit(0))
+        .unionAll(near.withColumn("_pri", F.lit(1)))
+        .groupBy(id_col)
+        .agg(F.min("_pri").alias("_pri"))
     )
     tagged = (
-        delta.join(
-            exact_dups.withColumn("_exact", F.lit(1)), id_col, "left_outer"
-        )
-        .join(near.withColumn("_near", F.lit(1)), id_col, "left_outer")
+        delta.join(reasons, id_col, "left_outer")
         .withColumn(
             "admit_reason",
-            F.when(F.col("_exact").isNotNull(), "exact_dup")
-            .when(F.col("_near").isNotNull(), "near_dup")
+            F.when(F.col("_pri") == 0, "exact_dup")
+            .when(F.col("_pri") == 1, "near_dup")
             .otherwise("new"),
         )
-        .drop("_exact", "_near")
+        .drop("_pri")
     )
     return tagged

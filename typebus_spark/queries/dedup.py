@@ -1068,12 +1068,13 @@ FROM dh GROUP BY 1
         "index) nor a near-dup (delta shingles probed against the "
         "corpus shingle index) — per-batch cost proportional to the "
         "DELTA plus index probe, never corpus². PRODUCTION PATH (r10, "
-        "same as q_dedup_minhash_incremental): both corpus indexes are "
-        "read from STORED tables (build_exact_index, materialized once "
-        "per session+corpus); the corpus is never re-hashed or "
-        "re-shingled per batch, and the per-doc size reduce is "
-        "semi-join-restricted to colliding docs. The 20%% newest ids "
-        "play the delta; admit/reject tallies are hash-checked."
+        "same as q_dedup_minhash_incremental): all three corpus index "
+        "tables — content hashes, shingle postings, per-doc shingle "
+        "sizes — are read from STORED tables (build_exact_index, "
+        "materialized once per session+corpus); the corpus is never "
+        "re-hashed, re-shingled, or re-counted per batch. The 20%% "
+        "newest ids play the delta; admit/reject tallies are "
+        "hash-checked."
     ),
 )
 def q_dedup_incremental(spark, sf_dir):

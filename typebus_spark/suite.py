@@ -184,6 +184,15 @@ DIRTY_SINCE: dict[str, int] = {
     "q_text_langid": 13,
     "q_tfidf_top_terms": 13,
     "q_bpe_pair_counts": 13,
+    # r13 optimization round: the exact index stores a third table
+    # (per-doc shingle sizes) so incremental_dedup's jaccard joins the
+    # stored sizes instead of re-aggregating the postings index behind
+    # a per-batch semi-join, and the admit tagging fuses its two outer
+    # joins into one union+min-priority join. Values identical
+    # (nc is the same per-doc distinct-shingle count, computed at
+    # index build instead of per pass); q_dedup_incremental is the
+    # only consumer of build_exact_index.
+    "q_dedup_incremental": 13,
     # r13: _ANCHOR_PAT requires a word boundary after '<a' (r12
     # ADVICE: <abbr>/<aside>/<article>/<address> inflated link
     # density) — everything consuming line_link_density /
