@@ -1033,6 +1033,15 @@ def build_exact_index(
         return sh.groupBy("_id").agg(F.count(F.lit(1)).alias("nc"))
 
     if materialize_dir is None:
+        # the derived shingle frame has TWO consumers downstream (the
+        # probe join and the size table) — persist so the explode+hash
+        # pass runs once, not per consumer (the r9 double-scan rule;
+        # the materialized path gets the same effect from the parquet
+        # store, and the pipeline's live-index ingest stage takes this
+        # branch every run)
+        from pyspark import StorageLevel
+
+        c_sh = c_sh.persist(StorageLevel.MEMORY_AND_DISK)
         return c_hash, c_sh, _sizes(c_sh)
     import os
 
