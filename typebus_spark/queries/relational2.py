@@ -40,21 +40,27 @@ def q7_nation_volume(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
-    n1 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
-    )
-    n2 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
-    )
+    # ONE nation dim probed twice via ALIASES (r13): per-side renamed
+    # projections made two distinct canonical broadcast subplans — the
+    # 25-row table was scanned AND broadcast-built twice, in sequence
+    # (two of the query's 7 floor stages). Aliasing one frame keeps the
+    # canonical plan identical, so AQE builds the broadcast once and
+    # ReusedExchange serves the supplier side (the source_overlap s1/s2
+    # and PSL unified-dim pattern, CLAUDE.md r13).
+    nd = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nd.alias("n1")
+    n2 = nd.alias("n2")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
-        .filter(F.col("n1_key") != F.col("n2_key"))
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .filter(F.col("n1.n_nationkey") != F.col("n2.n_nationkey"))
         .groupBy(
-            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+            F.col("n1.n_name").alias("cust_nation"),
+            F.col("n2.n_name").alias("supp_nation"),
+            F.year("l_shipdate").alias("ship_year"),
         )
         .agg(money(F.sum(rev_e4), 10000).alias("volume"))
         .select(

@@ -175,6 +175,11 @@ DIRTY_SINCE: dict[str, int] = {
     "q4_priority_exists": 13,
     "q21_sole_late_supplier": 13,
     "q_heavy_hitter_tokens": 13,
+    # r13: q7 probes ONE nation dim via aliases instead of two renamed
+    # projections — AQE builds the broadcast once and ReusedExchange
+    # serves the supplier side (5 builds -> 4 + 1 reuse); rows
+    # bit-identical (4200 checked), oracle unchanged.
+    "q7_nation_volume": 13,
     # r13: transform(tokens, lower) → tokens_lower (lower-then-split,
     # lambda-free — the r10 interpreted-HOF rule) in vocab_topk,
     # token_entropy, dsir, lang_id, tfidf, bpe_pair_counts, and the
