@@ -565,3 +565,21 @@ def test_pipeline_plan_node_guard_counts_and_caps(spark):
     assert mod._plan_nodes(
         deep._jdf.queryExecution().logical(), cap=10
     ) == 11
+
+
+def test_q7_nation_broadcast_built_once(spark, sf_dir):
+    """r13: q7 probes ONE nation dim via .alias("n1"/"n2") instead of
+    two renamed projections. Renames made two DISTINCT canonical
+    broadcast subplans, so the 25-row dim was scanned and broadcast-
+    built twice, in sequence (two of the query's seven floor stages);
+    aliasing keeps the canonical plan identical and AQE serves the
+    second probe from ReusedExchange. Reuse only appears at AQE stage
+    materialization, hence the collect() (the test_psl_table pattern).
+    """
+    df = _df(spark, sf_dir, "q7_nation_volume")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1, final
+    # the nation parquet is scanned exactly once in the executed plan
+    assert final.count("nation.parquet") == 1, final
