@@ -322,3 +322,35 @@ def test_window_stamp_keys_and_diff_refusal(tmp_path):
         cwd="/root/repo",
     )
     assert r.returncode == 0 and "windows:" in r.stdout, r.stdout
+
+
+def test_detail_path_shields_committed_pair(monkeypatch):
+    """Driver-detail shielding (r13 verdict item 7): a bench run
+    without SPARK_GRAFT_COMMIT_DETAIL must not overwrite a CLEAN
+    git-tracked detail file (the driver's own run was dirtying the
+    committed stamped pair); the explicit env override restores the
+    canonical path for the builder's stamped-pair runs."""
+    import subprocess
+
+    from bench import detail_path
+
+    monkeypatch.delenv("SPARK_GRAFT_COMMIT_DETAIL", raising=False)
+    status = subprocess.run(
+        ["git", "status", "--porcelain", "--", "BENCH_DETAIL.json"],
+        cwd="/root/repo", capture_output=True, text=True,
+    )
+    clean = not status.stdout.strip()
+    p = detail_path("BENCH_DETAIL.json")
+    if clean:
+        assert p.endswith("BENCH_DETAIL_last_run.json"), p
+    else:  # mid-iteration: dirty file keeps plain overwrite behavior
+        assert p.endswith("BENCH_DETAIL.json"), p
+
+    monkeypatch.setenv("SPARK_GRAFT_COMMIT_DETAIL", "1")
+    assert detail_path("BENCH_DETAIL.json").endswith("/BENCH_DETAIL.json")
+    # the diverted sibling is gitignored so the run leaves status clean
+    ign = subprocess.run(
+        ["git", "check-ignore", "BENCH_DETAIL_last_run.json"],
+        cwd="/root/repo", capture_output=True,
+    )
+    assert ign.returncode == 0

@@ -71,7 +71,11 @@ def main() -> None:
     # #1): a committed pair must be provably same-window
     w["load_end"] = round(os.getloadavg()[0], 2)
     out["window"] = w
-    with open(os.path.join(REPO, "DUCK_DETAIL.json"), "w") as f:
+    # same shield as bench.py (r13 verdict item 7): don't shadow the
+    # committed stamped pair unless SPARK_GRAFT_COMMIT_DETAIL=1
+    from bench import detail_path
+
+    with open(detail_path("DUCK_DETAIL.json"), "w") as f:
         json.dump(out, f)
     print(json.dumps(out))
 
