@@ -283,22 +283,33 @@ def bigram_logprob(
     )
     # ONE explode pass (r13): the bigram stream pre-reduces to
     # (group, bg, k) — map-side partials collapse within-group repeats
-    # before the only stream shuffle — and the corpus bigram count c2
-    # comes from a window over that REDUCED frame (sum(k) over bg), so
-    # the old shape's second explode pass + distinct-bigram count join
+    # before the only stream shuffle — so the old shape's second
+    # explode pass + distinct-bigram count join over RAW occurrences
     # disappear entirely. The per-group sums stay exact: each
     # occurrence contributes the same integer nano-unit score, so
     # sum(k·lp_u) == the occurrence-stream sum (pure integer
-    # arithmetic). 3-variant 7-pass interleaved A/B at sf0.1: reduced-
-    # window 0.83/0.96 s (min/median) vs raw-stream window 0.87/1.01 vs
-    # count-join form 1.00/1.26 — and the reduced form shuffles the
-    # fewest bytes at any scale (distinct (group, bigram) pairs with
-    # partials, never raw occurrences, never a second explode).
+    # arithmetic). The reduced form shuffles the fewest bytes at any
+    # scale: distinct (group, bigram) pairs with partials, never raw
+    # occurrences, never a second explode.
     red = ex.groupBy(group_col, "bg").agg(F.count(F.lit(1)).alias("k"))
-    from pyspark.sql import Window
-
+    # c2 via a tiny groupBy(bg) + join-back, NOT a window (r14, verdict
+    # item 3): `sum(k) over (partition by bg)` puts every (group, bg)
+    # row of one bigram in ONE window partition — a stop-word bigram
+    # present in 1B docs is 1B rows on one task, and windows get
+    # neither AQE skew-splitting nor map-side partials. The aggregate
+    # form gets both (partial sums collapse per map task; the
+    # join-back is an equi-join, so AQE skew-join splits a hot bg at
+    # runtime). red is persisted because it feeds both the c2
+    # aggregate and the score join (single-reuse persist, the r9
+    # sanctioned fix — without it each consumer re-explodes +
+    # re-reduces from the token cache). Values identical: c2 is the
+    # same integer sum either way. Interleaved 3-variant A/B at sf0.1
+    # (7 passes, min/median): join-back+persist 0.775/0.84 s vs window
+    # 0.80/0.89 s vs join-back-no-persist 0.86/0.93 s.
+    red = red.persist(StorageLevel.MEMORY_AND_DISK)
+    bgc = red.groupBy("bg").agg(F.sum("k").alias("c2"))
     scored = (
-        red.withColumn("c2", F.sum("k").over(Window.partitionBy("bg")))
+        red.join(bgc, "bg")
         .withColumn("w", F.substring_index(F.col("bg"), " ", 1))
         .join(ugc, "w")
         .crossJoin(F.broadcast(vocab))

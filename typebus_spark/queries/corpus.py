@@ -343,7 +343,18 @@ def q_tfidf_top_terms(spark, sf_dir):
         "doc_id",
         F.explode(tokens_lower("text")).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df aggregate and the scoring join — without the
+    # persist each consumer re-executes the full explode + (doc, term)
+    # shuffle (double-scan disease, r9; single-reuse persists are the
+    # sanctioned fix). The cached frame is one row per (doc, term),
+    # far smaller than the exploded token stream that builds it.
+    from pyspark import StorageLevel
+
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df), "term")

@@ -496,8 +496,6 @@ FROM m GROUP BY cluster_id
     ),
 )
 def q_dedup_keep_best(spark, sf_dir):
-    from pyspark.sql import Window
-
     from typebus_spark.operators.clustering import connected_components
 
     docs = t(spark, sf_dir, "documents")
@@ -506,21 +504,31 @@ def q_dedup_keep_best(spark, sf_dir):
     )
     clusters = connected_components(pairs, "a", "b")
     sized = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
-    rk = F.row_number().over(
-        Window.partitionBy("cluster_id").orderBy(
-            F.col("n_chars").desc(), F.col("doc_id")
-        )
-    )
+    # the keep-longest pick is an ARGMAX, not a rank (r14): the old
+    # row_number window shuffled + SORTED every cluster member before
+    # the aggregate could run; max(struct(n_chars, -doc_id)) computes
+    # the same deterministic winner (longest, lowest-id tie-break —
+    # struct comparison is field-by-field, and -doc_id is unique so
+    # ordering is total) as a plain aggregate WITH map-side partials
+    # and no sort — at scale a giant cluster collapses per map task
+    # instead of landing on one window partition (windows get no AQE
+    # skew handling, same argument as bigram c2).
     return (
-        sized.withColumn("_rk", rk)
-        .groupBy("cluster_id")
+        sized.groupBy("cluster_id")
         .agg(
-            F.expr("CAST(count(1) AS BIGINT) AS n_members"),
-            F.expr("max(CASE WHEN _rk = 1 THEN doc_id END) AS kept_doc_id"),
-            F.expr(
-                "CAST(max(CASE WHEN _rk = 1 THEN n_chars END) AS BIGINT)"
-                " AS kept_chars"
-            ),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("negid"),
+                )
+            ).alias("_best"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("_best.negid")).alias("kept_doc_id"),
+            F.col("_best.nc").cast("long").alias("kept_chars"),
         )
     )
 
@@ -784,8 +792,16 @@ WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
 def q_dedup_embedding(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     from typebus_spark.functions.vector import dot, norm
+    from typebus_spark.session import ensure_parallelism
 
-    base = e.select(
+    # spread BEFORE the pair join (r14, guide §2.6): the embeddings
+    # parquet arrives as ONE split, the planner broadcasts the other
+    # side (small table), so the label-blocked pair join — the query's
+    # only CPU-dense pass, one aggregate-fold dot per candidate pair —
+    # ran on a single core. The probe side's partitioning is the pair
+    # stage's parallelism; at scale the scan arrives wide and this is
+    # a no-op (ensure_parallelism only spreads few-partition inputs).
+    base = ensure_parallelism(e.select("vec_id", "embedding", "label")).select(
         "vec_id", "embedding", "label", norm("embedding").alias("n")
     )
     a = base.select(
@@ -1223,9 +1239,6 @@ def q_contamination_fuzzy(spark, sf_dir):
     from typebus_spark.operators.sampling import hash_split
 
     docs = t(spark, sf_dir, "documents")
-    split = hash_split(
-        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}, seed=42
-    ).select("doc_id", "split")
     pairs = minhash_lsh_pairs(
         docs,
         "doc_id",
@@ -1235,15 +1248,21 @@ def q_contamination_fuzzy(spark, sf_dir):
         bands=4,
         threshold=NEAR_THRESHOLD,
     )
-    sa = split.select(
-        F.col("doc_id").alias("a"), F.col("split").alias("split_a")
-    )
-    sb = split.select(
-        F.col("doc_id").alias("b"), F.col("split").alias("split_b")
-    )
+    # split labels are a PURE md5 expression of the id (hash_split),
+    # so attach them to the pair columns directly instead of building
+    # a (doc_id, split) frame and joining it twice (r14, guide §2.4
+    # remove-shuffles + the r9 closed-form-rewrite preference): the old
+    # shape re-scanned documents for the split frame and paid two
+    # broadcast joins SEQUENTIALLY behind the LSH pair pipeline; two
+    # CASE projections on a/b are free at any scale and the pair
+    # stream — the expensive part — is untouched. Values identical:
+    # split is functionally dependent on doc_id with the same seed.
+    fracs = {"train": 0.90, "val": 0.05, "test": 0.05}
     x = (
-        pairs.join(sa, "a")
-        .join(sb, "b")
+        hash_split(
+            hash_split(pairs, "a", fracs, seed=42, split_col="split_a"),
+            "b", fracs, seed=42, split_col="split_b",
+        )
         .filter(
             ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
             | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))

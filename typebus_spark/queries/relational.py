@@ -197,13 +197,21 @@ def q_top_parts_by_revenue(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    # pre-reduce lineitem by l_partkey BEFORE the dim join (r14, guide
+    # §2.3 aggregate-before-shuffle): p_partkey is part's key, so
+    # grouping the joined rows by (p_partkey, p_name, p_brand) equals
+    # grouping lineitem by l_partkey and attaching the two dim columns
+    # after. The aggregate's shuffle now carries one narrow long key
+    # instead of key+two strings, the broadcast probe runs once per
+    # DISTINCT part instead of once per lineitem row, and the inner
+    # join drops partkey-less groups exactly as it dropped their rows.
+    la = l.groupBy("l_partkey").agg(
+        money(F.sum(rev_e4), 10000).alias("revenue"),
+        money(F.sum(cents("l_quantity")), 100).alias("qty"),
+    )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy("p_partkey", "p_name", "p_brand")
-        .agg(
-            money(F.sum(rev_e4), 10000).alias("revenue"),
-            money(F.sum(cents("l_quantity")), 100).alias("qty"),
-        )
+        la.join(F.broadcast(p), la.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_name", "p_brand", "revenue", "qty")
         .orderBy(F.desc("revenue"), "p_partkey")
         .limit(20)
     )

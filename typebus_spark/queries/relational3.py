@@ -79,22 +79,30 @@ def q4_priority_exists(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    # EXISTS as broadcast-inner + per-order dedup, not LEFT SEMI (r13):
+    # EXISTS as inner join + per-order dedup, not LEFT SEMI (r13):
     # with orders on the left, BroadcastHashJoin LeftSemi can only
     # build the RIGHT side — so the r12 plan broadcast the LINEITEM
     # projection (plans/r13/q4_priority_exists_before.txt: BuildRight
     # over the fact table). That only works at toy scale; at 100 TB the
     # fact side never fits a broadcast and the semi degrades to a
-    # two-sided sort-merge shuffle. Probing lineitem
-    # against the BROADCAST order slice shuffles nothing; the distinct
+    # two-sided sort-merge shuffle. With the order slice on the probe
+    # side's right, the planner broadcasts it from its own size
+    # estimate at bench scale (orders scan ≈ 2.7 MB < every session's
+    # threshold) so lineitem shuffles nothing; the distinct
     # (orderkey, priority) then collapses multiple late items per order
     # (priority is functionally dependent on orderkey, so this equals
     # the semi-join's order set) with map-side partials bounded by the
-    # matched-order count. Broadcast stays valid at scale because the
-    # date slice — not the fact table — is what must fit.
+    # matched-order count. NO F.broadcast hint (r14, verdict item 2):
+    # a hard hint on a data-dependent frame is a scale assumption — a
+    # 3-month order slice of a 100 TB fact table is hundreds of GB and
+    # the hint would try anyway and OOM the driver; hint-free, the
+    # planner picks broadcast exactly while the slice estimate fits and
+    # degrades to SMJ (+ the runtime Bloom prefilter, SPARK-32268,
+    # guide §3.2) beyond it. The JOIN SHAPE (inner + distinct, fact
+    # never pre-shuffled while the slice fits) is the optimization.
     return (
         l.join(
-            F.broadcast(o.select("o_orderkey", "o_orderdate", "o_orderpriority")),
+            o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
             (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
         )
         .select("o_orderkey", "o_orderpriority")

@@ -1024,10 +1024,18 @@ def q_topic_balance(spark, sf_dir):
     # training LIVE so the trainer itself stays driver-checked against
     # the same frozen literals every round)
     cents = _frozen_codebook(spark, sf_dir)
+    # persisted (r14): the argmax-assignment scan is the query's only
+    # CPU-dense pass and it used to execute THREE times — once under
+    # the thresholds aggregate, once under the broadcast(thr) subtree
+    # inside the sample join, once as the sample join's probe side
+    # (double-scan disease, r9; multi-consumer persists are the
+    # sanctioned fix). One row per vector, two small columns.
+    from pyspark import StorageLevel
+
     topics = e.select(
         "vec_id",
         _nearest_centroid("embedding", cents).cast("long").alias("topic"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # audit joins FROM the thresholds frame so topics the sample
     # empties still report their threshold (the oracle's LEFT JOIN)
     thr = rebalance_thresholds(topics, "topic")
